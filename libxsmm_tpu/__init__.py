@@ -1,0 +1,57 @@
+"""libxsmm_tpu — a TPU-native small dense & sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of LIBXSMM
+(reference at /root/reference; structural map in SURVEY.md): shape-specialized
+small GEMM/BRGEMM, element-wise tensor processing primitives (TPPs) usable
+standalone or as fused GEMM epilogues, matrix-equation fusion, packed sparse
+GEMM (CSR/CSC/BCSC) and fixed-sparsity SpMM with trace-time pattern baking +
+create-time autotune, plus — new versus the reference — multi-host sharded
+SpMM over ICI collectives.
+
+The reference's two-phase contract is preserved: `dispatch_*` is expensive
+and cached (the descriptor-keyed registry replaces the JIT code registry,
+src/libxsmm_main.c:2730-2969); the returned kernel is a bare callable.
+"""
+
+from .config import get_config, set_target, set_verbosity
+from .descriptor import (BatchReduceConfig, BatchReduceType, BinaryFlags,
+                         BinaryPostops, BinaryType, GemmDescriptor, GemmFlags,
+                         GemmShape, MeltwDescriptor, SparsePattern,
+                         SpgemmConfig, TernaryFlags, TernaryType, UnaryArgops,
+                         UnaryFlags, UnaryType)
+from .device import get_geometry, on_tpu
+from .dtypes import Datatype, from_jnp, to_jnp, typesize
+from .matdiff import MatdiffInfo, matdiff, matdiff_reduce
+from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
+                       get_registry, init)
+from .ops.gemm import (dgemm, dispatch_brgemm, dispatch_brgemm_ext,
+                       dispatch_gemm, dispatch_gemm_batched,
+                       dispatch_tilecfg_gemm, gemm, sgemm)
+from .ops.eltwise import (dispatch_meltw_binary, dispatch_meltw_ternary,
+                          dispatch_meltw_unary)
+
+__version__ = "0.1.0"
+
+
+def get_registry_info():
+    """libxsmm_get_registry_info analogue."""
+    return get_registry().get_registry_info()
+
+
+def xregister(key: bytes, value):
+    """libxsmm_xregister analogue (user key-value registry)."""
+    return get_registry().xregister(key, value)
+
+
+def xdispatch(key: bytes):
+    return get_registry().xdispatch(key)
+
+
+def xrelease(key: bytes):
+    return get_registry().xrelease(key)
+
+
+def release_kernel(kernel_or_descriptor):
+    """libxsmm_release_kernel analogue."""
+    desc = getattr(kernel_or_descriptor, "descriptor", kernel_or_descriptor)
+    get_registry().release(desc)

@@ -1,0 +1,422 @@
+"""Kernel descriptors — the universal dispatch currency.
+
+The reference packs every kernel request into a hashable byte descriptor
+(`libxsmm_gemm_descriptor` /root/reference/src/libxsmm_main.h:246-289,
+`libxsmm_meltw_descriptor` :292-302, `libxsmm_meqn_descriptor` :412-419) and
+dispatches by hash+memcmp. The TPU-native equivalent: frozen dataclasses whose
+structural hash keys a trace-time cache of compiled callables (registry.py).
+
+Shape/flag semantics follow the reference's typed dispatch structs
+(`libxsmm_gemm_shape` include/libxsmm_typedefs.h:747-758,
+`libxsmm_gemm_batch_reduce_config` :760-765, gemm_ext argops/postops
+:771-788) with one deliberate deviation: arrays are row-major JAX arrays, so
+there are no leading-dimension or pointer fields — layout is XLA's concern.
+Alpha is fixed to 1 and beta restricted to {0,1} exactly like the reference
+(README.md "limited to Alpha:=1").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+from .dtypes import Datatype
+
+
+# ---------------------------------------------------------------------------
+# GEMM
+# ---------------------------------------------------------------------------
+
+class GemmFlags(enum.IntFlag):
+    """Mirrors libxsmm_gemm_flags (include/libxsmm_typedefs.h:468-530).
+
+    Alignment/NTS/tileconfig flags are accepted for API parity but are
+    no-ops on TPU (XLA owns layout and store policy). VNNI flags are
+    accepted and ignored: TPU kernels consume NORM layout, and the VNNI
+    transform ops in eltwise.py exist for data-compat round-trips.
+    """
+
+    NONE = 0
+    TRANS_A = 1
+    TRANS_B = 2
+    TRANS_AB = 3
+    BETA_0 = 4
+    ALIGN_A = 8
+    ALIGN_C = 16
+    ALIGN_C_NTS_HINT = 32 | 16
+    NO_RESET_TILECONFIG = 64
+    NO_SETUP_TILECONFIG = 128
+    VNNI_A = 256
+    VNNI_B = 512
+    VNNI_C = 1024
+    BATCH_REDUCE_ADDRESS = 8192
+    BATCH_REDUCE_OFFSET = 16384
+    BATCH_REDUCE_STRIDE = 32768
+
+
+class BatchReduceType(enum.Enum):
+    """libxsmm_gemm_batch_reduce_type (include/libxsmm_typedefs.h:562-567)."""
+
+    NONE = 0
+    ADDRESS = 1   # gather A_i/B_i by per-call index arrays
+    OFFSET = 2    # gather by element offsets into flat A/B
+    STRIDE = 4    # dense leading batch dimension
+
+
+@dataclasses.dataclass(frozen=True)
+class GemmShape:
+    """libxsmm_gemm_shape analogue (include/libxsmm_typedefs.h:747-758).
+
+    C[m,n] += A[m,k] @ B[k,n] in row-major; comp_type is the accumulation
+    precision (defaults to F32 for all sub-f32 inputs, F64 for F64).
+    """
+
+    m: int
+    n: int
+    k: int
+    a_in_type: Datatype = Datatype.F32
+    b_in_type: Datatype = Datatype.F32
+    out_type: Datatype = Datatype.F32
+    comp_type: Optional[Datatype] = None
+
+    def __post_init__(self):
+        if self.comp_type is None:
+            comp = Datatype.F64 if self.a_in_type == Datatype.F64 else Datatype.F32
+            object.__setattr__(self, "comp_type", comp)
+
+    def nflops(self, br_count: int = 1) -> int:
+        return 2 * self.m * self.n * self.k * max(1, br_count)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchReduceConfig:
+    """libxsmm_gemm_batch_reduce_config analogue."""
+
+    br_type: BatchReduceType = BatchReduceType.NONE
+    br_count_hint: int = 0   # static batch count (br_unroll_hint analogue);
+                             # 0 = taken from the operand's leading dim
+
+
+class UnaryFlags(enum.IntFlag):
+    """libxsmm_meltw_unary_flags (include/libxsmm_typedefs.h:256-276)."""
+
+    NONE = 0
+    BITMASK_2BYTEMULT = 1
+    BCAST_ROW = 2
+    BCAST_COL = 4
+    BCAST_SCALAR = 8
+    REDUCE_COLS = 16
+    REDUCE_ROWS = 32
+    REDUCE_INIT_ACC = 64
+    IDX_SIZE_4BYTES = 128
+    IDX_SIZE_8BYTES = 256
+    REDUCE_INF_ACC = 512
+    REDUCE_NO_PREFETCH = 1024
+    REDUCE_RECORD_ARGOP = 2048
+    STOCHASTIC_ROUND = 4096
+    GS_OFFS = 8192
+    NTS_HINT = 16384
+    # aliases, as in the reference
+    GS_ROWS = REDUCE_COLS
+    GS_COLS = REDUCE_ROWS
+    NO_SCF_QUANT = REDUCE_NO_PREFETCH
+    SIGN_SAT_QUANT = REDUCE_COLS
+
+
+class UnaryType(enum.Enum):
+    """libxsmm_meltw_unary_type (include/libxsmm_typedefs.h:278-357)."""
+
+    NONE = 0
+    IDENTITY = 1
+    XOR = 2            # zero-fill
+    X2 = 3
+    SQRT = 4
+    RELU = 5
+    RELU_INV = 6
+    TANH = 7
+    TANH_INV = 8
+    SIGMOID = 9
+    SIGMOID_INV = 10
+    GELU = 11
+    GELU_INV = 12
+    NEGATE = 13
+    INC = 14
+    RECIPROCAL = 15
+    RECIPROCAL_SQRT = 16
+    EXP = 17
+    REDUCE_X_OP_ADD = 18
+    REDUCE_X2_OP_ADD = 19
+    REDUCE_X_X2_OP_ADD = 20
+    REDUCE_X_OP_MAX = 21
+    REDUCE_X_OP_MUL = 22
+    REDUCE_TO_SCALAR_OP_ADD = 24
+    DROPOUT = 25
+    DROPOUT_INV = 26
+    REPLICATE_COL_VAR = 27
+    TRANSFORM_NORM_TO_VNNI2 = 28
+    TRANSFORM_NORM_TO_NORMT = 29
+    TRANSFORM_VNNI2_TO_VNNI2T = 30
+    TRANSFORM_NORM_TO_VNNI2T = 31
+    TRANSFORM_NORM_TO_VNNI2_PAD = 32
+    UNZIP = 33
+    LEAKY_RELU = 34
+    LEAKY_RELU_INV = 35
+    ELU = 36
+    ELU_INV = 37
+    STOCHASTIC_ROUND = 38
+    TRANSFORM_PADM_MOD2 = 39
+    TRANSFORM_PADN_MOD2 = 40
+    TRANSFORM_PADNM_MOD2 = 41
+    QUANT = 42
+    DEQUANT = 43
+    REDUCE_COLS_IDX_OP_ADD = 44
+    DECOMPRESS_SPARSE_FACTOR_1 = 45
+    DECOMPRESS_SPARSE_FACTOR_2 = 46
+    DECOMPRESS_SPARSE_FACTOR_4 = 47
+    DECOMPRESS_SPARSE_FACTOR_8 = 48
+    DECOMPRESS_SPARSE_FACTOR_16 = 49
+    DECOMPRESS_SPARSE_FACTOR_32 = 50
+    GATHER = 51
+    SCATTER = 52
+    REDUCE_COLS_IDX_OP_MAX = 53
+    TRANSFORM_NORM_TO_VNNI4 = 54
+    TRANSFORM_VNNI4_TO_VNNI4T = 55
+    TRANSFORM_NORM_TO_VNNI4T = 56
+    TRANSFORM_NORM_TO_VNNI4_PAD = 57
+    TRANSFORM_PADM_MOD4 = 58
+    TRANSFORM_PADN_MOD4 = 59
+    TRANSFORM_PADNM_MOD4 = 60
+    TRANSFORM_VNNI4_TO_NORM = 61
+    TRANSFORM_VNNI4_TO_VNNI2 = 62
+    DUMP = 63
+    DECOMP_FP32_TO_BF16X2 = 64
+    DECOMP_FP32_TO_BF16X3 = 65
+    TRANSFORM_VNNI4T_TO_NORM = 66
+    TRANSFORM_VNNI2T_TO_NORM = 67
+    REDUCE_COLS_IDX_OP_MIN = 68
+    REDUCE_X_OP_MIN = 69
+    REDUCE_X_OP_ABSMAX = 70
+    TRANSFORM_NORM_TO_VNNI8 = 71
+    TRANSFORM_VNNI8_TO_VNNI8T = 72
+    TRANSFORM_NORM_TO_VNNI8T = 73
+    TRANSFORM_NORM_TO_VNNI8_PAD = 74
+    TRANSFORM_VNNI8T_TO_NORM = 75
+    TRANSFORM_VNNI8_TO_NORM = 76
+
+
+class BinaryFlags(enum.IntFlag):
+    """libxsmm_meltw_binary_flags (include/libxsmm_typedefs.h:369-380)."""
+
+    NONE = 0
+    BCAST_ROW_IN_0 = 1
+    BCAST_ROW_IN_1 = 2
+    BCAST_COL_IN_0 = 4
+    BCAST_COL_IN_1 = 8
+    BCAST_SCALAR_IN_0 = 16
+    BCAST_SCALAR_IN_1 = 32
+    STOCHASTIC_ROUND = 64
+    BITMASK_2BYTEMULT = 128
+    NTS_HINT = 256
+
+
+class BinaryType(enum.Enum):
+    """libxsmm_meltw_binary_type (include/libxsmm_typedefs.h:382-415)."""
+
+    NONE = 0
+    ADD = 1
+    MUL = 2
+    SUB = 3
+    DIV = 4
+    MULADD = 5        # out = out + in0*in1 (reads previous out)
+    MATMUL = 6
+    MUL_AND_REDUCE_TO_SCALAR_OP_ADD = 7
+    PACK = 8
+    MAX = 9
+    MIN = 10
+    BRGEMM = 11
+    MATMUL_B_TRANS = 19
+    MATMUL_A_TRANS = 20
+    MATMUL_A_TRANS_B_TRANS = 21
+    ZIP = 26
+    CMP_OP_GT = 27
+    CMP_OP_GE = 28
+    CMP_OP_LT = 29
+    CMP_OP_LE = 30
+    CMP_OP_EQ = 31
+    CMP_OP_NE = 32
+
+
+class TernaryFlags(enum.IntFlag):
+    """libxsmm_meltw_ternary_flags (include/libxsmm_typedefs.h:417-431)."""
+
+    NONE = 0
+    BCAST_ROW_IN_0 = 1
+    BCAST_ROW_IN_1 = 2
+    BCAST_ROW_IN_2 = 4
+    BCAST_COL_IN_0 = 8
+    BCAST_COL_IN_1 = 16
+    BCAST_COL_IN_2 = 32
+    BCAST_SCALAR_IN_0 = 64
+    BCAST_SCALAR_IN_1 = 128
+    BCAST_SCALAR_IN_2 = 256
+    REUSE_IN_2_AS_OUT = 512
+    BITMASK_2BYTEMULT = 1024
+    STOCHASTIC_ROUND = 2048
+
+
+class TernaryType(enum.Enum):
+    """libxsmm_meltw_ternary_type (include/libxsmm_typedefs.h:433-453)."""
+
+    NONE = 0
+    MULADD = 1     # out = in0*in1 + in2
+    MATMUL = 2
+    SELECT = 3     # out = in2(bitmask) ? in0 : in1
+    NMULADD = 4    # out = -(in0*in1) + in2
+    BRGEMM = 5
+    MATMUL_B_TRANS = 13
+    MATMUL_A_TRANS = 14
+    MATMUL_A_TRANS_B_TRANS = 15
+
+
+# ---------------------------------------------------------------------------
+# Descriptors (== cache keys)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GemmDescriptor:
+    shape: GemmShape
+    flags: GemmFlags = GemmFlags.NONE
+    br: BatchReduceConfig = BatchReduceConfig()
+
+    @property
+    def beta(self) -> int:
+        return 0 if self.flags & GemmFlags.BETA_0 else 1
+
+    @property
+    def trans_a(self) -> bool:
+        return bool(self.flags & GemmFlags.TRANS_A)
+
+    @property
+    def trans_b(self) -> bool:
+        return bool(self.flags & GemmFlags.TRANS_B)
+
+    def name(self) -> str:
+        """Descriptor-encoded kernel name for profilers.
+
+        Mirrors the reference's jit_name scheme
+        (/root/reference/src/libxsmm_main.c:2287-2344), visible in XProf via
+        jax.named_scope.
+        """
+        s = self.shape
+        t = f"{'t' if self.trans_a else 'n'}{'t' if self.trans_b else 'n'}"
+        br = ("" if self.br.br_type == BatchReduceType.NONE
+              else f"_br{self.br.br_type.name.lower()}{self.br.br_count_hint}")
+        return (f"xsmm_gemm_{s.a_in_type.value}{s.b_in_type.value}"
+                f"{s.out_type.value}_{t}_{s.m}x{s.n}x{s.k}"
+                f"_beta{self.beta}{br}")
+
+
+@dataclasses.dataclass(frozen=True)
+class UnaryArgops:
+    """libxsmm_gemm_ext_unary_argops analogue (typedefs.h:771-783).
+
+    Optional unary ops applied to A/B before the GEMM and to C after
+    accumulation; store_* requests the transformed operand as an extra
+    output (functionally returned, not stored in place).
+    """
+
+    ap_type: UnaryType = UnaryType.NONE
+    ap_flags: UnaryFlags = UnaryFlags.NONE
+    store_ap: bool = False
+    bp_type: UnaryType = UnaryType.NONE
+    bp_flags: UnaryFlags = UnaryFlags.NONE
+    store_bp: bool = False
+    cp_type: UnaryType = UnaryType.NONE
+    cp_flags: UnaryFlags = UnaryFlags.NONE
+    store_cp: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class BinaryPostops:
+    """libxsmm_gemm_ext_binary_postops analogue (typedefs.h:785-789).
+
+    C = binary(C, D) applied after accumulation, before cp unary; D may be
+    broadcast row/col/scalar via the binary flags.
+    """
+
+    d_type: BinaryType = BinaryType.NONE
+    d_flags: BinaryFlags = BinaryFlags.NONE
+    d_in_type: Datatype = Datatype.F32
+
+
+@dataclasses.dataclass(frozen=True)
+class GemmExtDescriptor:
+    base: GemmDescriptor
+    argops: UnaryArgops = UnaryArgops()
+    postops: BinaryPostops = BinaryPostops()
+
+    def name(self) -> str:
+        return self.base.name() + "_ext"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeltwDescriptor:
+    """libxsmm_meltw_descriptor analogue (src/libxsmm_main.h:292-302)."""
+
+    operation: str              # "unary" | "binary" | "ternary"
+    op_type: enum.Enum          # UnaryType | BinaryType | TernaryType
+    flags: enum.IntFlag
+    m: int
+    n: int
+    in_type: Datatype = Datatype.F32
+    out_type: Datatype = Datatype.F32
+    comp_type: Datatype = Datatype.F32
+    in1_type: Optional[Datatype] = None
+    in2_type: Optional[Datatype] = None
+    # op-specific static extras (e.g. pad sizes); must stay hashable
+    extra: Tuple = ()
+
+    def name(self) -> str:
+        return (f"xsmm_{self.operation}_{self.op_type.name.lower()}"
+                f"_{self.in_type.value}{self.out_type.value}"
+                f"_{self.m}x{self.n}_f{int(self.flags)}")
+
+
+@dataclasses.dataclass(frozen=True)
+class SpgemmConfig:
+    """libxsmm_spgemm_config analogue (include/libxsmm_typedefs.h:740-744)."""
+
+    packed_width: int = 1
+    bk: int = 1
+    bn: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SparsePattern:
+    """Trace-time fingerprint of a sparsity pattern.
+
+    The analogue of baking the pattern into JIT code
+    (generator_spgemm_csr_asparse_reg.c); the fingerprint keys the kernel
+    cache so identical patterns share one compiled kernel (SURVEY.md §7.3:
+    cheap hash of indptr/indices, no recompile storms).
+    """
+
+    format: str                 # "csr" | "csc" | "bcsc" | "bsr"
+    rows: int
+    cols: int
+    nnz: int
+    fingerprint: int            # hash of index structure (+ values if baked)
+    block: Tuple[int, int] = (1, 1)
+
+    @staticmethod
+    def fingerprint_of(*index_arrays, values=None) -> int:
+        import hashlib
+        import numpy as np
+
+        h = hashlib.blake2b(digest_size=8)
+        for arr in index_arrays:
+            h.update(np.asarray(arr).tobytes())
+        if values is not None:
+            h.update(np.asarray(values).tobytes())
+        return int.from_bytes(h.digest(), "little")

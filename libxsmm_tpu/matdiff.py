@@ -1,0 +1,172 @@
+"""Matrix-difference norms — the test harness's tolerance machinery.
+
+Semantics port of `libxsmm_matdiff` / `libxsmm_matdiff_epsilon` /
+`libxsmm_matdiff_reduce` (/root/reference/src/libxsmm_math.c:35-447,
+include/libxsmm_math.h:95-146): LAPACK-style relative norms
+(one/inf/Frobenius), max-abs difference with its location, L2 norms,
+R-squared, and operand statistics. Every correctness test in this repo checks
+kernels against the jnp reference oracle through these norms, exactly as the
+reference's drivers do (samples/xgemm/gemm_kernel.c:2665-2773).
+
+Computation is NumPy on host in float64 — this is test machinery, not a hot
+path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MatdiffInfo:
+    """Field-for-field analogue of libxsmm_matdiff_info."""
+
+    norm1_abs: float = 0.0
+    norm1_rel: float = 0.0
+    normi_abs: float = 0.0
+    normi_rel: float = 0.0
+    normf_rel: float = 0.0
+    linf_abs: float = 0.0
+    linf_rel: float = 0.0
+    l2_abs: float = 0.0
+    l2_rel: float = 0.0
+    rsq: float = 0.0
+    l1_ref: float = 0.0
+    min_ref: float = 0.0
+    max_ref: float = 0.0
+    avg_ref: float = 0.0
+    var_ref: float = 0.0
+    l1_tst: float = 0.0
+    min_tst: float = 0.0
+    max_tst: float = 0.0
+    avg_tst: float = 0.0
+    var_tst: float = 0.0
+    v_ref: float = 0.0
+    v_tst: float = 0.0
+    m: int = -1
+    n: int = -1
+
+    def epsilon(self) -> float:
+        """libxsmm_matdiff_epsilon (src/libxsmm_math.c:319-331):
+        rsq>0 -> min(normf_rel, linf_abs)/rsq, else
+        max(min(norm1_abs, normi_abs), max(linf_abs, l2_abs))."""
+        if self.rsq > 0:
+            return min(self.normf_rel, self.linf_abs) / self.rsq
+        a = min(self.norm1_abs, self.normi_abs)
+        b = max(self.linf_abs, self.l2_abs)
+        return max(a, b)
+
+
+def matdiff(ref, tst) -> MatdiffInfo:
+    """Compute the norm collection between a reference and a test array.
+
+    Arrays may be any shape (flattened to 2D column interpretation for the
+    one-/inf-norms: axis -1 is "n"). NaN differences map to +inf, as in the
+    reference contract (include/libxsmm_math.h:121-127).
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    tst = np.asarray(tst, dtype=np.float64)
+    if ref.shape != tst.shape:
+        raise ValueError(f"shape mismatch {ref.shape} vs {tst.shape}")
+    if ref.ndim == 0:
+        ref = ref.reshape(1, 1)
+        tst = tst.reshape(1, 1)
+    elif ref.ndim == 1:
+        ref = ref.reshape(-1, 1)
+        tst = tst.reshape(-1, 1)
+    else:
+        ref = ref.reshape(-1, ref.shape[-1])
+        tst = tst.reshape(-1, tst.shape[-1])
+
+    info = MatdiffInfo()
+    diff = tst - ref
+    bad = ~np.isfinite(diff)
+    if bad.any():
+        diff = np.where(bad, np.inf, diff)
+    adiff = np.abs(diff)
+    aref = np.abs(ref)
+
+    # one-norm: max column-sum; inf-norm: max row-sum (netlib lug/node75)
+    col_sum = adiff.sum(axis=0)
+    row_sum = adiff.sum(axis=1)
+    info.norm1_abs = float(col_sum.max(initial=0.0))
+    info.normi_abs = float(row_sum.max(initial=0.0))
+    ref_col = aref.sum(axis=0).max(initial=0.0)
+    ref_row = aref.sum(axis=1).max(initial=0.0)
+    info.norm1_rel = info.norm1_abs / ref_col if ref_col > 0 else info.norm1_abs
+    info.normi_rel = info.normi_abs / ref_row if ref_row > 0 else info.normi_abs
+
+    fro_ref = float(np.sqrt((ref * ref).sum()))
+    fro_diff = float(np.sqrt((diff * diff).sum())) if not bad.any() else math.inf
+    info.normf_rel = fro_diff / fro_ref if fro_ref > 0 else fro_diff
+
+    # location of largest abs difference
+    idx = int(np.argmax(adiff))
+    i, j = divmod(idx, adiff.shape[1])
+    info.linf_abs = float(adiff[i, j])
+    if info.linf_abs > 0 or bad.any():
+        info.m, info.n = i, j
+        info.v_ref = float(ref[i, j])
+        info.v_tst = float(tst[i, j])
+        denom = abs(info.v_ref)
+        info.linf_rel = info.linf_abs / denom if denom > 0 else info.linf_abs
+
+    nelem = ref.size
+    info.l2_abs = fro_diff
+    info.l2_rel = float(np.sqrt(((diff / np.where(aref > 0, aref, 1.0)) ** 2).sum()))
+
+    # R-squared of tst as predictor of ref
+    var_ref = float(ref.var())
+    if var_ref > 0 and np.isfinite(fro_diff):
+        info.rsq = 1.0 - (fro_diff ** 2) / (var_ref * nelem)
+    else:
+        info.rsq = 0.0
+
+    info.l1_ref = float(aref.sum())
+    info.min_ref = float(ref.min())
+    info.max_ref = float(ref.max())
+    info.avg_ref = float(ref.mean())
+    info.var_ref = var_ref
+    info.l1_tst = float(np.abs(tst).sum())
+    info.min_tst = float(tst.min())
+    info.max_tst = float(tst.max())
+    info.avg_tst = float(tst.mean())
+    info.var_tst = float(tst.var())
+    return info
+
+
+def matdiff_reduce(output: MatdiffInfo, input_: MatdiffInfo) -> MatdiffInfo:
+    """Keep the worse of two reports (libxsmm_matdiff_reduce semantics:
+    maintained-or-increased difference via the epsilon ordering)."""
+    return input_ if input_.epsilon() > output.epsilon() else output
+
+
+# Per-dtype default margins used by the test-suite, matching the spirit of
+# the reference drivers' tolerances (samples/xgemm driver check_matrix).
+DEFAULT_MARGINS = {
+    "f64": 1e-12,
+    "f32": 1e-5,
+    "bf16": 5e-3,
+    "f16": 2e-3,
+    "bf8": 8e-2,
+    "hf8": 8e-2,
+    "i8": 0.0,
+    "i32": 0.0,
+}
+
+
+def check(ref, tst, margin: float = None, dtype_name: str = "f32") -> MatdiffInfo:
+    """Assert-style helper: raises AssertionError with the norm report."""
+    info = matdiff(ref, tst)
+    if margin is None:
+        margin = DEFAULT_MARGINS.get(dtype_name, 1e-5)
+    eps = info.normf_rel if np.asarray(ref).size > 1 else info.linf_abs
+    if not (eps <= margin or info.linf_abs <= margin):
+        raise AssertionError(
+            f"matdiff failed: normf_rel={info.normf_rel:.3e} "
+            f"linf_abs={info.linf_abs:.3e} (margin {margin:.1e}) "
+            f"at ({info.m},{info.n}): ref={info.v_ref} tst={info.v_tst}")
+    return info

@@ -1,0 +1,473 @@
+"""Element-wise TPPs: unary / binary / ternary kernels.
+
+Covers the reference's meltw generator family
+(/root/reference/src/generator_mateltwise*.c, op enums
+include/libxsmm_typedefs.h:278-453): activations (+their gradients),
+reductions, layout transforms (transpose / VNNI pack-unpack / pad),
+gather/scatter, dropout, quant/dequant, zip/unzip, decompress.
+
+TPU-native policy (SURVEY.md §7.1):
+  * Memory-bound element-wise math is jnp under jit — XLA fuses it; writing
+    Pallas for a relu would only hide fusion opportunities.
+  * Ops with semantics XLA doesn't express directly (stochastic rounding,
+    dropout with LIBXSMM-style bitmask output) use Pallas primitives via
+    kernels/eltwise_pallas.py.
+  * VNNI2/4/8 transforms are real data transforms here (row-interleaved
+    layout), bit-exact with the reference's definition, so data prepared for
+    CPU kernels round-trips; TPU GEMMs consume NORM layout and never need
+    them (GemmFlags.VNNI_* are no-ops).
+
+Dispatch mirrors libxsmm_dispatch_meltw_{unary,binary,ternary}
+(src/libxsmm_main.c:3449-3533). Invoke is functional: out = kernel(in_...).
+Ops needing state (dropout seed, quant scale) take them as explicit
+arguments, replacing the reference's op.secondary pointer fields
+(include/libxsmm_typedefs.h:658-676).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..descriptor import (BinaryFlags, BinaryType, MeltwDescriptor,
+                          TernaryFlags, TernaryType, UnaryFlags, UnaryType)
+from ..dtypes import Datatype, to_jnp
+from ..registry import Kernel, KernelInfo, get_registry
+
+# ---------------------------------------------------------------------------
+# scalar/elementwise math kernels (VPU work; XLA fuses)
+# ---------------------------------------------------------------------------
+
+
+def _gelu(x):
+    # erf-based gelu, matching the reference's gelu definition
+    return 0.5 * x * (1.0 + jax.lax.erf(x * (2 ** -0.5)))
+
+
+def _gelu_inv(x):
+    # d/dx gelu(x)
+    inv_sqrt2 = 2 ** -0.5
+    cdf = 0.5 * (1.0 + jax.lax.erf(x * inv_sqrt2))
+    pdf = jnp.exp(-0.5 * x * x) * (1.0 / np.sqrt(2.0 * np.pi))
+    return cdf + x * pdf
+
+
+_UNARY_MATH = {
+    UnaryType.IDENTITY: lambda x: x,
+    UnaryType.XOR: lambda x: jnp.zeros_like(x),
+    UnaryType.X2: lambda x: x * x,
+    UnaryType.SQRT: jnp.sqrt,
+    UnaryType.RELU: lambda x: jnp.maximum(x, 0),
+    UnaryType.RELU_INV: lambda x: (x > 0).astype(x.dtype),
+    UnaryType.TANH: jnp.tanh,
+    UnaryType.TANH_INV: lambda x: 1.0 - jnp.tanh(x) ** 2,
+    UnaryType.SIGMOID: jax.nn.sigmoid,
+    UnaryType.SIGMOID_INV: lambda x: jax.nn.sigmoid(x) * (1 - jax.nn.sigmoid(x)),
+    UnaryType.GELU: _gelu,
+    UnaryType.GELU_INV: _gelu_inv,
+    UnaryType.NEGATE: lambda x: -x,
+    UnaryType.INC: lambda x: x + 1,
+    UnaryType.RECIPROCAL: lambda x: 1.0 / x,
+    UnaryType.RECIPROCAL_SQRT: jax.lax.rsqrt,
+    UnaryType.EXP: jnp.exp,
+    UnaryType.LEAKY_RELU: lambda x, alpha=0.01: jnp.where(x > 0, x, alpha * x),
+    UnaryType.LEAKY_RELU_INV: lambda x, alpha=0.01: jnp.where(
+        x > 0, jnp.ones_like(x), jnp.full_like(x, alpha)),
+    UnaryType.ELU: lambda x, alpha=1.0: jnp.where(x > 0, x, alpha * jnp.expm1(x)),
+    UnaryType.ELU_INV: lambda x, alpha=1.0: jnp.where(
+        x > 0, jnp.ones_like(x), alpha * jnp.exp(x)),
+}
+
+_REDUCE_OPS = {
+    UnaryType.REDUCE_X_OP_ADD: ("add", False),
+    UnaryType.REDUCE_X2_OP_ADD: ("add", True),
+    UnaryType.REDUCE_X_X2_OP_ADD: ("add_both", None),
+    UnaryType.REDUCE_X_OP_MAX: ("max", False),
+    UnaryType.REDUCE_X_OP_MIN: ("min", False),
+    UnaryType.REDUCE_X_OP_MUL: ("mul", False),
+    UnaryType.REDUCE_X_OP_ABSMAX: ("absmax", False),
+}
+
+
+def _apply_reduce(op: str, x, axis: int, keepdims=True):
+    if op == "add":
+        return jnp.sum(x, axis=axis, keepdims=keepdims)
+    if op == "max":
+        return jnp.max(x, axis=axis, keepdims=keepdims)
+    if op == "min":
+        return jnp.min(x, axis=axis, keepdims=keepdims)
+    if op == "mul":
+        return jnp.prod(x, axis=axis, keepdims=keepdims)
+    if op == "absmax":
+        return jnp.max(jnp.abs(x), axis=axis, keepdims=keepdims)
+    raise ValueError(op)
+
+
+# ---------------------------------------------------------------------------
+# VNNI layout transforms — row-major reading of the reference layouts:
+# NORM (m,n) row-major here; VNNIk interleaves k consecutive rows so that
+# element (i, j) of NORM lives at vnni[i//k, j, i%k] — the layout AMX/SVE
+# consume (generator_mateltwise_transform_*.c). We keep them bit-exact as
+# data transforms for round-trip compatibility.
+# ---------------------------------------------------------------------------
+
+
+def _norm_to_vnni(x, k: int, pad: bool):
+    m, n = x.shape
+    if m % k:
+        if not pad:
+            raise ValueError(f"NORM_TO_VNNI{k} needs m % {k} == 0 (m={m})")
+        x = jnp.pad(x, ((0, k - m % k), (0, 0)))
+        m = x.shape[0]
+    return x.reshape(m // k, k, n).transpose(0, 2, 1).reshape(m // k, n * k)
+
+
+def _vnni_to_norm(x, k: int, m: int, n: int):
+    mk = x.shape[0]
+    return (x.reshape(mk, n, k).transpose(0, 2, 1).reshape(mk * k, n))[:m]
+
+
+def _pad_mod(x, mod: int, pad_m: bool, pad_n: bool):
+    m, n = x.shape
+    pm = (mod - m % mod) % mod if pad_m else 0
+    pn = (mod - n % mod) % mod if pad_n else 0
+    return jnp.pad(x, ((0, pm), (0, pn)))
+
+
+# ---------------------------------------------------------------------------
+# generic broadcast handling (reference BCAST_* flags)
+# ---------------------------------------------------------------------------
+
+
+def _bcast_unary(x, flags: UnaryFlags, m: int, n: int):
+    if flags & UnaryFlags.BCAST_SCALAR:
+        return jnp.broadcast_to(jnp.reshape(x, (1, 1)), (m, n))
+    if flags & UnaryFlags.BCAST_ROW:
+        return jnp.broadcast_to(jnp.reshape(x, (m, 1)), (m, n))
+    if flags & UnaryFlags.BCAST_COL:
+        return jnp.broadcast_to(jnp.reshape(x, (1, n)), (m, n))
+    return x
+
+
+def _bcast_in(x, m, n, row, col, scalar):
+    if scalar:
+        return jnp.broadcast_to(jnp.reshape(x, (1, 1)), (m, n))
+    if row:
+        return jnp.broadcast_to(jnp.reshape(x, (m, 1)), (m, n))
+    if col:
+        return jnp.broadcast_to(jnp.reshape(x, (1, n)), (m, n))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# op application helpers (also used by BRGEMM-ext epilogues and meqn)
+# ---------------------------------------------------------------------------
+
+
+def apply_unary_op(op: UnaryType, flags: UnaryFlags, x, **state):
+    """Apply a unary TPP to an array (traced context OK)."""
+    if op in _UNARY_MATH:
+        f32 = x.astype(jnp.float32) if x.dtype in (jnp.bfloat16, jnp.float16) else x
+        y = _UNARY_MATH[op](f32)
+        return y.astype(x.dtype)
+    if op in _REDUCE_OPS:
+        kind, squared = _REDUCE_OPS[op]
+        axis = 1 if flags & UnaryFlags.REDUCE_ROWS else 0
+        if kind == "add_both":
+            return (jnp.sum(x, axis=axis, keepdims=True),
+                    jnp.sum(x * x, axis=axis, keepdims=True))
+        src = x * x if squared else x
+        return _apply_reduce(kind, src, axis)
+    if op == UnaryType.REDUCE_TO_SCALAR_OP_ADD:
+        return jnp.sum(x).reshape(1, 1)
+    if op == UnaryType.TRANSFORM_NORM_TO_NORMT:
+        return x.T
+    raise NotImplementedError(f"apply_unary_op: {op}")
+
+
+def apply_binary_op(op: BinaryType, flags: BinaryFlags, a, b, c_prev=None):
+    if op == BinaryType.ADD:
+        return a + b
+    if op == BinaryType.MUL:
+        return a * b
+    if op == BinaryType.SUB:
+        return a - b
+    if op == BinaryType.DIV:
+        return a / b
+    if op == BinaryType.MAX:
+        return jnp.maximum(a, b)
+    if op == BinaryType.MIN:
+        return jnp.minimum(a, b)
+    if op == BinaryType.MULADD:
+        if c_prev is None:
+            raise ValueError("MULADD reads the previous output")
+        return c_prev + a * b
+    if op == BinaryType.MUL_AND_REDUCE_TO_SCALAR_OP_ADD:
+        return jnp.sum(a * b).reshape(1, 1)
+    if op in (BinaryType.CMP_OP_GT, BinaryType.CMP_OP_GE, BinaryType.CMP_OP_LT,
+              BinaryType.CMP_OP_LE, BinaryType.CMP_OP_EQ, BinaryType.CMP_OP_NE):
+        cmp = {BinaryType.CMP_OP_GT: jnp.greater,
+               BinaryType.CMP_OP_GE: jnp.greater_equal,
+               BinaryType.CMP_OP_LT: jnp.less,
+               BinaryType.CMP_OP_LE: jnp.less_equal,
+               BinaryType.CMP_OP_EQ: jnp.equal,
+               BinaryType.CMP_OP_NE: jnp.not_equal}[op]
+        return cmp(a, b)
+    if op == BinaryType.MATMUL:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    raise NotImplementedError(f"apply_binary_op: {op}")
+
+
+def apply_ternary_op(op: TernaryType, flags: TernaryFlags, a, b, c):
+    if op == TernaryType.MULADD:
+        return a * b + c
+    if op == TernaryType.NMULADD:
+        return -(a * b) + c
+    if op == TernaryType.SELECT:
+        return jnp.where(c != 0, a, b)
+    if op == TernaryType.MATMUL:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST) + c
+    raise NotImplementedError(f"apply_ternary_op: {op}")
+
+
+# ---------------------------------------------------------------------------
+# dispatchers
+# ---------------------------------------------------------------------------
+
+
+def _out_cast(y, out_type: Datatype, in_dtype):
+    if out_type == Datatype.IMPLICIT:
+        return y.astype(in_dtype)
+    return y.astype(to_jnp(out_type))
+
+
+def _build_unary(desc: MeltwDescriptor) -> Kernel:
+    op: UnaryType = desc.op_type
+    flags = UnaryFlags(desc.flags)
+    m, n = desc.m, desc.n
+    comp = to_jnp(desc.comp_type)
+
+    def base(x, *args, **state):
+        xb = _bcast_unary(x, flags, m, n)
+        if op in _UNARY_MATH or op in _REDUCE_OPS or op in (
+                UnaryType.REDUCE_TO_SCALAR_OP_ADD,):
+            y = apply_unary_op(op, flags, xb.astype(comp))
+            if isinstance(y, tuple):
+                return tuple(_out_cast(t, desc.out_type, x.dtype) for t in y)
+            return _out_cast(y, desc.out_type, x.dtype)
+
+        # transforms -------------------------------------------------------
+        if op == UnaryType.TRANSFORM_NORM_TO_NORMT:
+            return _out_cast(xb.T, desc.out_type, x.dtype)
+        for k in (2, 4, 8):
+            if op == getattr(UnaryType, f"TRANSFORM_NORM_TO_VNNI{k}"):
+                return _out_cast(_norm_to_vnni(xb, k, pad=False),
+                                 desc.out_type, x.dtype)
+            if op == getattr(UnaryType, f"TRANSFORM_NORM_TO_VNNI{k}_PAD"):
+                return _out_cast(_norm_to_vnni(xb, k, pad=True),
+                                 desc.out_type, x.dtype)
+            if op == getattr(UnaryType, f"TRANSFORM_NORM_TO_VNNI{k}T"):
+                return _out_cast(_norm_to_vnni(xb.T, k, pad=True),
+                                 desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI4_TO_NORM:
+            return _out_cast(_vnni_to_norm(xb, 4, m, n), desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI8_TO_NORM:
+            return _out_cast(_vnni_to_norm(xb, 8, m, n), desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI2_TO_VNNI2T:
+            norm = _vnni_to_norm(xb, 2, m, n)
+            return _out_cast(_norm_to_vnni(norm.T, 2, pad=True),
+                             desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI4_TO_VNNI4T:
+            norm = _vnni_to_norm(xb, 4, m, n)
+            return _out_cast(_norm_to_vnni(norm.T, 4, pad=True),
+                             desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI8_TO_VNNI8T:
+            norm = _vnni_to_norm(xb, 8, m, n)
+            return _out_cast(_norm_to_vnni(norm.T, 8, pad=True),
+                             desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI4T_TO_NORM:
+            normt = _vnni_to_norm(xb, 4, n, m)
+            return _out_cast(normt.T, desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI2T_TO_NORM:
+            normt = _vnni_to_norm(xb, 2, n, m)
+            return _out_cast(normt.T, desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI8T_TO_NORM:
+            normt = _vnni_to_norm(xb, 8, n, m)
+            return _out_cast(normt.T, desc.out_type, x.dtype)
+        if op == UnaryType.TRANSFORM_VNNI4_TO_VNNI2:
+            norm = _vnni_to_norm(xb, 4, m, n)
+            return _out_cast(_norm_to_vnni(norm, 2, pad=False),
+                             desc.out_type, x.dtype)
+        if op in (UnaryType.TRANSFORM_PADM_MOD2, UnaryType.TRANSFORM_PADN_MOD2,
+                  UnaryType.TRANSFORM_PADNM_MOD2, UnaryType.TRANSFORM_PADM_MOD4,
+                  UnaryType.TRANSFORM_PADN_MOD4, UnaryType.TRANSFORM_PADNM_MOD4):
+            mod = 2 if "MOD2" in op.name else 4
+            pad_m = "PADM" in op.name or "PADNM" in op.name
+            pad_n = "PADN" in op.name
+            return _out_cast(_pad_mod(xb, mod, pad_m, pad_n),
+                             desc.out_type, x.dtype)
+
+        # pack/unpack ------------------------------------------------------
+        if op == UnaryType.UNZIP:
+            # split f32 into (low16, high16) bf16-sized halves
+            bits = jax.lax.bitcast_convert_type(xb.astype(jnp.float32),
+                                                jnp.uint32)
+            lo = (bits & 0xFFFF).astype(jnp.uint16)
+            hi = (bits >> 16).astype(jnp.uint16)
+            return lo, hi
+        if op == UnaryType.REPLICATE_COL_VAR:
+            ncols = state.get("ncols", n)
+            return jnp.broadcast_to(jnp.reshape(x, (m, 1)), (m, ncols))
+        if op == UnaryType.GATHER:
+            (idx,) = args
+            if flags & UnaryFlags.GS_COLS:
+                return jnp.take(xb, idx, axis=1)
+            return jnp.take(xb, idx, axis=0)
+        if op == UnaryType.SCATTER:
+            (idx, out0) = args
+            if flags & UnaryFlags.GS_COLS:
+                return out0.at[:, idx].set(xb)
+            return out0.at[idx, :].set(xb)
+        if op in (UnaryType.REDUCE_COLS_IDX_OP_ADD,
+                  UnaryType.REDUCE_COLS_IDX_OP_MAX,
+                  UnaryType.REDUCE_COLS_IDX_OP_MIN):
+            (idx,) = args
+            rows = jnp.take(xb, idx, axis=0).astype(comp)
+            red = {UnaryType.REDUCE_COLS_IDX_OP_ADD: jnp.sum,
+                   UnaryType.REDUCE_COLS_IDX_OP_MAX: jnp.max,
+                   UnaryType.REDUCE_COLS_IDX_OP_MIN: jnp.min}[op]
+            return _out_cast(red(rows, axis=0, keepdims=True),
+                             desc.out_type, x.dtype)
+        if op in (UnaryType.DROPOUT, UnaryType.DROPOUT_INV,
+                  UnaryType.STOCHASTIC_ROUND, UnaryType.QUANT,
+                  UnaryType.DEQUANT):
+            from ..kernels import eltwise_pallas
+            return eltwise_pallas.run_stateful_unary(desc, x, *args, **state)
+        if op.name.startswith("DECOMPRESS_SPARSE_FACTOR"):
+            factor = int(op.name.rsplit("_", 1)[1])
+            (mask,) = args
+            return _decompress_sparse(xb, mask, factor, m, n, x.dtype)
+        if op == UnaryType.DUMP:
+            jax.debug.print("xsmm dump {}", x)
+            return x
+        raise NotImplementedError(f"unary op {op}")
+
+    jitted = jax.jit(base)
+    info = KernelInfo(kind="meltw", nflops=m * n)
+    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+
+
+def _decompress_sparse(values, bitmask, factor, m, n, dtype):
+    """DECOMPRESS_SPARSE_FACTOR_k: expand a compressed nonzero stream into a
+    dense (m,n) using a bitmask; TPU-native via cumsum-gather instead of the
+    reference's expand instructions."""
+    mask = bitmask.reshape(-1).astype(jnp.int32)
+    pos = jnp.cumsum(mask) - 1
+    flat_vals = values.reshape(-1)
+    gathered = jnp.take(flat_vals, jnp.clip(pos, 0, flat_vals.size - 1))
+    dense = jnp.where(mask > 0, gathered, 0)
+    return dense.reshape(m, n).astype(dtype)
+
+
+def _build_binary(desc: MeltwDescriptor) -> Kernel:
+    op: BinaryType = desc.op_type
+    flags = BinaryFlags(desc.flags)
+    m, n = desc.m, desc.n
+    comp = to_jnp(desc.comp_type)
+
+    def base(in0, in1, c_prev=None):
+        a = _bcast_in(in0, m, n, flags & BinaryFlags.BCAST_ROW_IN_0,
+                      flags & BinaryFlags.BCAST_COL_IN_0,
+                      flags & BinaryFlags.BCAST_SCALAR_IN_0)
+        b = _bcast_in(in1, m, n, flags & BinaryFlags.BCAST_ROW_IN_1,
+                      flags & BinaryFlags.BCAST_COL_IN_1,
+                      flags & BinaryFlags.BCAST_SCALAR_IN_1)
+        if op == BinaryType.ZIP:
+            # merge lo/hi uint16 halves back into f32
+            lo = a.astype(jnp.uint32)
+            hi = b.astype(jnp.uint32)
+            return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+        if op == BinaryType.PACK:
+            return jnp.stack([a, b], axis=-1).reshape(m, 2 * n)
+        y = apply_binary_op(op, flags, a.astype(comp), b.astype(comp),
+                            None if c_prev is None else c_prev.astype(comp))
+        if op.name.startswith("CMP_OP_"):
+            return y  # bool bitmask output
+        return _out_cast(y, desc.out_type, in0.dtype)
+
+    jitted = jax.jit(base)
+    info = KernelInfo(kind="meltw", nflops=m * n)
+    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+
+
+def _build_ternary(desc: MeltwDescriptor) -> Kernel:
+    op: TernaryType = desc.op_type
+    flags = TernaryFlags(desc.flags)
+    m, n = desc.m, desc.n
+    comp = to_jnp(desc.comp_type)
+
+    def base(in0, in1, in2):
+        a = _bcast_in(in0, m, n, flags & TernaryFlags.BCAST_ROW_IN_0,
+                      flags & TernaryFlags.BCAST_COL_IN_0,
+                      flags & TernaryFlags.BCAST_SCALAR_IN_0)
+        b = _bcast_in(in1, m, n, flags & TernaryFlags.BCAST_ROW_IN_1,
+                      flags & TernaryFlags.BCAST_COL_IN_1,
+                      flags & TernaryFlags.BCAST_SCALAR_IN_1)
+        if op == TernaryType.SELECT:
+            c = in2  # bitmask, not broadcast/cast
+            y = jnp.where(c != 0, a.astype(comp), b.astype(comp))
+        else:
+            c = _bcast_in(in2, m, n, flags & TernaryFlags.BCAST_ROW_IN_2,
+                          flags & TernaryFlags.BCAST_COL_IN_2,
+                          flags & TernaryFlags.BCAST_SCALAR_IN_2)
+            y = apply_ternary_op(op, flags, a.astype(comp), b.astype(comp),
+                                 c.astype(comp))
+        return _out_cast(y, desc.out_type, in0.dtype)
+
+    jitted = jax.jit(base)
+    info = KernelInfo(kind="meltw", nflops=2 * m * n)
+    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+
+
+def dispatch_meltw_unary(op_type: UnaryType, m: int, n: int,
+                         flags: UnaryFlags = UnaryFlags.NONE,
+                         in_type: Datatype = Datatype.F32,
+                         out_type: Datatype = Datatype.IMPLICIT,
+                         comp_type: Datatype = Datatype.F32,
+                         extra=()) -> Kernel:
+    """libxsmm_dispatch_meltw_unary analogue (src/libxsmm_main.c:3472)."""
+    desc = MeltwDescriptor(operation="unary", op_type=op_type,
+                           flags=UnaryFlags(flags), m=m, n=n,
+                           in_type=in_type, out_type=out_type,
+                           comp_type=comp_type, extra=tuple(extra))
+    return get_registry().dispatch(desc, _build_unary)
+
+
+def dispatch_meltw_binary(op_type: BinaryType, m: int, n: int,
+                          flags: BinaryFlags = BinaryFlags.NONE,
+                          in_type: Datatype = Datatype.F32,
+                          out_type: Datatype = Datatype.IMPLICIT,
+                          comp_type: Datatype = Datatype.F32) -> Kernel:
+    desc = MeltwDescriptor(operation="binary", op_type=op_type,
+                           flags=BinaryFlags(flags), m=m, n=n,
+                           in_type=in_type, out_type=out_type,
+                           comp_type=comp_type)
+    return get_registry().dispatch(desc, _build_binary)
+
+
+def dispatch_meltw_ternary(op_type: TernaryType, m: int, n: int,
+                           flags: TernaryFlags = TernaryFlags.NONE,
+                           in_type: Datatype = Datatype.F32,
+                           out_type: Datatype = Datatype.IMPLICIT,
+                           comp_type: Datatype = Datatype.F32) -> Kernel:
+    desc = MeltwDescriptor(operation="ternary", op_type=op_type,
+                           flags=TernaryFlags(flags), m=m, n=n,
+                           in_type=in_type, out_type=out_type,
+                           comp_type=comp_type)
+    return get_registry().dispatch(desc, _build_ternary)

@@ -1,0 +1,374 @@
+"""Dense GEMM / BRGEMM dispatch — the core of the library.
+
+Replaces the reference's GEMM dispatch + JIT generator family
+(libxsmm_dispatch_gemm /root/reference/src/libxsmm_main.c:3390,
+libxsmm_dispatch_brgemm :3409, _brgemm_ext :3428; generators
+src/generator_gemm.c:21-1210) with descriptor-keyed builders of jitted XLA /
+Pallas callables.
+
+TPU-first design notes (not a translation):
+  * A single small GEMM is an XLA `dot_general` — for one m,n,k <= 64 problem
+    the MXU is underfilled no matter what; the win comes from batching, which
+    is what the batched entry points and BRGEMM provide.
+  * BRGEMM (C = sum_i A_i B_i) is algebraically ONE large contraction over
+    (br, k) — we lower it as a single dot_general with two contracting dims,
+    so the MXU sees an effective K of br*k and runs near roofline. This is
+    the key structural difference from the reference, which loops microkernels
+    over the batch (generator_gemm_amx.c); on TPU the compiler's single big
+    contraction is strictly better.
+  * The independent batched case (C_i = A_i B_i, the xgemm/smmbench
+    streaming workload) is HBM-bandwidth-bound at small shapes; it routes to
+    a Pallas kernel that streams batch tiles through VMEM
+    (kernels/gemm_pallas.py) when shapes tile well, else XLA batched dot.
+  * alpha=1, beta in {0,1} exactly as the reference restricts
+    (README.md "limited to Alpha:=1").
+
+Invoke contract (functional, no aliasing):
+    kernel(a, b)          when BETA_0:      returns C = A@B
+    kernel(a, b, c)       otherwise:        returns C = A@B + c
+  BRGEMM STRIDE:  a:(br,m,k) b:(br,k,n)
+  BRGEMM OFFSET/ADDRESS: kernel(a, b, [c,] a_idx, b_idx) — index arrays into
+  the stacked leading dim (the TPU-native reading of the reference's
+  pointer-array/byte-offset ABIs, include/libxsmm_typedefs.h:709-714).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import device
+from ..config import CONFIG
+from ..descriptor import (BatchReduceConfig, BatchReduceType, BinaryPostops,
+                          GemmDescriptor, GemmExtDescriptor, GemmFlags,
+                          GemmShape, UnaryArgops, UnaryType)
+from ..dtypes import Datatype, to_jnp
+from ..registry import Kernel, KernelInfo, get_registry
+from .eltwise import apply_binary_op, apply_unary_op
+
+
+def _comp_dtype(shape: GemmShape):
+    return jnp.float64 if shape.comp_type == Datatype.F64 else jnp.float32
+
+
+def matmul_precision(shape: GemmShape):
+    """MXU pass-precision policy.
+
+    The TPU MXU multiplies in bf16 by default; a numerics library must not
+    silently degrade f32 GEMMs, so f32 inputs request HIGHEST (full f32
+    emulation via multi-pass). BF32 comp_type (the reference's 19-bit
+    tf32-like mode, typedefs.h LIBXSMM_DATATYPE_BF32) maps to HIGH (bf16x3),
+    which has the same effective mantissa.
+    """
+    if shape.comp_type == Datatype.BF32:
+        return jax.lax.Precision.HIGH
+    f32_in = shape.a_in_type in (Datatype.F32, Datatype.F64)
+    return jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT
+
+
+def _maybe_transpose(x, trans: bool):
+    return x.T if trans else x
+
+
+def _dot(a, b, comp_dtype, precision):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=comp_dtype, precision=precision)
+
+
+def _gemm_core(desc: GemmDescriptor, a, b, c=None,
+               a_idx=None, b_idx=None):
+    """Shared math for gemm/brgemm; operands already in NORM layout."""
+    shape = desc.shape
+    comp = _comp_dtype(shape)
+    prec = matmul_precision(shape)
+    br_type = desc.br.br_type
+
+    if br_type == BatchReduceType.NONE:
+        am = _maybe_transpose(a, desc.trans_a)
+        bm = _maybe_transpose(b, desc.trans_b)
+        acc = _dot(am, bm, comp, prec)
+    else:
+        if br_type == BatchReduceType.ADDRESS or br_type == BatchReduceType.OFFSET:
+            # gather the participating slices of the stacked operands
+            a = jnp.take(a, a_idx, axis=0)
+            b = jnp.take(b, b_idx, axis=0)
+        # (br, m, k) x (br, k, n) -> contract over br AND k in one pass:
+        # the MXU sees effective K = br*k.
+        am = jnp.swapaxes(a, 1, 2) if desc.trans_a else a
+        bm = jnp.swapaxes(b, 1, 2) if desc.trans_b else b
+        acc = jax.lax.dot_general(
+            am, bm,
+            dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+            preferred_element_type=comp, precision=prec)
+
+    if c is not None:
+        acc = acc + c.astype(comp)
+    return acc
+
+
+def _finalize_out(acc, shape: GemmShape):
+    return acc.astype(to_jnp(shape.out_type))
+
+
+def _ensure_x64(shape: GemmShape) -> None:
+    # F64 kernels (the spectral-element configs) need JAX's x64 mode; enable
+    # it on first F64 dispatch rather than globally at import.
+    if Datatype.F64 in (shape.a_in_type, shape.b_in_type, shape.out_type,
+                        shape.comp_type):
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+
+
+def _build_gemm(desc: GemmDescriptor) -> Kernel:
+    shape = desc.shape
+    for dt in (shape.a_in_type, shape.b_in_type, shape.out_type):
+        to_jnp(dt)  # raises for unsupported storage types
+    _ensure_x64(shape)
+
+    beta0 = desc.beta == 0
+    br = desc.br.br_type
+    needs_idx = br in (BatchReduceType.ADDRESS, BatchReduceType.OFFSET)
+
+    @jax.named_scope(desc.name())
+    def run(a, b, c=None, a_idx=None, b_idx=None):
+        acc = _gemm_core(desc, a, b, c, a_idx, b_idx)
+        return _finalize_out(acc, shape)
+
+    if beta0:
+        if needs_idx:
+            def fn(a, b, a_idx, b_idx):
+                return run(a, b, None, a_idx, b_idx)
+        else:
+            def fn(a, b):
+                return run(a, b)
+    else:
+        if needs_idx:
+            def fn(a, b, c, a_idx, b_idx):
+                return run(a, b, c, a_idx, b_idx)
+        else:
+            def fn(a, b, c):
+                return run(a, b, c)
+
+    jitted = jax.jit(fn)
+    nflops = shape.nflops(desc.br.br_count_hint or 1)
+    info = KernelInfo(kind="gemm", nflops=nflops, is_reference_kernel=False)
+    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+
+
+def dispatch_gemm(shape: GemmShape,
+                  flags: GemmFlags = GemmFlags.NONE) -> Kernel:
+    """libxsmm_dispatch_gemm analogue (src/libxsmm_main.c:3390)."""
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
+    return get_registry().dispatch(desc, _build_gemm)
+
+
+def dispatch_brgemm(shape: GemmShape,
+                    flags: GemmFlags = GemmFlags.NONE,
+                    br_config: BatchReduceConfig = None) -> Kernel:
+    """libxsmm_dispatch_brgemm analogue (src/libxsmm_main.c:3409)."""
+    if br_config is None:
+        br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags), br=br_config)
+    return get_registry().dispatch(desc, _build_gemm)
+
+
+# ---------------------------------------------------------------------------
+# BRGEMM-ext: fused argops/postops epilogues
+# ---------------------------------------------------------------------------
+
+def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
+    base = desc.base
+    shape = base.shape
+    argops, postops = desc.argops, desc.postops
+    beta0 = base.beta == 0
+    br = base.br.br_type
+    needs_idx = br in (BatchReduceType.ADDRESS, BatchReduceType.OFFSET)
+
+    @jax.named_scope(desc.name())
+    def run(a, b, c=None, d=None, a_idx=None, b_idx=None):
+        extra = {}
+        if argops.ap_type != UnaryType.NONE:
+            a = apply_unary_op(argops.ap_type, argops.ap_flags, a)
+            if argops.store_ap:
+                extra["ap"] = a
+        if argops.bp_type != UnaryType.NONE:
+            b = apply_unary_op(argops.bp_type, argops.bp_flags, b)
+            if argops.store_bp:
+                extra["bp"] = b
+        acc = _gemm_core(base, a, b, c, a_idx, b_idx)
+        if argops.store_cp:
+            extra["cp"] = _finalize_out(acc, shape)
+        if postops.d_type.name != "NONE":
+            if d is None:
+                raise ValueError("postop configured but no d operand passed")
+            acc = apply_binary_op(postops.d_type, postops.d_flags,
+                                  acc, d.astype(acc.dtype))
+        if argops.cp_type != UnaryType.NONE:
+            acc = apply_unary_op(argops.cp_type, argops.cp_flags, acc)
+        out = _finalize_out(acc, shape)
+        if extra:
+            return out, extra
+        return out
+
+    has_d = postops.d_type.name != "NONE"
+
+    def fn(a, b, *rest):
+        i = 0
+        c = None
+        d = None
+        a_idx = b_idx = None
+        if not beta0:
+            c = rest[i]; i += 1
+        if has_d:
+            d = rest[i]; i += 1
+        if needs_idx:
+            a_idx = rest[i]; b_idx = rest[i + 1]; i += 2
+        return run(a, b, c, d, a_idx, b_idx)
+
+    jitted = jax.jit(fn)
+    nflops = shape.nflops(base.br.br_count_hint or 1)
+    info = KernelInfo(kind="gemm_ext", nflops=nflops)
+    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+
+
+def dispatch_brgemm_ext(shape: GemmShape,
+                        flags: GemmFlags = GemmFlags.NONE,
+                        br_config: BatchReduceConfig = None,
+                        argops: UnaryArgops = UnaryArgops(),
+                        postops: BinaryPostops = BinaryPostops()) -> Kernel:
+    """libxsmm_dispatch_brgemm_ext analogue (src/libxsmm_main.c:3428).
+
+    The fused-epilogue factory: argops/postops compile into the same jitted
+    computation, which XLA fuses into the matmul's epilogue — the TPU-native
+    reading of the BRGEMM-ext fused eltwise JIT
+    (generator_gemm_amx_microkernel.c fused paths).
+    """
+    if br_config is None:
+        br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
+    desc = GemmExtDescriptor(
+        base=GemmDescriptor(shape=shape, flags=GemmFlags(flags), br=br_config),
+        argops=argops, postops=postops)
+    return get_registry().dispatch(desc, _build_gemm_ext)
+
+
+def dispatch_tilecfg_gemm(shape: GemmShape,
+                          flags: GemmFlags = GemmFlags.NONE) -> Kernel:
+    """API-parity analogue of libxsmm_dispatch_tilecfg_gemm
+    (src/libxsmm_main.c:3355): AMX tile configuration has no TPU equivalent
+    (the MXU needs no state setup), so this returns a no-op kernel; provided
+    so reference-shaped code ports cleanly."""
+    desc = GemmDescriptor(shape=shape,
+                          flags=GemmFlags(flags) | GemmFlags.NO_RESET_TILECONFIG)
+
+    def _build(d):
+        info = KernelInfo(kind="tilecfg", nflops=0)
+        return Kernel(fn=lambda *a, **k: None, descriptor=d, info=info,
+                      name=d.name() + "_tilecfg")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# Batched independent small GEMM (the xgemm/smmbench streaming workload)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _batched_kernel(desc: GemmDescriptor, batch: int, use_pallas: bool):
+    from ..kernels import gemm_pallas
+
+    if use_pallas:
+        fn = gemm_pallas.build_batched_gemm(desc, batch)
+        if fn is not None:
+            return jax.jit(fn), False
+    shape = desc.shape
+    comp = _comp_dtype(shape)
+
+    prec = matmul_precision(shape)
+
+    def fn(a, b, c=None):
+        am = jnp.swapaxes(a, 1, 2) if desc.trans_a else a
+        bm = jnp.swapaxes(b, 1, 2) if desc.trans_b else b
+        acc = jax.lax.dot_general(
+            am, bm, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=comp, precision=prec)
+        if c is not None:
+            acc = acc + c.astype(comp)
+        return acc.astype(to_jnp(shape.out_type))
+
+    return jax.jit(fn), False
+
+
+def dispatch_gemm_batched(shape: GemmShape,
+                          flags: GemmFlags = GemmFlags.NONE,
+                          batch: int = 0) -> Kernel:
+    """Batched independent small GEMMs: C[i] = A[i]@B[i] (+ C0[i]).
+
+    The TPU-native answer to "stream many independent small matmuls", the
+    reference's bread-and-butter use (samples/utilities/smmbench,
+    samples/magazine): one Pallas kernel streams (A_i, B_i, C_i) tiles
+    through VMEM at HBM bandwidth. a:(B,m,k) b:(B,k,n).
+    """
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
+
+    def _build(d):
+        def fn(a, b, c=None):
+            bsz = a.shape[0]
+            inner, _ = _batched_kernel(d, bsz, use_pallas=True)
+            if c is None:
+                return inner(a, b)
+            return inner(a, b, c)
+
+        info = KernelInfo(kind="gemm_batched",
+                          nflops=d.shape.nflops())
+        return Kernel(fn=fn, descriptor=d, info=info,
+                      name=d.name() + "_batched")
+
+    # separate cache identity from plain gemm: wrap kind into the key
+    key = ("batched", desc)
+    return get_registry().dispatch(key, lambda _k: _build(desc))
+
+
+# ---------------------------------------------------------------------------
+# BLAS-style convenience (libxsmm_?gemm, src/libxsmm_main.c:3933)
+# ---------------------------------------------------------------------------
+
+def gemm(a, b, c=None, *, trans_a: bool = False, trans_b: bool = False,
+         beta: int = None):
+    """Dispatch+invoke in one call, like libxsmm_dgemm/sgemm."""
+    from ..dtypes import from_jnp
+
+    m = a.shape[1] if trans_a else a.shape[0]
+    k = a.shape[0] if trans_a else a.shape[1]
+    n = b.shape[0] if trans_b else b.shape[1]
+    if beta is None:
+        beta = 0 if c is None else 1
+    flags = GemmFlags.NONE
+    if trans_a:
+        flags |= GemmFlags.TRANS_A
+    if trans_b:
+        flags |= GemmFlags.TRANS_B
+    if beta == 0:
+        flags |= GemmFlags.BETA_0
+    adt = from_jnp(a.dtype)
+    bdt = from_jnp(b.dtype)
+    odt = from_jnp(c.dtype) if c is not None else adt
+    shape = GemmShape(m=m, n=n, k=k, a_in_type=adt, b_in_type=bdt,
+                      out_type=odt)
+    kernel = dispatch_gemm(shape, flags)
+    if beta == 0:
+        return kernel(a, b)
+    return kernel(a, b, c)
+
+
+def sgemm(a, b, c=None, **kw):
+    return gemm(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+                None if c is None else jnp.asarray(c, jnp.float32), **kw)
+
+
+def dgemm(a, b, c=None, **kw):
+    return gemm(jnp.asarray(a, jnp.float64), jnp.asarray(b, jnp.float64),
+                None if c is None else jnp.asarray(c, jnp.float64), **kw)

@@ -1,0 +1,232 @@
+"""Dispatch cache and kernel registry.
+
+TPU-native replacement for the reference's code registry + thread cache
+(/root/reference/src/libxsmm_main.c: internal_registry :317,
+internal_find_code :2730-2969, per-thread cache :292-302): descriptors are
+frozen dataclasses (descriptor.py), so dispatch is a dict lookup under a lock
+instead of crc32+memcmp over packed bytes; the "JIT build" step becomes a
+kernel-builder call that returns a jitted/Pallas callable. XLA's persistent
+compilation cache plays the role of the executable-memory commit.
+
+Also ports:
+  * the user key-value registry (libxsmm_xregister/xdispatch/xrelease,
+    src/libxsmm_main.c:3225-3313) with enumeration;
+  * kernel introspection (libxsmm_get_kernel_info, :3004 — kind, nflops,
+    is_reference_kernel);
+  * registry stats + the at-exit statistic dump keyed by precision and
+    size bucket (internal_print_statistic, :497-620; buckets sml<=13^3,
+    med<=23^3, big<=64^3 per README.md:268-282).
+"""
+
+from __future__ import annotations
+
+import atexit
+import dataclasses
+import threading
+from collections import defaultdict
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+from .config import CONFIG
+
+
+@dataclasses.dataclass
+class KernelInfo:
+    """libxsmm_kernel_info analogue (include/libxsmm_typedefs.h:820-827)."""
+
+    kind: str                    # "gemm" | "meltw" | "meqn" | "spgemm" | ...
+    nflops: int = 0
+    is_reference_kernel: bool = False   # True when served by the jnp fallback
+
+
+@dataclasses.dataclass
+class Kernel:
+    """A dispatched kernel: a bare callable plus introspection data.
+
+    The two-phase contract of the reference (dispatch expensive+cached,
+    invoke a bare call — documentation/libxsmm_tpp.md) holds: `fn` is a
+    jax.jit-ed (or Pallas) callable; invoking it is the hot path.
+    """
+
+    fn: Callable
+    descriptor: Any
+    info: KernelInfo
+    name: str
+
+    def __call__(self, *args, **kwargs):
+        return self.fn(*args, **kwargs)
+
+
+class _Stats:
+    def __init__(self):
+        self.hits = 0
+        self.builds = 0
+        self.fallbacks = 0
+        self.by_bucket: Dict[Tuple[str, str, str], int] = defaultdict(int)
+
+    @staticmethod
+    def bucket(m: int, n: int, k: int) -> str:
+        mnk = (max(1, m) * max(1, n) * max(1, k)) ** (1.0 / 3.0)
+        if mnk <= 13:
+            return "sml"
+        if mnk <= 23:
+            return "med"
+        if mnk <= 64:
+            return "big"
+        return "xxl"
+
+
+class Registry:
+    """Process-wide kernel cache + user key-value registry."""
+
+    # Soft capacity mirroring LIBXSMM_CAPACITY_REGISTRY
+    # (src/libxsmm_main.h:17-18); a dict has no fixed slots, so this only
+    # drives the exhaustion warning.
+    CAPACITY = 131072
+
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._kernels: Dict[Any, Kernel] = {}
+        self._user: Dict[bytes, Any] = {}
+        self._stats = _Stats()
+
+    # -- kernel dispatch ---------------------------------------------------
+
+    def dispatch(self, descriptor: Any,
+                 builder: Callable[[Any], Kernel]) -> Kernel:
+        """Return the cached kernel for `descriptor`, building on miss.
+
+        Thread-safe; concurrent dispatch of the same descriptor returns the
+        same Kernel object (the contract tests/threadsafety.c checks in the
+        reference).
+        """
+        if CONFIG.cache_enabled:
+            with self._lock:
+                hit = self._kernels.get(descriptor)
+                if hit is not None:
+                    self._stats.hits += 1
+                    return hit
+        kernel = builder(descriptor)
+        with self._lock:
+            # lost-race check: first build wins, like the registry's atomic
+            # slot publish (src/libxsmm_main.c:2853-2857)
+            existing = self._kernels.get(descriptor)
+            if existing is not None and CONFIG.cache_enabled:
+                return existing
+            if CONFIG.cache_enabled:
+                if len(self._kernels) >= self.CAPACITY and CONFIG.verbose:
+                    print("libxsmm_tpu: registry capacity exceeded "
+                          f"({self.CAPACITY}); kernels keep accumulating")
+                self._kernels[descriptor] = kernel
+            self._stats.builds += 1
+            if kernel.info.is_reference_kernel:
+                self._stats.fallbacks += 1
+            shape = getattr(descriptor, "shape", None)
+            if shape is not None and hasattr(shape, "m"):
+                key = (kernel.info.kind,
+                       getattr(shape, "a_in_type",
+                               getattr(shape, "in_type", None)),
+                       _Stats.bucket(shape.m, shape.n, shape.k))
+                self._stats.by_bucket[key] += 1
+        if CONFIG.verbose >= 2:
+            print(f"libxsmm_tpu: built {kernel.name}")
+        return kernel
+
+    def release(self, descriptor: Any) -> None:
+        """libxsmm_release_kernel analogue; evicts the cache entry."""
+        with self._lock:
+            self._kernels.pop(descriptor, None)
+
+    # -- user key-value registry ------------------------------------------
+
+    def xregister(self, key: bytes, value: Any) -> None:
+        """Register an arbitrary binary key -> value (libxsmm_xregister)."""
+        if not isinstance(key, (bytes, bytearray)):
+            raise TypeError("registry keys must be bytes")
+        with self._lock:
+            if bytes(key) in self._user:
+                raise KeyError("key already registered")
+            self._user[bytes(key)] = value
+
+    def xdispatch(self, key: bytes) -> Optional[Any]:
+        with self._lock:
+            return self._user.get(bytes(key))
+
+    def xrelease(self, key: bytes) -> None:
+        with self._lock:
+            self._user.pop(bytes(key), None)
+
+    def items(self) -> Iterator[Tuple[bytes, Any]]:
+        """Enumeration (libxsmm_get_registry_begin/next analogue)."""
+        with self._lock:
+            return iter(list(self._user.items()))
+
+    # -- introspection -----------------------------------------------------
+
+    def get_registry_info(self) -> Dict[str, int]:
+        """libxsmm_get_registry_info analogue."""
+        with self._lock:
+            return {
+                "capacity": self.CAPACITY,
+                "size": len(self._kernels) + len(self._user),
+                "nkernels": len(self._kernels),
+                "nuser": len(self._user),
+                "hits": self._stats.hits,
+                "builds": self._stats.builds,
+                "fallbacks": self._stats.fallbacks,
+            }
+
+    def print_statistic(self) -> None:
+        """At-exit style stats dump (internal_print_statistic analogue)."""
+        info = self.get_registry_info()
+        print(f"libxsmm_tpu registry: {info['nkernels']} kernels, "
+              f"{info['hits']} hits, {info['builds']} builds, "
+              f"{info['fallbacks']} reference fallbacks")
+        with self._lock:
+            rows = sorted(self._stats.by_bucket.items())
+        for (kind, dtype, bucket), count in rows:
+            print(f"  {kind:8s} {str(dtype):6s} {bucket:4s} {count}")
+
+    def clear(self) -> None:
+        with self._lock:
+            self._kernels.clear()
+            self._user.clear()
+            self._stats = _Stats()
+
+
+_REGISTRY: Optional[Registry] = None
+_INIT_LOCK = threading.Lock()
+
+
+def init() -> Registry:
+    """libxsmm_init analogue: idempotent, lazy, thread-safe."""
+    global _REGISTRY
+    if _REGISTRY is None:
+        with _INIT_LOCK:
+            if _REGISTRY is None:
+                _REGISTRY = Registry()
+                if CONFIG.verbose:
+                    atexit.register(_atexit_dump)
+    return _REGISTRY
+
+
+def finalize() -> None:
+    """libxsmm_finalize analogue."""
+    global _REGISTRY
+    if _REGISTRY is not None:
+        if CONFIG.verbose:
+            _REGISTRY.print_statistic()
+        _REGISTRY = None
+
+
+def _atexit_dump() -> None:
+    if _REGISTRY is not None and CONFIG.verbose:
+        _REGISTRY.print_statistic()
+
+
+def get_registry() -> Registry:
+    return init()
+
+
+def get_kernel_info(kernel: Kernel) -> KernelInfo:
+    """libxsmm_get_kernel_info analogue."""
+    return kernel.info

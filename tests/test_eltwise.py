@@ -1,0 +1,343 @@
+"""Element-wise TPP tests — per-op golden compare vs NumPy.
+
+Models samples/eltwise drivers (unary simple/relu/dropout/reduce/transform/
+gather-scatter/quant, binary, ternary) with randomized shapes, SURVEY.md §2.7.
+"""
+
+import numpy as np
+import pytest
+import scipy.special
+
+import libxsmm_tpu as xt
+from libxsmm_tpu.descriptor import (BinaryFlags, BinaryType, TernaryFlags,
+                                    TernaryType, UnaryFlags, UnaryType)
+from libxsmm_tpu.dtypes import Datatype
+from libxsmm_tpu.matdiff import check
+
+RNG = np.random.default_rng(7)
+
+
+def _rand(shape, dtype=np.float32):
+    return RNG.standard_normal(shape).astype(dtype)
+
+
+SHAPES = [(16, 16), (13, 5), (1, 64), (33, 7)]
+
+UNARY_CASES = {
+    UnaryType.IDENTITY: lambda x: x,
+    UnaryType.XOR: np.zeros_like,
+    UnaryType.X2: lambda x: x * x,
+    UnaryType.SQRT: lambda x: np.sqrt(np.abs(x)),
+    UnaryType.RELU: lambda x: np.maximum(x, 0),
+    UnaryType.TANH: np.tanh,
+    UnaryType.SIGMOID: lambda x: 1 / (1 + np.exp(-x)),
+    UnaryType.GELU: lambda x: 0.5 * x * (1 + scipy.special.erf(x / np.sqrt(2))),
+    UnaryType.NEGATE: lambda x: -x,
+    UnaryType.INC: lambda x: x + 1,
+    UnaryType.RECIPROCAL: lambda x: 1.0 / x,
+    UnaryType.RECIPROCAL_SQRT: lambda x: 1.0 / np.sqrt(np.abs(x)),
+    UnaryType.EXP: np.exp,
+}
+
+
+@pytest.mark.parametrize("op", list(UNARY_CASES))
+@pytest.mark.parametrize("m,n", [(16, 16), (13, 5)])
+def test_unary_math(op, m, n):
+    x = _rand((m, n))
+    if op in (UnaryType.SQRT, UnaryType.RECIPROCAL_SQRT):
+        x = np.abs(x) + 0.1
+    if op == UnaryType.RECIPROCAL:
+        x = x + np.sign(x) * 0.5
+    kern = xt.dispatch_meltw_unary(op, m, n)
+    # transcendentals: XLA's vectorized approximations differ from libm by
+    # a few ulp beyond f32 round-off
+    margin = 1e-4 if op in (UnaryType.TANH, UnaryType.SIGMOID, UnaryType.GELU,
+                            UnaryType.EXP) else 1e-5
+    check(UNARY_CASES[op](x), np.asarray(kern(x)), margin=margin)
+
+
+def test_unary_bcast_row_col_scalar():
+    m, n = 8, 12
+    row = _rand((m, 1))
+    kern = xt.dispatch_meltw_unary(UnaryType.IDENTITY, m, n,
+                                   UnaryFlags.BCAST_ROW)
+    check(np.broadcast_to(row, (m, n)), np.asarray(kern(row)))
+    col = _rand((1, n))
+    kern = xt.dispatch_meltw_unary(UnaryType.IDENTITY, m, n,
+                                   UnaryFlags.BCAST_COL)
+    check(np.broadcast_to(col, (m, n)), np.asarray(kern(col)))
+    s = _rand((1, 1))
+    kern = xt.dispatch_meltw_unary(UnaryType.IDENTITY, m, n,
+                                   UnaryFlags.BCAST_SCALAR)
+    check(np.broadcast_to(s, (m, n)), np.asarray(kern(s)))
+
+
+@pytest.mark.parametrize("op,npop", [
+    (UnaryType.REDUCE_X_OP_ADD, np.sum),
+    (UnaryType.REDUCE_X_OP_MAX, np.max),
+    (UnaryType.REDUCE_X_OP_MIN, np.min),
+    (UnaryType.REDUCE_X_OP_MUL, np.prod),
+])
+@pytest.mark.parametrize("rows", [True, False])
+def test_unary_reduce(op, npop, rows):
+    m, n = 9, 6
+    x = _rand((m, n)) * 0.5
+    flags = UnaryFlags.REDUCE_ROWS if rows else UnaryFlags.REDUCE_COLS
+    kern = xt.dispatch_meltw_unary(op, m, n, flags)
+    ref = npop(x, axis=1 if rows else 0, keepdims=True)
+    check(ref, np.asarray(kern(x)), margin=1e-5)
+
+
+def test_unary_reduce_x2_and_scalar():
+    m, n = 7, 5
+    x = _rand((m, n))
+    kern = xt.dispatch_meltw_unary(UnaryType.REDUCE_X2_OP_ADD, m, n,
+                                   UnaryFlags.REDUCE_COLS)
+    check((x * x).sum(axis=0, keepdims=True), np.asarray(kern(x)), margin=1e-5)
+    kern = xt.dispatch_meltw_unary(UnaryType.REDUCE_TO_SCALAR_OP_ADD, m, n)
+    check(np.asarray([[x.sum()]]), np.asarray(kern(x)), margin=1e-5)
+    kern = xt.dispatch_meltw_unary(UnaryType.REDUCE_X_OP_ABSMAX, m, n,
+                                   UnaryFlags.REDUCE_COLS)
+    check(np.abs(x).max(axis=0, keepdims=True), np.asarray(kern(x)))
+
+
+def test_transpose():
+    m, n = 13, 6
+    x = _rand((m, n))
+    kern = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_NORMT, m, n)
+    check(x.T, np.asarray(kern(x)))
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_vnni_roundtrip(k):
+    m, n = 16, 8
+    x = _rand((m, n))
+    to_op = getattr(UnaryType, f"TRANSFORM_NORM_TO_VNNI{k}")
+    from_op = getattr(UnaryType, f"TRANSFORM_VNNI{k}_TO_NORM")
+    to_k = xt.dispatch_meltw_unary(to_op, m, n)
+    v = np.asarray(to_k(x))
+    assert v.shape == (m // k, n * k)
+    from_k = xt.dispatch_meltw_unary(from_op, m, n)
+    check(x, np.asarray(from_k(v)))
+
+
+def test_vnni2_layout():
+    # VNNI2 element (i, j) of NORM lives at v[i//2, j*2 + i%2]
+    m, n = 8, 4
+    x = _rand((m, n))
+    kern = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_VNNI2, m, n)
+    v = np.asarray(kern(x))
+    assert v.shape == (m // 2, n * 2)
+    ref = x.reshape(m // 2, 2, n).transpose(0, 2, 1).reshape(m // 2, 2 * n)
+    check(ref, v)
+    # and VNNI2T -> NORM inverts NORM_TO_VNNI2T
+    tk = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_VNNI2T, m, n)
+    vt = np.asarray(tk(x))
+    back = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_VNNI2T_TO_NORM, m, n)
+    check(x, np.asarray(back(vt)))
+
+
+def test_vnni_pad():
+    m, n = 13, 6   # m not divisible by 4
+    x = _rand((m, n))
+    kern = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_VNNI4_PAD, m, n)
+    v = np.asarray(kern(x))
+    assert v.shape == (4, n * 4)
+    # unpad roundtrip
+    back = v.reshape(4, n, 4).transpose(0, 2, 1).reshape(16, n)[:m]
+    check(x, back)
+
+
+def test_pad_mod():
+    m, n = 13, 6
+    x = _rand((m, n))
+    kern = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_PADNM_MOD4, m, n)
+    y = np.asarray(kern(x))
+    assert y.shape == (16, 8)
+    check(x, y[:m, :n])
+    assert np.all(y[m:, :] == 0) and np.all(y[:, n:] == 0)
+
+
+def test_gather_scatter_rows():
+    m, n = 10, 6
+    x = _rand((m, n))
+    idx = np.asarray([0, 3, 7], np.int32)
+    kern = xt.dispatch_meltw_unary(UnaryType.GATHER, m, n)
+    check(x[idx], np.asarray(kern(x, idx)))
+    out0 = np.zeros((m, n), np.float32)
+    scat = xt.dispatch_meltw_unary(UnaryType.SCATTER, 3, n)
+    res = np.asarray(scat(x[idx], idx, out0))
+    ref = out0.copy()
+    ref[idx] = x[idx]
+    check(ref, res)
+
+
+def test_reduce_cols_idx():
+    m, n = 12, 5
+    x = _rand((m, n))
+    idx = np.asarray([1, 4, 4, 9], np.int32)
+    kern = xt.dispatch_meltw_unary(UnaryType.REDUCE_COLS_IDX_OP_ADD, m, n)
+    check(x[idx].sum(axis=0, keepdims=True), np.asarray(kern(x, idx)),
+          margin=1e-5)
+
+
+def test_unzip_zip_roundtrip():
+    m, n = 8, 8
+    x = _rand((m, n))
+    unzip = xt.dispatch_meltw_unary(UnaryType.UNZIP, m, n)
+    lo, hi = unzip(x)
+    z = xt.dispatch_meltw_binary(BinaryType.ZIP, m, n,
+                                 in_type=Datatype.U16, out_type=Datatype.F32)
+    check(x, np.asarray(z(lo, hi)))
+
+
+def test_dropout_and_inv():
+    m, n = 64, 64
+    x = np.abs(_rand((m, n))) + 1.0
+    p = 0.3
+    kern = xt.dispatch_meltw_unary(UnaryType.DROPOUT, m, n,
+                                   UnaryFlags.BITMASK_2BYTEMULT, extra=(p,))
+    out, mask = kern(x, seed=3)
+    out, mask = np.asarray(out), np.asarray(mask)
+    frac = mask.mean()
+    assert 0.6 < frac < 0.8          # keep-rate ~ 1-p
+    np.testing.assert_allclose(out[mask != 0],
+                               x[mask != 0] / (1 - p), rtol=1e-6)
+    assert np.all(out[mask == 0] == 0)
+    inv = xt.dispatch_meltw_unary(UnaryType.DROPOUT_INV, m, n, extra=(p,))
+    g = _rand((m, n))
+    giv = np.asarray(inv(g, mask))
+    np.testing.assert_allclose(giv[mask != 0], g[mask != 0] / (1 - p),
+                               rtol=1e-6)
+
+
+def test_stochastic_round_bf16():
+    import jax.numpy as jnp
+    m, n = 32, 32
+    # value exactly between two bf16 neighbors: 1.0 and 1.0078125
+    x = np.full((m, n), 1.00390625, np.float32)
+    kern = xt.dispatch_meltw_unary(UnaryType.STOCHASTIC_ROUND, m, n,
+                                   out_type=Datatype.BF16)
+    y = np.asarray(kern(x, seed=11), np.float32)
+    ups = (y > 1.0).mean()
+    assert 0.3 < ups < 0.7           # unbiased-ish rounding
+    assert set(np.unique(y)) <= {1.0, 1.0078125}
+
+
+def test_quant_dequant():
+    m, n = 16, 16
+    x = _rand((m, n))
+    scale = 127.0 / np.abs(x).max()
+    q = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n, out_type=Datatype.I8)
+    qv = np.asarray(q(x, scale))
+    assert qv.dtype == np.int8
+    dq = xt.dispatch_meltw_unary(UnaryType.DEQUANT, m, n,
+                                 in_type=Datatype.I8, out_type=Datatype.F32)
+    back = np.asarray(dq(qv, 1.0 / scale))
+    check(x, back, margin=1.0 / scale)
+
+
+def test_decompress_sparse():
+    m, n = 8, 8
+    dense = _rand((m, n))
+    mask = (RNG.random((m, n)) < 0.4)
+    dense = dense * mask
+    values = dense.reshape(-1)[mask.reshape(-1)]
+    # pad compressed stream to full size (kernel reads linearly)
+    comp = np.zeros(m * n, np.float32)
+    comp[:values.size] = values
+    kern = xt.dispatch_meltw_unary(UnaryType.DECOMPRESS_SPARSE_FACTOR_2, m, n)
+    out = np.asarray(kern(comp.reshape(m, n), mask.astype(np.uint8)))
+    check(dense, out)
+
+
+# ---------------------------------------------------------------------------
+# binary
+# ---------------------------------------------------------------------------
+
+BINARY_CASES = {
+    BinaryType.ADD: np.add,
+    BinaryType.MUL: np.multiply,
+    BinaryType.SUB: np.subtract,
+    BinaryType.DIV: np.divide,
+    BinaryType.MAX: np.maximum,
+    BinaryType.MIN: np.minimum,
+}
+
+
+@pytest.mark.parametrize("op", list(BINARY_CASES))
+def test_binary_math(op):
+    m, n = 11, 9
+    a, b = _rand((m, n)), _rand((m, n))
+    if op == BinaryType.DIV:
+        b = b + np.sign(b) * 0.5
+    kern = xt.dispatch_meltw_binary(op, m, n)
+    check(BINARY_CASES[op](a, b), np.asarray(kern(a, b)), margin=1e-6)
+
+
+def test_binary_muladd_reads_out():
+    m, n = 8, 8
+    a, b, c = _rand((m, n)), _rand((m, n)), _rand((m, n))
+    kern = xt.dispatch_meltw_binary(BinaryType.MULADD, m, n)
+    check(c + a * b, np.asarray(kern(a, b, c)), margin=1e-6)
+
+
+def test_binary_bcast():
+    m, n = 6, 10
+    a = _rand((m, n))
+    col = _rand((1, n))
+    kern = xt.dispatch_meltw_binary(BinaryType.ADD, m, n,
+                                    BinaryFlags.BCAST_COL_IN_1)
+    check(a + col, np.asarray(kern(a, col)), margin=1e-6)
+    row = _rand((m, 1))
+    kern = xt.dispatch_meltw_binary(BinaryType.MUL, m, n,
+                                    BinaryFlags.BCAST_ROW_IN_1)
+    check(a * row, np.asarray(kern(a, row)), margin=1e-6)
+    s = _rand((1, 1))
+    kern = xt.dispatch_meltw_binary(BinaryType.SUB, m, n,
+                                    BinaryFlags.BCAST_SCALAR_IN_0)
+    check(s - a, np.asarray(kern(s, a)), margin=1e-6)
+
+
+def test_binary_cmp():
+    m, n = 8, 8
+    a, b = _rand((m, n)), _rand((m, n))
+    kern = xt.dispatch_meltw_binary(BinaryType.CMP_OP_GT, m, n)
+    np.testing.assert_array_equal(a > b, np.asarray(kern(a, b)))
+
+
+def test_binary_matmul_and_dotred():
+    m, n, k = 8, 6, 5
+    a, b = _rand((m, k)), _rand((k, n))
+    kern = xt.dispatch_meltw_binary(BinaryType.MATMUL, m, n)
+    check(a @ b, np.asarray(kern(a, b)), margin=1e-5)
+    x, y = _rand((m, n)), _rand((m, n))
+    kern = xt.dispatch_meltw_binary(
+        BinaryType.MUL_AND_REDUCE_TO_SCALAR_OP_ADD, m, n)
+    check(np.asarray([[np.sum(x * y)]]), np.asarray(kern(x, y)), margin=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ternary
+# ---------------------------------------------------------------------------
+
+def test_ternary_muladd_select_nmuladd():
+    m, n = 9, 7
+    a, b, c = _rand((m, n)), _rand((m, n)), _rand((m, n))
+    kern = xt.dispatch_meltw_ternary(TernaryType.MULADD, m, n)
+    check(a * b + c, np.asarray(kern(a, b, c)), margin=1e-6)
+    kern = xt.dispatch_meltw_ternary(TernaryType.NMULADD, m, n)
+    check(-(a * b) + c, np.asarray(kern(a, b, c)), margin=1e-6)
+    mask = (RNG.random((m, n)) < 0.5).astype(np.uint8)
+    kern = xt.dispatch_meltw_ternary(TernaryType.SELECT, m, n)
+    check(np.where(mask != 0, a, b), np.asarray(kern(a, b, mask)))
+
+
+def test_ternary_bcast():
+    m, n = 6, 8
+    a = _rand((m, n))
+    col = _rand((1, n))
+    c = _rand((m, n))
+    kern = xt.dispatch_meltw_ternary(TernaryType.MULADD, m, n,
+                                     TernaryFlags.BCAST_COL_IN_1)
+    check(a * col + c, np.asarray(kern(a, col, c)), margin=1e-6)

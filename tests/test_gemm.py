@@ -1,0 +1,211 @@
+"""GEMM/BRGEMM kernel correctness — randomized shapes vs NumPy oracle.
+
+Models the reference's xgemm driver strategy (samples/xgemm/gemm_kernel.c:
+JIT output vs plain-C gold compare through matdiff norms, with randomized
+shape sampling per SURVEY.md §4.2).
+"""
+
+import numpy as np
+import pytest
+
+import libxsmm_tpu as xt
+from libxsmm_tpu.descriptor import (BatchReduceConfig, BatchReduceType,
+                                    BinaryPostops, BinaryType, GemmFlags,
+                                    GemmShape, UnaryArgops, UnaryType)
+from libxsmm_tpu.dtypes import Datatype
+from libxsmm_tpu.matdiff import check
+
+RNG = np.random.default_rng(123)
+
+SMALL_SHAPES = [(13, 5, 7), (32, 32, 32), (1, 1, 1), (64, 48, 16),
+                (17, 23, 31), (8, 128, 64)]
+
+
+def _rand(shape, dtype=np.float32):
+    return RNG.standard_normal(shape).astype(dtype)
+
+
+@pytest.mark.parametrize("m,n,k", SMALL_SHAPES)
+def test_gemm_beta0_f32(m, n, k):
+    a, b = _rand((m, k)), _rand((k, n))
+    kern = xt.dispatch_gemm(GemmShape(m, n, k), GemmFlags.BETA_0)
+    check(a @ b, np.asarray(kern(a, b)), dtype_name="f32")
+    assert xt.get_kernel_info(kern).nflops == 2 * m * n * k
+
+
+@pytest.mark.parametrize("m,n,k", [(16, 8, 12), (13, 5, 7)])
+def test_gemm_beta1_accumulate(m, n, k):
+    a, b, c = _rand((m, k)), _rand((k, n)), _rand((m, n))
+    kern = xt.dispatch_gemm(GemmShape(m, n, k))
+    check(a @ b + c, np.asarray(kern(a, b, c)), dtype_name="f32")
+
+
+@pytest.mark.parametrize("ta,tb", [(True, False), (False, True), (True, True)])
+def test_gemm_transposes(ta, tb):
+    m, n, k = 9, 14, 6
+    a = _rand((k, m)) if ta else _rand((m, k))
+    b = _rand((n, k)) if tb else _rand((k, n))
+    flags = GemmFlags.BETA_0
+    if ta:
+        flags |= GemmFlags.TRANS_A
+    if tb:
+        flags |= GemmFlags.TRANS_B
+    kern = xt.dispatch_gemm(GemmShape(m, n, k), flags)
+    ref = (a.T if ta else a) @ (b.T if tb else b)
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32")
+
+
+def test_gemm_bf16_in_f32_out():
+    import jax.numpy as jnp
+    m, n, k = 32, 16, 24
+    a = jnp.asarray(_rand((m, k)), jnp.bfloat16)
+    b = jnp.asarray(_rand((k, n)), jnp.bfloat16)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32)
+    kern = xt.dispatch_gemm(shape, GemmFlags.BETA_0)
+    ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    check(ref, np.asarray(kern(a, b)), dtype_name="bf16")
+
+
+def test_gemm_f64():
+    m, n, k = 13, 5, 7
+    a, b = _rand((m, k), np.float64), _rand((k, n), np.float64)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.F64,
+                      b_in_type=Datatype.F64, out_type=Datatype.F64)
+    kern = xt.dispatch_gemm(shape, GemmFlags.BETA_0)
+    check(a @ b, np.asarray(kern(a, b)), dtype_name="f64")
+
+
+def test_gemm_i8_i32():
+    import jax.numpy as jnp
+    m, n, k = 16, 16, 32
+    a = RNG.integers(-100, 100, (m, k)).astype(np.int8)
+    b = RNG.integers(-100, 100, (k, n)).astype(np.int8)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.I8, b_in_type=Datatype.I8,
+                      out_type=Datatype.I32, comp_type=Datatype.F32)
+    kern = xt.dispatch_gemm(shape, GemmFlags.BETA_0)
+    ref = a.astype(np.int32) @ b.astype(np.int32)
+    out = np.asarray(kern(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_dispatch_cache_hit():
+    shape = GemmShape(24, 24, 24)
+    k1 = xt.dispatch_gemm(shape, GemmFlags.BETA_0)
+    k2 = xt.dispatch_gemm(shape, GemmFlags.BETA_0)
+    assert k1 is k2
+    k3 = xt.dispatch_gemm(GemmShape(24, 24, 25), GemmFlags.BETA_0)
+    assert k3 is not k1
+
+
+# ---------------------------------------------------------------------------
+# BRGEMM
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("br", [1, 3, 8])
+def test_brgemm_stride(br):
+    m, n, k = 16, 12, 10
+    a, b = _rand((br, m, k)), _rand((br, k, n))
+    kern = xt.dispatch_brgemm(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br))
+    ref = np.einsum("bmk,bkn->mn", a, b)
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
+
+
+def test_brgemm_stride_beta1():
+    br, m, n, k = 4, 8, 8, 8
+    a, b, c = _rand((br, m, k)), _rand((br, k, n)), _rand((m, n))
+    kern = xt.dispatch_brgemm(
+        GemmShape(m, n, k), GemmFlags.NONE,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br))
+    ref = np.einsum("bmk,bkn->mn", a, b) + c
+    check(ref, np.asarray(kern(a, b, c)), dtype_name="f32", margin=1e-4)
+
+
+def test_brgemm_address_gather():
+    pool, br, m, n, k = 10, 5, 8, 6, 4
+    a, b = _rand((pool, m, k)), _rand((pool, k, n))
+    idx_a = np.asarray([0, 3, 7, 2, 9], np.int32)
+    idx_b = np.asarray([1, 4, 5, 8, 0], np.int32)
+    kern = xt.dispatch_brgemm(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.ADDRESS, br_count_hint=br))
+    ref = np.einsum("bmk,bkn->mn", a[idx_a], b[idx_b])
+    check(ref, np.asarray(kern(a, b, idx_a, idx_b)), dtype_name="f32",
+          margin=1e-4)
+
+
+def test_brgemm_trans_b():
+    br, m, n, k = 3, 8, 10, 6
+    a, b = _rand((br, m, k)), _rand((br, n, k))
+    kern = xt.dispatch_brgemm(
+        GemmShape(m, n, k), GemmFlags.BETA_0 | GemmFlags.TRANS_B,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br))
+    ref = np.einsum("bmk,bnk->mn", a, b)
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BRGEMM-ext fused epilogues
+# ---------------------------------------------------------------------------
+
+def test_brgemm_ext_relu_bias():
+    br, m, n, k = 2, 16, 8, 8
+    a, b = _rand((br, m, k)), _rand((br, k, n))
+    d = _rand((m, n))
+    kern = xt.dispatch_brgemm_ext(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br),
+        argops=UnaryArgops(cp_type=UnaryType.RELU),
+        postops=BinaryPostops(d_type=BinaryType.ADD))
+    ref = np.maximum(np.einsum("bmk,bkn->mn", a, b) + d, 0.0)
+    check(ref, np.asarray(kern(a, b, d)), dtype_name="f32", margin=1e-4)
+
+
+def test_brgemm_ext_argop_on_a():
+    br, m, n, k = 2, 8, 8, 8
+    a, b = _rand((br, m, k)), _rand((br, k, n))
+    kern = xt.dispatch_brgemm_ext(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br),
+        argops=UnaryArgops(ap_type=UnaryType.X2))
+    ref = np.einsum("bmk,bkn->mn", a * a, b)
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# batched independent GEMMs (Pallas path in interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("batch,m,n,k", [(4, 32, 32, 32), (7, 13, 5, 7),
+                                         (16, 8, 8, 8), (3, 64, 48, 16)])
+def test_gemm_batched(batch, m, n, k):
+    a, b = _rand((batch, m, k)), _rand((batch, k, n))
+    kern = xt.dispatch_gemm_batched(GemmShape(m, n, k), GemmFlags.BETA_0)
+    ref = np.einsum("bmk,bkn->bmn", a, b)
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
+
+
+def test_gemm_batched_beta1():
+    batch, m, n, k = 5, 16, 16, 16
+    a, b, c = _rand((batch, m, k)), _rand((batch, k, n)), _rand((batch, m, n))
+    kern = xt.dispatch_gemm_batched(GemmShape(m, n, k))
+    ref = np.einsum("bmk,bkn->bmn", a, b) + c
+    check(ref, np.asarray(kern(a, b, c)), dtype_name="f32", margin=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BLAS-style wrappers
+# ---------------------------------------------------------------------------
+
+def test_sgemm_wrapper():
+    a, b = _rand((6, 4)), _rand((4, 9))
+    check(a @ b, np.asarray(xt.sgemm(a, b)), dtype_name="f32")
+
+
+def test_dgemm_wrapper():
+    a = _rand((5, 3), np.float64)
+    b = _rand((3, 7), np.float64)
+    c = _rand((5, 7), np.float64)
+    check(a @ b + c, np.asarray(xt.dgemm(a, b, c)), dtype_name="f64")
