@@ -1,0 +1,178 @@
+"""FsSpMDM: fixed-sparsity sparse-A x dense-B with create-time autotune.
+
+Semantics port of /root/reference/src/libxsmm_fsspmdm.c (561 LoC), the
+north-star workload (PyFR/GiMMiK spectral-element operators):
+
+  create(N, a_dense, alpha, beta)  -> handle     (:24-489)
+  execute(handle, B[, C])          -> C          (:491-515)
+
+As in the reference, create() builds BOTH candidate kernels and
+micro-benchmarks them on the actual device, then keeps the winner:
+  * dense:  A densified (alpha folded in) as a trace-time constant, one MXU
+    matmul — the analogue of the reference's dense fallback GEMM (:184-188).
+  * sparse: pattern+values baked ELL kernel via create_spgemm_csr_areg —
+    the analogue of the 1x/2x/4x-vector-width A-in-registers kernels
+    (:243-262). (On TPU the width variants collapse: XLA picks lane tiling.)
+
+Selection applies a dense bias (default 10%, XSMM_TPU_FSSPMDM_DENSE_BIAS,
+reference LIBXSMM_FSSPMDM_DENSE_BIAS :16-17) and honors the hint override
+(XSMM_TPU_FSSPMDM_HINT: 0 auto | 1 sparse | 2 dense; reference
+LIBXSMM_FSSPMDM_HINT :35-36). Tuning reps default 25
+(XSMM_TPU_FSSPMDM_NTUNE; reference ntune=250 :19-21 — TPU dispatch is
+costlier, fewer reps suffice because kernels are deterministic).
+
+On TPU there is no need for the reference's N-chunking loop (:498-515):
+XLA tiles the N dimension. Alpha is folded into A values exactly as the
+reference does (:196-236); beta must be 0 or 1 (:80-120).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CONFIG
+from ..descriptor import GemmFlags, GemmShape
+from ..dtypes import Datatype, from_jnp, to_jnp
+from ..registry import Kernel, KernelInfo
+from .gemm import _ensure_x64, matmul_precision
+from .sparse import CsrMatrix, create_spgemm_csr_areg
+
+
+@dataclasses.dataclass
+class Fsspmdm:
+    """Handle mirroring libxsmm_fsspmdm (include/libxsmm_fsspmdm.h:17-24)."""
+
+    m: int
+    n: int
+    k: int
+    beta: int
+    kernel: Kernel
+    kind: str                 # "dense" | "sparse"
+    nnz: int
+    tuned_us: dict            # per-candidate microbench results
+
+    def execute(self, b, c=None):
+        """C = A @ B (+ C if beta=1); b: (k, n)."""
+        if self.beta == 0:
+            return self.kernel(b)
+        if c is None:
+            raise ValueError("beta=1 requires the C operand")
+        return self.kernel(b, c)
+
+    def __call__(self, b, c=None):
+        return self.execute(b, c)
+
+
+def _bench(fn, args, reps: int) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e6  # us
+
+
+def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
+                   dtype: Optional[Datatype] = None) -> Fsspmdm:
+    """libxsmm_fsspmdm_create analogue.
+
+    a_dense: (m, k) host array whose ZERO PATTERN is fixed for the handle's
+    lifetime; alpha is folded into the stored values (:196-236).
+    """
+    a = np.asarray(a_dense)
+    m, k = a.shape
+    if beta not in (0, 1):
+        raise ValueError("beta must be 0 or 1 (reference restriction)")
+    if dtype is None:
+        dtype = from_jnp(a.dtype)
+    av = (alpha * a).astype(a.dtype)
+    csr = CsrMatrix.from_dense(av)
+    nnz = csr.nnz
+
+    shape = GemmShape(m, n, k, a_in_type=dtype, b_in_type=dtype,
+                      out_type=dtype)
+    _ensure_x64(shape)
+    flags = GemmFlags.BETA_0 if beta == 0 else GemmFlags.NONE
+
+    # candidate 1: dense MXU matmul with baked A.
+    # NOTE: baked arrays are bound as device-resident ARGUMENTS, not jit
+    # closure constants — closure constants are re-uploaded per call
+    # (measured ~430us/call through the device tunnel vs ~20us as args).
+    comp = to_jnp(shape.comp_type)
+    out_dt = to_jnp(dtype)
+    prec = matmul_precision(shape)
+    a_dev = jax.device_put(jnp.asarray(av))
+
+    @jax.named_scope(f"xsmm_fsspmdm_dense_{m}x{n}x{k}")
+    def dense_run(a_c, b, c=None):
+        acc = jnp.dot(a_c.astype(comp), b.astype(comp),
+                      preferred_element_type=comp, precision=prec)
+        if c is not None:
+            acc = acc + c.astype(comp)
+        return acc.astype(out_dt)
+
+    dense_jit = jax.jit(dense_run)
+
+    def dense_fn(b, c=None):
+        if c is None:
+            return dense_jit(a_dev, b)
+        return dense_jit(a_dev, b, c)
+
+    dense_kernel = Kernel(
+        fn=dense_fn, descriptor=("fsspmdm_dense", shape),
+        info=KernelInfo(kind="fsspmdm_dense", nflops=2 * m * n * k),
+        name=f"fsspmdm_dense_{m}x{n}x{k}")
+
+    # candidate 2: pattern+values-baked sparse kernel
+    sparse_kernel = None
+    if nnz > 0:
+        try:
+            sparse_kernel = create_spgemm_csr_areg(
+                shape, flags, csr.indptr, csr.indices, csr.data)
+        except ValueError:
+            sparse_kernel = None   # nnz over cap -> dense only
+
+    hint = CONFIG.fsspmdm_hint
+    tuned = {}
+    if hint == 2 or sparse_kernel is None:
+        pick, kind = dense_kernel, "dense"
+    elif hint == 1:
+        pick, kind = sparse_kernel, "sparse"
+    else:
+        # create-time microbenchmark on device (:285-382)
+        rng = np.random.default_rng(0)
+        b_probe = jnp.asarray(rng.standard_normal((k, n)), to_jnp(dtype))
+        args = ((b_probe,) if beta == 0 else
+                (b_probe, jnp.zeros((m, n), to_jnp(dtype))))
+        reps = max(1, CONFIG.fsspmdm_ntune)
+        tuned["dense_us"] = _bench(dense_kernel.fn, args, reps)
+        tuned["sparse_us"] = _bench(sparse_kernel.fn, args, reps)
+        # dense bias: prefer dense unless sparse is >bias faster (:311-330)
+        bias = 1.0 + CONFIG.fsspmdm_dense_bias
+        if tuned["sparse_us"] * bias < tuned["dense_us"]:
+            pick, kind = sparse_kernel, "sparse"
+        else:
+            pick, kind = dense_kernel, "dense"
+
+    if CONFIG.verbose >= 2:
+        print(f"libxsmm_tpu: fsspmdm {m}x{n}x{k} nnz={nnz} -> {kind} "
+              f"({tuned})")
+    return Fsspmdm(m=m, n=n, k=k, beta=beta, kernel=pick, kind=kind,
+                   nnz=nnz, tuned_us=tuned)
+
+
+def fsspmdm_execute(handle: Fsspmdm, b, c=None):
+    """libxsmm_fsspmdm_execute analogue."""
+    return handle.execute(b, c)
+
+
+def fsspmdm_destroy(handle: Fsspmdm) -> None:
+    """API parity (libxsmm_fsspmdm_destroy); kernels are GC-managed."""
+    handle.kernel = None

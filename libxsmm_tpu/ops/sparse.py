@@ -1,0 +1,499 @@
+"""Sparse GEMM: packed SpGEMM (CSR/CSC/BCSC) and pattern-baked SpMM.
+
+Re-designs the reference's sparse generator family for TPU
+(/root/reference/src/generator_packed_spgemm.c:24-50 routing,
+generator_packed_spgemm_csr_asparse.c, *_csc_bsparse.c,
+*_bcsc_bsparse_avx_avx2_avx512_amx.c, generator_spgemm_csr_asparse_reg.c):
+
+  * The sparsity PATTERN is a create-time constant — the TPU analogue of
+    JIT-ing the pattern into machine code. It is fingerprinted into the
+    kernel key (descriptor.SparsePattern) so identical patterns share one
+    compiled kernel and there are no recompile storms (SURVEY.md §7.3).
+  * Sparse VALUES are runtime operands (as in the reference's packed spgemm,
+    where the param carries the value pointer), EXCEPT csr_areg, which bakes
+    values as trace-time constants exactly like the reference holds them in
+    vector registers (generator_spgemm_csr_asparse_reg.c:66-96).
+  * CSR A-sparse lowers to ELL form: pad rows to the max row-degree, gather
+    B rows, multiply-accumulate — a dense, static-shape formulation XLA
+    tiles well. Row-degree skew wastes work; the fsspmdm autotuner decides
+    when the dense MXU path wins instead.
+  * BCSC B-sparse lowers to: gather dense A panels per nonzero block ->
+    ONE batched MXU matmul over all blocks -> segment-sum per block-column.
+    This keeps all FLOPs on the MXU (the TPU reading of the reference's AMX
+    BCSC kernels).
+
+Layouts are row-major; "packed" SOA operands keep the packed width as the
+trailing dimension (reference: [row][col][packed], same order).
+Alpha=1, beta in {0,1} as everywhere in this library.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..descriptor import (GemmFlags, GemmShape, SparsePattern, SpgemmConfig)
+from ..dtypes import Datatype, to_jnp
+from ..registry import Kernel, KernelInfo, get_registry
+from .gemm import _ensure_x64, matmul_precision
+
+
+# ---------------------------------------------------------------------------
+# host-side sparse containers (pattern handling; NumPy, not traced)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CsrMatrix:
+    """Host CSR: the currency for A-sparse kernels."""
+
+    shape: Tuple[int, int]
+    indptr: np.ndarray      # (m+1,) int32
+    indices: np.ndarray     # (nnz,) int32 column ids
+    data: Optional[np.ndarray] = None
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    @staticmethod
+    def from_dense(a, tol: float = 0.0) -> "CsrMatrix":
+        a = np.asarray(a)
+        mask = np.abs(a) > tol
+        m, k = a.shape
+        indptr = np.zeros(m + 1, np.int32)
+        indptr[1:] = np.cumsum(mask.sum(axis=1))
+        indices = np.nonzero(mask)[1].astype(np.int32)
+        data = a[mask]
+        return CsrMatrix((m, k), indptr, indices, data)
+
+    def to_dense(self) -> np.ndarray:
+        m, k = self.shape
+        out = np.zeros((m, k), self.data.dtype if self.data is not None
+                       else np.float64)
+        for i in range(m):
+            s, e = self.indptr[i], self.indptr[i + 1]
+            out[i, self.indices[s:e]] = self.data[s:e]
+        return out
+
+    def ell(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """ELL-pad: returns (col_idx (m,rmax), pos (m,rmax), mask, rmax).
+
+        pos maps each ELL slot to its position in the nnz value stream so
+        runtime value vectors can be gathered without re-deriving layout.
+        """
+        m = self.shape[0]
+        deg = np.diff(self.indptr)
+        rmax = max(1, int(deg.max(initial=0)))
+        col = np.zeros((m, rmax), np.int32)
+        pos = np.zeros((m, rmax), np.int32)
+        mask = np.zeros((m, rmax), np.float32)
+        for i in range(m):
+            s, e = int(self.indptr[i]), int(self.indptr[i + 1])
+            col[i, : e - s] = self.indices[s:e]
+            pos[i, : e - s] = np.arange(s, e, dtype=np.int32)
+            mask[i, : e - s] = 1.0
+        return col, pos, mask, rmax
+
+    def fingerprint(self, include_values: bool = False) -> int:
+        return SparsePattern.fingerprint_of(
+            self.indptr, self.indices,
+            values=self.data if include_values else None)
+
+
+@dataclasses.dataclass
+class CscMatrix:
+    """Host CSC: the currency for B-sparse kernels."""
+
+    shape: Tuple[int, int]
+    indptr: np.ndarray      # (n+1,) column pointers
+    indices: np.ndarray     # (nnz,) row ids
+    data: Optional[np.ndarray] = None
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    @staticmethod
+    def from_dense(b, tol: float = 0.0) -> "CscMatrix":
+        csr_t = CsrMatrix.from_dense(np.asarray(b).T, tol)
+        return CscMatrix(b.shape, csr_t.indptr, csr_t.indices, csr_t.data)
+
+    def fingerprint(self, include_values: bool = False) -> int:
+        return SparsePattern.fingerprint_of(
+            self.indptr, self.indices,
+            values=self.data if include_values else None)
+
+
+@dataclasses.dataclass
+class BcscMatrix:
+    """Host block-CSC: (bk x bn) dense blocks, sparse block structure.
+
+    Mirrors the reference's BCSC B-sparse operand
+    (generator_packed_spgemm_bcsc_bsparse*.c): values are stored block by
+    block in column-major block order, each block dense row-major here.
+    """
+
+    shape: Tuple[int, int]          # (k, n) element dims
+    bk: int
+    bn: int
+    indptr: np.ndarray              # (n//bn + 1,) block-column pointers
+    indices: np.ndarray             # (nblocks,) block-row ids
+    data: Optional[np.ndarray] = None   # (nblocks, bk, bn)
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.indices)
+
+    @staticmethod
+    def from_dense(b, bk: int, bn: int, tol: float = 0.0) -> "BcscMatrix":
+        b = np.asarray(b)
+        k, n = b.shape
+        if k % bk or n % bn:
+            raise ValueError(f"dims ({k},{n}) not divisible by block "
+                             f"({bk},{bn})")
+        kb, nb = k // bk, n // bn
+        blocks = b.reshape(kb, bk, nb, bn).transpose(2, 0, 1, 3)  # (nb,kb,bk,bn)
+        nz = np.abs(blocks).max(axis=(2, 3)) > tol                # (nb, kb)
+        indptr = np.zeros(nb + 1, np.int32)
+        indptr[1:] = np.cumsum(nz.sum(axis=1))
+        indices = np.nonzero(nz)[1].astype(np.int32)
+        data = blocks[nz]                                         # (nblk,bk,bn)
+        return BcscMatrix((k, n), bk, bn, indptr, indices, data)
+
+    def to_dense(self) -> np.ndarray:
+        k, n = self.shape
+        out = np.zeros((k, n), self.data.dtype)
+        for jb in range(n // self.bn):
+            s, e = int(self.indptr[jb]), int(self.indptr[jb + 1])
+            for l in range(s, e):
+                ib = int(self.indices[l])
+                out[ib * self.bk:(ib + 1) * self.bk,
+                    jb * self.bn:(jb + 1) * self.bn] = self.data[l]
+        return out
+
+    def fingerprint(self, include_values: bool = False) -> int:
+        return SparsePattern.fingerprint_of(
+            self.indptr, self.indices, np.asarray([self.bk, self.bn]),
+            values=self.data if include_values else None)
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM, A sparse (CSR): C[m,n(,p)] += A_sp[m,k] * B[k,n(,p)]
+# ---------------------------------------------------------------------------
+
+def create_packed_spgemm_csr(shape: GemmShape,
+                             flags: GemmFlags = GemmFlags.NONE,
+                             packed_width: int = 1,
+                             row_ptr: np.ndarray = None,
+                             column_idx: np.ndarray = None) -> Kernel:
+    """libxsmm_create_packed_spgemm_csr analogue (src/libxsmm_main.c:3553).
+
+    Returned kernel: kernel(values, b[, c]) with values (nnz,) runtime,
+    b (k,n) or (k,n,p); the pattern is baked at create time.
+    """
+    csr = CsrMatrix((shape.m, shape.k), np.asarray(row_ptr, np.int32),
+                    np.asarray(column_idx, np.int32))
+    _ensure_x64(shape)
+    pattern = SparsePattern(format="csr", rows=shape.m, cols=shape.k,
+                            nnz=csr.nnz, fingerprint=csr.fingerprint())
+    desc = ("pspgemm_csr", shape, GemmFlags(flags), packed_width, pattern)
+
+    def _build(_key):
+        col, pos, mask, rmax = csr.ell()
+        # pattern arrays are bound as device-resident ARGUMENTS: jit closure
+        # constants are re-uploaded on every call (tunnel-measured ~430us)
+        colj = jax.device_put(jnp.asarray(col.reshape(-1)))
+        posj = jax.device_put(jnp.asarray(pos.reshape(-1)))
+        maskj = jax.device_put(jnp.asarray(mask))
+        comp = to_jnp(shape.comp_type)
+        out_dt = to_jnp(shape.out_type)
+
+        @jax.named_scope(f"xsmm_pspgemm_csr_{shape.m}x{shape.n}x{shape.k}"
+                         f"_nnz{csr.nnz}")
+        def run(colv, posv, maskv, values, b, c=None):
+            vals = jnp.take(values, posv, axis=0)
+            vals = vals.reshape(shape.m, rmax).astype(comp) * maskv
+            gb = jnp.take(b, colv, axis=0)
+            if b.ndim == 2:                      # (k, n)
+                gb = gb.reshape(shape.m, rmax, shape.n).astype(comp)
+                acc = jnp.einsum("mr,mrn->mn", vals, gb)
+            else:                                # (k, n, p)
+                p = b.shape[-1]
+                gb = gb.reshape(shape.m, rmax, shape.n, p).astype(comp)
+                acc = jnp.einsum("mr,mrnp->mnp", vals, gb)
+            if c is not None:
+                acc = acc + c.astype(comp)
+            return acc.astype(out_dt)
+
+        jitted = jax.jit(run)
+
+        def fn(values, b, c=None):
+            if c is None:
+                return jitted(colj, posj, maskj, values, b)
+            return jitted(colj, posj, maskj, values, b, c)
+
+        nflops = 2 * csr.nnz * shape.n * max(1, packed_width)
+        info = KernelInfo(kind="pspgemm_csr", nflops=nflops)
+        return Kernel(fn=fn, descriptor=desc, info=info,
+                      name=f"pspgemm_csr_{shape.m}x{shape.n}x{shape.k}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM, B sparse (CSC): C[m(,p),n] += A[m,k(,p)] * B_sp[k,n]
+# ---------------------------------------------------------------------------
+
+def create_packed_spgemm_csc(shape: GemmShape,
+                             flags: GemmFlags = GemmFlags.NONE,
+                             packed_width: int = 1,
+                             column_ptr: np.ndarray = None,
+                             row_idx: np.ndarray = None) -> Kernel:
+    """libxsmm_create_packed_spgemm_csc analogue (src/libxsmm_main.c:3597).
+
+    kernel(a, values[, c]): a (m,k) or (m,k,p); values (nnz,).
+    Lowering: gather columns of A per nonzero, scale, segment-sum per
+    output column (static segment ids from the pattern).
+    """
+    csc = CscMatrix((shape.k, shape.n), np.asarray(column_ptr, np.int32),
+                    np.asarray(row_idx, np.int32))
+    _ensure_x64(shape)
+    pattern = SparsePattern(format="csc", rows=shape.k, cols=shape.n,
+                            nnz=csc.nnz, fingerprint=csc.fingerprint())
+    desc = ("pspgemm_csc", shape, GemmFlags(flags), packed_width, pattern)
+
+    def _build(_key):
+        nnz = csc.nnz
+        rowsj = jax.device_put(jnp.asarray(csc.indices, jnp.int32))
+        seg = np.repeat(np.arange(shape.n, dtype=np.int32),
+                        np.diff(csc.indptr))
+        segd = jax.device_put(jnp.asarray(seg))             # (nnz,) col id
+        comp = to_jnp(shape.comp_type)
+        out_dt = to_jnp(shape.out_type)
+
+        @jax.named_scope(f"xsmm_pspgemm_csc_{shape.m}x{shape.n}x{shape.k}"
+                         f"_nnz{nnz}")
+        def run(rows, segj, a, values, c=None):
+            cols = jnp.take(a, rows, axis=1).astype(comp)   # (m, nnz[, p])
+            v = values.astype(comp)
+            if a.ndim == 2:
+                contrib = cols * v[None, :]
+                acc = jax.ops.segment_sum(contrib.T, segj,
+                                          num_segments=shape.n).T
+            else:
+                contrib = cols * v[None, :, None]
+                acc = jax.ops.segment_sum(
+                    contrib.transpose(1, 0, 2), segj,
+                    num_segments=shape.n).transpose(1, 0, 2)  # (m, n, p)
+            if c is not None:
+                acc = acc + c.astype(comp)
+            return acc.astype(out_dt)
+
+        jitted = jax.jit(run)
+
+        def fn(a, values, c=None):
+            if c is None:
+                return jitted(rowsj, segd, a, values)
+            return jitted(rowsj, segd, a, values, c)
+
+        nflops = 2 * nnz * shape.m * max(1, packed_width)
+        info = KernelInfo(kind="pspgemm_csc", nflops=nflops)
+        return Kernel(fn=fn, descriptor=desc, info=info,
+                      name=f"pspgemm_csc_{shape.m}x{shape.n}x{shape.k}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM, B block-sparse (BCSC): all FLOPs on the MXU
+# ---------------------------------------------------------------------------
+
+def create_packed_spgemm_bcsc(shape: GemmShape,
+                              flags: GemmFlags = GemmFlags.NONE,
+                              config: SpgemmConfig = SpgemmConfig(),
+                              column_ptr: np.ndarray = None,
+                              row_idx: np.ndarray = None) -> Kernel:
+    """libxsmm_create_packed_spgemm_bcsc analogue (src/libxsmm_main.c:3640).
+
+    kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
+    Lowering: gather A panels for every nonzero block -> one batched MXU
+    matmul -> segment-sum per block-column. BF16/INT8-friendly: the batched
+    matmul is a standard MXU contraction.
+    """
+    bk, bn = config.bk, config.bn
+    indptr = np.asarray(column_ptr, np.int32)
+    indices = np.asarray(row_idx, np.int32)
+    nb = shape.n // bn
+    _ensure_x64(shape)
+    bcsc = BcscMatrix((shape.k, shape.n), bk, bn, indptr, indices)
+    pattern = SparsePattern(format="bcsc", rows=shape.k, cols=shape.n,
+                            nnz=bcsc.nblocks * bk * bn,
+                            fingerprint=bcsc.fingerprint(), block=(bk, bn))
+    desc = ("pspgemm_bcsc", shape, GemmFlags(flags), config, pattern)
+
+    def _build(_key):
+        nblocks = bcsc.nblocks
+        rowd = jax.device_put(jnp.asarray(indices, jnp.int32))
+        seg = np.repeat(np.arange(nb, dtype=np.int32), np.diff(indptr))
+        segd = jax.device_put(jnp.asarray(seg))
+        comp = to_jnp(shape.comp_type)
+        out_dt = to_jnp(shape.out_type)
+        prec = matmul_precision(shape)
+
+        @jax.named_scope(f"xsmm_pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
+                         f"_b{bk}x{bn}_nb{nblocks}")
+        def run(rowj, segj, a, values, c=None):
+            # A panels: (m, k) -> (kb, m, bk) -> gather by block row
+            panels = a.reshape(shape.m, shape.k // bk, bk).transpose(1, 0, 2)
+            pa = jnp.take(panels, rowj, axis=0)              # (nblk, m, bk)
+            pb = jnp.einsum("bmk,bkn->bmn", pa.astype(comp),
+                            values.astype(comp),
+                            precision=prec)                  # batched MXU
+            acc = jax.ops.segment_sum(pb, segj, num_segments=nb)
+            acc = acc.transpose(1, 0, 2).reshape(shape.m, nb * bn)
+            if c is not None:
+                acc = acc + c.astype(comp)
+            return acc.astype(out_dt)
+
+        jitted = jax.jit(run)
+
+        def fn(a, values, c=None):
+            if c is None:
+                return jitted(rowd, segd, a, values)
+            return jitted(rowd, segd, a, values, c)
+
+        nflops = 2 * nblocks * bk * bn * shape.m
+        info = KernelInfo(kind="pspgemm_bcsc", nflops=nflops)
+        return Kernel(fn=fn, descriptor=desc, info=info,
+                      name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# CSR A-in-"registers": values baked at trace time (fsspmdm backend)
+# ---------------------------------------------------------------------------
+
+# cap on baked pattern size, mirroring the reference's 65,536-op limit
+# (generator_spgemm_csr_asparse_reg.c:23)
+MAX_BAKED_NNZ = 65536
+
+
+def create_spgemm_csr_areg(shape: GemmShape,
+                           flags: GemmFlags = GemmFlags.NONE,
+                           row_ptr: np.ndarray = None,
+                           column_idx: np.ndarray = None,
+                           values: np.ndarray = None) -> Kernel:
+    """libxsmm_create_spgemm_csr_areg analogue (src/libxsmm_main.c:3842).
+
+    Pattern AND values are trace-time constants (the reference holds the
+    deduplicated values in vector registers). kernel(b[, c]) -> (m, n).
+    """
+    _ensure_x64(shape)
+    csr = CsrMatrix((shape.m, shape.k), np.asarray(row_ptr, np.int32),
+                    np.asarray(column_idx, np.int32),
+                    np.asarray(values))
+    if csr.nnz > MAX_BAKED_NNZ:
+        raise ValueError(f"nnz {csr.nnz} exceeds baked-kernel cap "
+                         f"{MAX_BAKED_NNZ}")
+    pattern = SparsePattern(format="csr", rows=shape.m, cols=shape.k,
+                            nnz=csr.nnz,
+                            fingerprint=csr.fingerprint(include_values=True))
+    desc = ("spgemm_areg", shape, GemmFlags(flags), pattern)
+
+    def _build(_key):
+        col, pos, mask, rmax = csr.ell()
+        vals_ell = (csr.data[pos.reshape(-1)].reshape(shape.m, rmax)
+                    * mask)                                  # baked values
+        valsd = jax.device_put(jnp.asarray(vals_ell, to_jnp(shape.comp_type)))
+        cold = jax.device_put(jnp.asarray(col.reshape(-1)))
+        comp = to_jnp(shape.comp_type)
+        out_dt = to_jnp(shape.out_type)
+
+        @jax.named_scope(f"xsmm_spgemm_areg_{shape.m}x{shape.n}x{shape.k}"
+                         f"_nnz{csr.nnz}")
+        def run(valsj, colj, b, c=None):
+            gb = jnp.take(b, colj, axis=0)
+            gb = gb.reshape(shape.m, rmax, shape.n).astype(comp)
+            acc = jnp.einsum("mr,mrn->mn", valsj, gb)
+            if c is not None:
+                acc = acc + c.astype(comp)
+            return acc.astype(out_dt)
+
+        jitted = jax.jit(run)
+
+        def fn(b, c=None):
+            if c is None:
+                return jitted(valsd, cold, b)
+            return jitted(valsd, cold, b, c)
+
+        info = KernelInfo(kind="spgemm_areg", nflops=2 * csr.nnz * shape.n)
+        return Kernel(fn=fn, descriptor=desc, info=info,
+                      name=f"spgemm_areg_{shape.m}x{shape.n}x{shape.k}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# BSR (block-CSR): the distribution currency for multi-chip SpMM
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BsrMatrix:
+    """Host block-CSR: (br x bc) dense blocks, block-row major.
+
+    Used by parallel.spmm_dist to block-row-partition a sparse matrix over a
+    device mesh (SURVEY.md §2.6/§5.7: the new multi-host dimension).
+    """
+
+    shape: Tuple[int, int]          # (m, k) element dims
+    br: int
+    bc: int
+    indptr: np.ndarray              # (m//br + 1,) block-row pointers
+    indices: np.ndarray             # (nblocks,) block-col ids
+    data: Optional[np.ndarray] = None   # (nblocks, br, bc)
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.indices)
+
+    @property
+    def nnz(self) -> int:
+        """Stored element count (blocks are dense)."""
+        return self.nblocks * self.br * self.bc
+
+    @staticmethod
+    def from_dense(a, br: int, bc: int, tol: float = 0.0) -> "BsrMatrix":
+        a = np.asarray(a)
+        m, k = a.shape
+        if m % br or k % bc:
+            raise ValueError(f"dims ({m},{k}) not divisible by block "
+                             f"({br},{bc})")
+        mb, kb = m // br, k // bc
+        blocks = a.reshape(mb, br, kb, bc).transpose(0, 2, 1, 3)  # (mb,kb,br,bc)
+        nz = np.abs(blocks).max(axis=(2, 3)) > tol
+        indptr = np.zeros(mb + 1, np.int32)
+        indptr[1:] = np.cumsum(nz.sum(axis=1))
+        indices = np.nonzero(nz)[1].astype(np.int32)
+        data = blocks[nz]
+        return BsrMatrix((m, k), br, bc, indptr, indices, data)
+
+    def to_dense(self) -> np.ndarray:
+        m, k = self.shape
+        out = np.zeros((m, k), self.data.dtype)
+        for ib in range(m // self.br):
+            s, e = int(self.indptr[ib]), int(self.indptr[ib + 1])
+            for l in range(s, e):
+                jb = int(self.indices[l])
+                out[ib * self.br:(ib + 1) * self.br,
+                    jb * self.bc:(jb + 1) * self.bc] = self.data[l]
+        return out
+
+    def fingerprint(self, include_values: bool = False) -> int:
+        return SparsePattern.fingerprint_of(
+            self.indptr, self.indices, np.asarray([self.br, self.bc]),
+            values=self.data if include_values else None)

@@ -1,0 +1,195 @@
+"""Distributed BSR SpMM: block-row partitioning + ring halo exchange.
+
+NEW relative to the reference (which is single-node, SURVEY.md §2.6); this is
+BASELINE.json's multi-host north star: C = A_sparse @ X with A block-row
+partitioned across a device mesh axis and X row-partitioned the same way.
+Since a sparse row may reference ANY column of X, each device needs remote X
+rows — the "halo". Instead of gathering everything up front, segments of X
+rotate around the ring (jax.lax.ppermute over ICI) while each device
+multiplies the blocks that reference the segment it currently holds:
+
+    step s: device d holds X-segment owned by (d - s) mod P
+            C_local += A_blocks[cols in segment (d-s)%P] @ X_seg
+            X_seg -> neighbor (d+1)
+
+XLA's latency-hiding scheduler overlaps the ppermute with the block
+multiply, because the sent segment is only needed next iteration. All FLOPs
+are batched MXU matmuls (one (L, br, bc) x (L, bc, N) contraction per step).
+
+The per-(device, step) block lists are create-time constants, padded to a
+common length L so the shard_map body is SPMD-uniform — the trace-time
+equivalent of JIT-ing the pattern into per-rank kernels.
+
+Structurally this ring is the same neighbor-exchange pattern as context/
+sequence parallelism (ring attention); SURVEY.md §5.7 maps that rubric line
+to this component.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dtypes import Datatype, to_jnp
+from ..ops.sparse import BsrMatrix
+
+
+@dataclasses.dataclass
+class _PlanArrays:
+    rows: np.ndarray    # (P, S, L) local block-row of each scheduled block
+    cols: np.ndarray    # (P, S, L) block-col WITHIN the step's segment
+    vidx: np.ndarray    # (P, S, L) index into the device's value store
+    mask: np.ndarray    # (P, S, L) 1.0 for real blocks, 0.0 for padding
+    vals: np.ndarray    # (P, Lv, br, bc) per-device block values (padded)
+    l_max: int
+    lv_max: int
+
+
+def _build_plan(a: BsrMatrix, num_devices: int) -> _PlanArrays:
+    m, k = a.shape
+    mb = m // a.br
+    kb = k // a.bc
+    if mb % num_devices or kb % num_devices:
+        raise ValueError(f"block grid ({mb}x{kb}) not divisible by "
+                         f"{num_devices} devices")
+    mb_loc = mb // num_devices
+    kb_seg = kb // num_devices
+
+    # per-device block store
+    dev_blocks = [[] for _ in range(num_devices)]   # (row_loc, col, data)
+    for ib in range(mb):
+        d = ib // mb_loc
+        s, e = int(a.indptr[ib]), int(a.indptr[ib + 1])
+        for l in range(s, e):
+            dev_blocks[d].append((ib - d * mb_loc, int(a.indices[l]),
+                                  a.data[l]))
+
+    lv_max = max(1, max(len(bl) for bl in dev_blocks))
+    vals = np.zeros((num_devices, lv_max, a.br, a.bc), a.data.dtype)
+    sched = [[[] for _ in range(num_devices)] for _ in range(num_devices)]
+    for d in range(num_devices):
+        for vi, (r, c, blk) in enumerate(dev_blocks[d]):
+            vals[d, vi] = blk
+            owner = c // kb_seg            # which device owns this X segment
+            step = (d - owner) % num_devices
+            sched[d][step].append((r, c % kb_seg, vi))
+
+    l_max = max(1, max(len(sched[d][s]) for d in range(num_devices)
+                       for s in range(num_devices)))
+    rows = np.zeros((num_devices, num_devices, l_max), np.int32)
+    cols = np.zeros_like(rows)
+    vidx = np.zeros_like(rows)
+    mask = np.zeros(rows.shape, np.float32)
+    for d in range(num_devices):
+        for s in range(num_devices):
+            for j, (r, c, vi) in enumerate(sched[d][s]):
+                rows[d, s, j] = r
+                cols[d, s, j] = c
+                vidx[d, s, j] = vi
+                mask[d, s, j] = 1.0
+    return _PlanArrays(rows, cols, vidx, mask, vals, l_max, lv_max)
+
+
+class DistributedBsrSpmm:
+    """Handle for C = A_bsr @ X over a 1-D mesh axis.
+
+    Usage:
+        mesh = make_mesh([("x", 8)])
+        spmm = DistributedBsrSpmm(a_bsr, n, mesh)
+        c = spmm(x)        # x: (k, n) row-sharded over "x" (auto-placed)
+
+    The returned C (m, n) is row-sharded over the same axis.
+    """
+
+    def __init__(self, a: BsrMatrix, n: int, mesh: Mesh, axis: str = "x",
+                 dtype: Optional[Datatype] = None):
+        self.a = a
+        self.n = n
+        self.mesh = mesh
+        self.axis = axis
+        self.num_devices = mesh.shape[axis]
+        if dtype is None:
+            dtype = Datatype.F32
+        self.dtype = to_jnp(dtype)
+        m, k = a.shape
+        self.m, self.k = m, k
+        self.nnz = a.nnz
+        self.flops = 2 * a.nnz * n
+
+        plan = _build_plan(a, self.num_devices)
+        self._plan = plan
+        pspec = NamedSharding(mesh, P(axis))
+        self.rows = jax.device_put(jnp.asarray(plan.rows), pspec)
+        self.cols = jax.device_put(jnp.asarray(plan.cols), pspec)
+        self.vidx = jax.device_put(jnp.asarray(plan.vidx), pspec)
+        self.mask = jax.device_put(jnp.asarray(plan.mask, self.dtype), pspec)
+        self.vals = jax.device_put(jnp.asarray(plan.vals, self.dtype), pspec)
+        self.x_sharding = NamedSharding(mesh, P(axis, None))
+        self._fn = self._build()
+
+    def _build(self):
+        a = self.a
+        num = self.num_devices
+        axis = self.axis
+        mb_loc = (self.m // a.br) // num
+        kb_seg = (self.k // a.bc) // num
+        br, bc, n = a.br, a.bc, self.n
+        l_max = self._plan.l_max
+
+        def local_fn(rows, cols, vidx, mask, vals, x_local):
+            # shard_map-local shapes: rows (1,S,L), vals (1,Lv,br,bc),
+            # x_local (k/P, n)
+            rows0, cols0, vidx0, mask0, vals0 = (
+                rows[0], cols[0], vidx[0], mask[0], vals[0])
+
+            def step(s, carry):
+                x_seg, acc = carry
+                r = rows0[s]                       # (L,)
+                c = cols0[s]
+                vi = vidx0[s]
+                mk = mask0[s]
+                blocks = jnp.take(vals0, vi, axis=0)          # (L, br, bc)
+                xs = x_seg.reshape(kb_seg, bc, n)
+                xg = jnp.take(xs, c, axis=0)                  # (L, bc, n)
+                contrib = jnp.einsum(
+                    "lij,ljn->lin", blocks, xg,
+                    preferred_element_type=jnp.float32)
+                contrib = contrib * mk[:, None, None]
+                accb = jax.ops.segment_sum(contrib, r,
+                                           num_segments=mb_loc)
+                acc = acc + accb.reshape(mb_loc * br, n)
+                # rotate the segment to the next device (ICI neighbor ring)
+                x_seg = jax.lax.ppermute(
+                    x_seg, axis,
+                    perm=[(i, (i + 1) % num) for i in range(num)])
+                return x_seg, acc
+
+            acc0 = jnp.zeros((mb_loc * br, n), jnp.float32)
+            # mark the accumulator as device-varying for shard_map's
+            # varying-axis type system (it will hold per-shard partials)
+            acc0 = jax.lax.pvary(acc0, (axis,))
+            _, acc = jax.lax.fori_loop(0, num, step, (x_local, acc0))
+            return acc.astype(x_local.dtype)
+
+        shmapped = jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis, None)),
+            out_specs=P(axis, None))
+        jitted = jax.jit(shmapped)
+
+        def run(x):
+            x = jax.device_put(x.astype(self.dtype), self.x_sharding)
+            return jitted(self.rows, self.cols, self.vidx, self.mask,
+                          self.vals, x)
+
+        return run
+
+    def __call__(self, x):
+        return self._fn(x)

@@ -1,0 +1,55 @@
+"""MatrixMarket (.mtx) reader.
+
+Analogue of the reference's CSR/CSC readers used by the sparse generators
+and the PyFR driver (/root/reference/src/generator_spgemm_csr_reader.c,
+generator_spgemm_csc_reader.c, samples/xgemm_sparse_Ainregs). Minimal,
+dependency-free (scipy.io.mmread is used when available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_mtx(path: str) -> np.ndarray:
+    """Read a MatrixMarket file into a dense ndarray."""
+    try:
+        from scipy.io import mmread
+        mat = mmread(path)
+        if hasattr(mat, "todense"):
+            return np.asarray(mat.todense())
+        return np.asarray(mat)
+    except ImportError:
+        pass
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise ValueError(f"{path}: not a MatrixMarket file")
+        is_coord = "coordinate" in header
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        dims = line.split()
+        if is_coord:
+            m, n, nnz = int(dims[0]), int(dims[1]), int(dims[2])
+            out = np.zeros((m, n))
+            for _ in range(nnz):
+                parts = f.readline().split()
+                i, j = int(parts[0]) - 1, int(parts[1]) - 1
+                v = float(parts[2]) if len(parts) > 2 else 1.0
+                out[i, j] = v
+            return out
+        m, n = int(dims[0]), int(dims[1])
+        vals = np.fromstring(f.read(), sep=" ")
+        # array format is column-major per the MatrixMarket spec
+        return vals.reshape(n, m).T
+
+
+def write_mtx(path: str, a: np.ndarray) -> None:
+    a = np.asarray(a)
+    nz = np.nonzero(a)
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{a.shape[0]} {a.shape[1]} {len(nz[0])}\n")
+        for i, j in zip(*nz):
+            f.write(f"{i + 1} {j + 1} {a[i, j]:.17g}\n")

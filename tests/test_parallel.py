@@ -1,0 +1,86 @@
+"""Distributed BSR SpMM tests on the 8-virtual-device CPU mesh.
+
+The no-hardware multi-chip mode from SURVEY.md §4: shard_map + ppermute
+semantics are platform-independent, so correctness proven here transfers to
+ICI rings on real slices.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from libxsmm_tpu.ops.sparse import BsrMatrix
+from libxsmm_tpu.parallel.mesh import make_mesh, shard
+from libxsmm_tpu.parallel.spmm_dist import DistributedBsrSpmm
+from libxsmm_tpu.matdiff import check
+
+RNG = np.random.default_rng(5)
+
+
+def _block_sparse(m, k, br, bc, density):
+    mb, kb = m // br, k // bc
+    mask = RNG.random((mb, kb)) < density
+    # ensure at least one block per block-row (typical for PDE operators)
+    for i in range(mb):
+        if not mask[i].any():
+            mask[i, RNG.integers(kb)] = True
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    a *= np.kron(mask, np.ones((br, bc)))
+    return a
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_dist_spmm_matches_dense(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    m = k = 32 * ndev
+    br = bc = 8
+    n = 16
+    a = _block_sparse(m, k, br, bc, 0.3)
+    bsr = BsrMatrix.from_dense(a, br, bc)
+    mesh = make_mesh([("x", ndev)])
+    spmm = DistributedBsrSpmm(bsr, n, mesh)
+    x = RNG.standard_normal((k, n)).astype(np.float32)
+    c = np.asarray(spmm(x))
+    check(a @ x, c, margin=1e-4)
+    assert spmm.nnz == bsr.nnz
+
+
+def test_dist_spmm_uneven_pattern():
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    m, k, br, bc, n = 64, 128, 4, 8, 8
+    # heavily skewed: all blocks in the first block-row band
+    a = np.zeros((m, k), np.float32)
+    a[:4, :] = RNG.standard_normal((4, k))
+    bsr = BsrMatrix.from_dense(a, br, bc)
+    mesh = make_mesh([("x", ndev)])
+    spmm = DistributedBsrSpmm(bsr, n, mesh)
+    x = RNG.standard_normal((k, n)).astype(np.float32)
+    check(a @ x, np.asarray(spmm(x)), margin=1e-4)
+
+
+def test_dist_spmm_identity():
+    ndev = 2
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    m = k = 32
+    a = np.eye(m, dtype=np.float32)
+    bsr = BsrMatrix.from_dense(a, 4, 4)
+    mesh = make_mesh([("x", ndev)])
+    spmm = DistributedBsrSpmm(bsr, 8, mesh)
+    x = RNG.standard_normal((k, 8)).astype(np.float32)
+    check(x, np.asarray(spmm(x)), margin=1e-6)
+
+
+def test_dist_spmm_indivisible_raises():
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    a = np.eye(12, dtype=np.float32)   # 3 block-rows, not divisible by 4
+    bsr = BsrMatrix.from_dense(a, 4, 4)
+    mesh = make_mesh([("x", ndev)])
+    with pytest.raises(ValueError):
+        DistributedBsrSpmm(bsr, 8, mesh)

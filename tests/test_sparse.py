@@ -1,0 +1,260 @@
+"""Sparse SpGEMM + fsspmdm tests — randomized patterns vs NumPy oracle.
+
+Models samples/xgemm_sparse (BCSC B-sparse), xgemm_norm_packed (packed
+CSR/CSC) and tests/fsspmdm.sh (hint randomization), SURVEY.md §2.7/§4.
+"""
+
+import numpy as np
+import pytest
+
+import libxsmm_tpu as xt
+from libxsmm_tpu.descriptor import GemmFlags, GemmShape, SpgemmConfig
+from libxsmm_tpu.dtypes import Datatype
+from libxsmm_tpu.matdiff import check
+from libxsmm_tpu.ops.fsspmdm import (fsspmdm_create, fsspmdm_destroy,
+                                     fsspmdm_execute)
+from libxsmm_tpu.ops.sparse import (BcscMatrix, CscMatrix, CsrMatrix,
+                                    create_packed_spgemm_bcsc,
+                                    create_packed_spgemm_csc,
+                                    create_packed_spgemm_csr,
+                                    create_spgemm_csr_areg)
+
+RNG = np.random.default_rng(99)
+
+
+def _sparse_dense(m, k, density=0.3):
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    a[RNG.random((m, k)) >= density] = 0.0
+    return a
+
+
+# ---------------------------------------------------------------------------
+# host containers
+# ---------------------------------------------------------------------------
+
+def test_csr_roundtrip():
+    a = _sparse_dense(13, 9)
+    csr = CsrMatrix.from_dense(a)
+    np.testing.assert_array_equal(csr.to_dense(), a)
+    assert csr.nnz == np.count_nonzero(a)
+    # fingerprint is pattern-only unless values included
+    a2 = a * 2
+    assert (CsrMatrix.from_dense(a2).fingerprint()
+            == csr.fingerprint())
+    assert (CsrMatrix.from_dense(a2).fingerprint(include_values=True)
+            != csr.fingerprint(include_values=True))
+
+
+def test_bcsc_roundtrip():
+    b = _sparse_dense(16, 24, 0.4)
+    # zero whole blocks to create block sparsity
+    bm = BcscMatrix.from_dense(b, bk=4, bn=8)
+    np.testing.assert_array_equal(bm.to_dense(), b)
+
+
+def test_bcsc_bad_blocks():
+    with pytest.raises(ValueError):
+        BcscMatrix.from_dense(np.ones((10, 10)), bk=3, bn=5)
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM CSR (A sparse)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,n,k,density", [(16, 24, 12, 0.3),
+                                           (13, 5, 7, 0.5),
+                                           (8, 128, 32, 0.1)])
+def test_pspgemm_csr(m, n, k, density):
+    a = _sparse_dense(m, k, density)
+    csr = CsrMatrix.from_dense(a)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    kern = create_packed_spgemm_csr(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        row_ptr=csr.indptr, column_idx=csr.indices)
+    check(a @ b, np.asarray(kern(csr.data, b)), margin=1e-4)
+    # same values but scaled: pattern reused, new values at runtime
+    check(2 * (a @ b), np.asarray(kern(2 * csr.data, b)), margin=1e-4)
+
+
+def test_pspgemm_csr_packed_width():
+    m, n, k, p = 8, 6, 10, 4
+    a = _sparse_dense(m, k, 0.4)
+    csr = CsrMatrix.from_dense(a)
+    b = RNG.standard_normal((k, n, p)).astype(np.float32)
+    kern = create_packed_spgemm_csr(
+        GemmShape(m, n, k), GemmFlags.BETA_0, packed_width=p,
+        row_ptr=csr.indptr, column_idx=csr.indices)
+    ref = np.einsum("mk,knp->mnp", a, b)
+    check(ref, np.asarray(kern(csr.data, b)), margin=1e-4)
+
+
+def test_pspgemm_csr_beta1():
+    m, n, k = 9, 7, 11
+    a = _sparse_dense(m, k, 0.4)
+    csr = CsrMatrix.from_dense(a)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    c = RNG.standard_normal((m, n)).astype(np.float32)
+    kern = create_packed_spgemm_csr(GemmShape(m, n, k),
+                                    row_ptr=csr.indptr,
+                                    column_idx=csr.indices)
+    check(a @ b + c, np.asarray(kern(csr.data, b, c)), margin=1e-4)
+
+
+def test_pspgemm_pattern_cache():
+    m, n, k = 8, 8, 8
+    a = _sparse_dense(m, k, 0.4)
+    csr = CsrMatrix.from_dense(a)
+    k1 = create_packed_spgemm_csr(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                  row_ptr=csr.indptr,
+                                  column_idx=csr.indices)
+    k2 = create_packed_spgemm_csr(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                  row_ptr=csr.indptr,
+                                  column_idx=csr.indices)
+    assert k1 is k2   # identical pattern fingerprint -> cached kernel
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM CSC (B sparse)
+# ---------------------------------------------------------------------------
+
+def test_pspgemm_csc():
+    m, n, k = 12, 10, 8
+    b = _sparse_dense(k, n, 0.3)
+    csc = CscMatrix.from_dense(b)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_csc(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                    column_ptr=csc.indptr,
+                                    row_idx=csc.indices)
+    check(a @ b, np.asarray(kern(a, csc.data)), margin=1e-4)
+
+
+def test_pspgemm_csc_packed():
+    m, n, k, p = 6, 8, 10, 2
+    b = _sparse_dense(k, n, 0.4)
+    csc = CscMatrix.from_dense(b)
+    a = RNG.standard_normal((m, k, p)).astype(np.float32)
+    kern = create_packed_spgemm_csc(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                    packed_width=p,
+                                    column_ptr=csc.indptr,
+                                    row_idx=csc.indices)
+    ref = np.einsum("mkp,kn->mnp", a, b)
+    check(ref, np.asarray(kern(a, csc.data)), margin=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BCSC (B block-sparse, MXU path)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bk,bn", [(4, 4), (8, 16)])
+def test_pspgemm_bcsc(bk, bn):
+    m, k, n = 32, 32, 64
+    b = _sparse_dense(k, n, 0.2)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    bd = bm.to_dense()
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_bcsc(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        SpgemmConfig(packed_width=1, bk=bk, bn=bn),
+        column_ptr=bm.indptr, row_idx=bm.indices)
+    check(a @ bd, np.asarray(kern(a, bm.data)), margin=1e-4)
+
+
+def test_pspgemm_bcsc_bf16():
+    import jax.numpy as jnp
+    m, k, n, bk, bn = 32, 32, 32, 8, 8
+    b = _sparse_dense(k, n, 0.3)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32)
+    kern = create_packed_spgemm_bcsc(
+        shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        column_ptr=bm.indptr, row_idx=bm.indices)
+    ab = jnp.asarray(a, jnp.bfloat16)
+    vb = jnp.asarray(bm.data, jnp.bfloat16)
+    ref = (np.asarray(ab, np.float32) @
+           BcscMatrix((k, n), bk, bn, bm.indptr, bm.indices,
+                      np.asarray(vb, np.float32)).to_dense())
+    check(ref, np.asarray(kern(ab, vb)), dtype_name="bf16")
+
+
+# ---------------------------------------------------------------------------
+# csr_areg (values baked)
+# ---------------------------------------------------------------------------
+
+def test_spgemm_areg():
+    m, n, k = 16, 48, 12
+    a = _sparse_dense(m, k, 0.25)
+    csr = CsrMatrix.from_dense(a)
+    kern = create_spgemm_csr_areg(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                  csr.indptr, csr.indices, csr.data)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    check(a @ b, np.asarray(kern(b)), margin=1e-4)
+    # values baked -> different values = different kernel
+    kern2 = create_spgemm_csr_areg(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                   csr.indptr, csr.indices, 2 * csr.data)
+    assert kern2 is not kern
+    check(2 * (a @ b), np.asarray(kern2(b)), margin=1e-4)
+
+
+def test_spgemm_areg_nnz_cap():
+    m = k = 300
+    a = np.ones((m, k), np.float32)   # 90000 nnz > 65536 cap
+    csr = CsrMatrix.from_dense(a)
+    with pytest.raises(ValueError):
+        create_spgemm_csr_areg(GemmShape(m, 8, k), GemmFlags.BETA_0,
+                               csr.indptr, csr.indices, csr.data)
+
+
+# ---------------------------------------------------------------------------
+# fsspmdm
+# ---------------------------------------------------------------------------
+
+def test_fsspmdm_auto():
+    m, k, n = 25, 27, 96
+    a = _sparse_dense(m, k, 0.2).astype(np.float64)
+    h = fsspmdm_create(n, a, alpha=1.0, beta=0)
+    b = RNG.standard_normal((k, n))
+    check(a @ b, np.asarray(h.execute(b)), dtype_name="f64", margin=1e-10)
+    assert h.kind in ("dense", "sparse")
+    assert h.nnz == np.count_nonzero(a)
+    fsspmdm_destroy(h)
+
+
+def test_fsspmdm_alpha_beta():
+    m, k, n = 10, 12, 32
+    a = _sparse_dense(m, k, 0.3)
+    h = fsspmdm_create(n, a, alpha=-2.0, beta=1)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    c = RNG.standard_normal((m, n)).astype(np.float32)
+    check(-2.0 * (a @ b) + c, np.asarray(fsspmdm_execute(h, b, c)),
+          margin=1e-4)
+
+
+def test_fsspmdm_hint_override(monkeypatch):
+    from libxsmm_tpu.config import CONFIG
+    m, k, n = 8, 8, 16
+    a = _sparse_dense(m, k, 0.3)
+    monkeypatch.setattr(CONFIG, "fsspmdm_hint", 1)
+    h = fsspmdm_create(n, a)
+    assert h.kind == "sparse"
+    monkeypatch.setattr(CONFIG, "fsspmdm_hint", 2)
+    h = fsspmdm_create(n, a)
+    assert h.kind == "dense"
+
+
+def test_fsspmdm_bad_beta():
+    with pytest.raises(ValueError):
+        fsspmdm_create(8, np.ones((4, 4), np.float32), beta=2)
+
+
+# ---------------------------------------------------------------------------
+# mtx reader roundtrip
+# ---------------------------------------------------------------------------
+
+def test_mtx_roundtrip(tmp_path):
+    from libxsmm_tpu.utils.mtx import read_mtx, write_mtx
+    a = _sparse_dense(9, 5, 0.4).astype(np.float64)
+    p = str(tmp_path / "t.mtx")
+    write_mtx(p, a)
+    np.testing.assert_allclose(read_mtx(p), a, rtol=1e-15)
