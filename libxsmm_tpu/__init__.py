@@ -29,6 +29,15 @@ from .ops.gemm import (dgemm, dispatch_brgemm, dispatch_brgemm_ext,
                        dispatch_tilecfg_gemm, gemm, sgemm)
 from .ops.eltwise import (dispatch_meltw_binary, dispatch_meltw_ternary,
                           dispatch_meltw_unary)
+from .ops.equation import (dispatch_meqn, meqn_create, meqn_destroy,
+                           meqn_push_back_arg, meqn_push_back_binary_op,
+                           meqn_push_back_ternary_op, meqn_push_back_unary_op,
+                           meqn_tree_print)
+from .ops.fsspmdm import (Fsspmdm, fsspmdm_create, fsspmdm_destroy,
+                          fsspmdm_execute)
+from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
+                         create_packed_spgemm_bcsc, create_packed_spgemm_csc,
+                         create_packed_spgemm_csr, create_spgemm_csr_areg)
 
 __version__ = "0.1.0"
 

@@ -60,6 +60,8 @@ class Config:
     fsspmdm_dense_bias: float = 0.1
     fsspmdm_ntune: int = 25
     dump_dir: Optional[str] = None
+    autotune_cache_path: Optional[str] = None   # persistent autotune KV log
+    compilation_cache_dir: Optional[str] = None  # JAX persistent compile cache
 
     @staticmethod
     def from_env() -> "Config":
@@ -73,6 +75,10 @@ class Config:
             fsspmdm_dense_bias=_env_float("XSMM_TPU_FSSPMDM_DENSE_BIAS", 0.1),
             fsspmdm_ntune=_env_int("XSMM_TPU_FSSPMDM_NTUNE", 25),
             dump_dir=os.environ.get("XSMM_TPU_DUMP") or None,
+            autotune_cache_path=os.environ.get("XSMM_TPU_AUTOTUNE_CACHE")
+            or None,
+            compilation_cache_dir=os.environ.get(
+                "XSMM_TPU_COMPILATION_CACHE") or None,
         )
 
 

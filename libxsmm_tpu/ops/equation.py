@@ -1,0 +1,238 @@
+"""Matrix-equation front-end: expression trees fused into one kernel.
+
+Re-design of the reference's matrix-equation IR + JIT
+(/root/reference/src/libxsmm_matrixeqn.{c,h} — builder API
+include/libxsmm.h:148-162; generators src/generator_matequation*.c): the
+user pushes ops and args in PREFIX (depth-first) order, then dispatches a
+single kernel evaluating the whole tree.
+
+TPU-native: the tree is traced into ONE jitted function — XLA performs the
+fusion and temporary planning that the reference implements manually with
+scratch-block vs register-block strategies
+(generator_matequation_avx_avx512.c:290-305). The IR here is kept as a real
+data structure (not just a closure) for the same reasons the reference keeps
+one: validation, pretty-printing (libxsmm_meqn_tree_print :225) and
+introspection.
+
+Builder contract (mirrors the reference):
+  eqn = meqn_create()
+  meqn_push_back_binary_op(eqn, BinaryType.ADD, ...)    # prefix order
+  meqn_push_back_arg(eqn, m, n, in_pos=0, ...)
+  meqn_push_back_arg(eqn, m, n, in_pos=1, ...)
+  fn = dispatch_meqn(eqn, out_m, out_n, out_type)
+  out = fn(arg0, arg1)       # args by in_pos order
+
+MATMUL/BRGEMM op types contract over shapes exactly like ops.gemm; unary
+reduce/bcast flags follow ops.eltwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..descriptor import (BinaryFlags, BinaryType, TernaryFlags, TernaryType,
+                          UnaryFlags, UnaryType)
+from ..dtypes import Datatype, to_jnp
+from ..registry import Kernel, KernelInfo, get_registry
+from .eltwise import (_bcast_unary, apply_binary_op, apply_ternary_op,
+                      apply_unary_op)
+
+_ARITY = {"unary": 1, "binary": 2, "ternary": 3}
+
+
+@dataclasses.dataclass
+class EqnNode:
+    kind: str                    # "arg" | "unary" | "binary" | "ternary"
+    op: Optional[object] = None  # UnaryType | BinaryType | TernaryType
+    flags: int = 0
+    dtype: Datatype = Datatype.F32
+    m: int = 0
+    n: int = 0
+    in_pos: int = -1
+    children: List["EqnNode"] = dataclasses.field(default_factory=list)
+
+    def is_complete(self) -> bool:
+        if self.kind == "arg":
+            return True
+        return len(self.children) == _ARITY[self.kind]
+
+    def pretty(self, depth: int = 0) -> str:
+        pad = "  " * depth
+        if self.kind == "arg":
+            return f"{pad}ARG[{self.in_pos}] {self.m}x{self.n} {self.dtype.value}"
+        lines = [f"{pad}{self.kind.upper()} {self.op.name} "
+                 f"(flags={int(self.flags)}, {self.dtype.value})"]
+        lines += [c.pretty(depth + 1) for c in self.children]
+        return "\n".join(lines)
+
+
+@dataclasses.dataclass
+class Equation:
+    idx: int
+    root: Optional[EqnNode] = None
+    _stack: List[EqnNode] = dataclasses.field(default_factory=list)
+    nargs: int = 0
+
+    def _attach(self, node: EqnNode) -> None:
+        if self.root is None:
+            self.root = node
+        else:
+            if not self._stack:
+                raise ValueError("equation already complete; cannot push")
+            self._stack[-1].children.append(node)
+        if node.kind != "arg":
+            self._stack.append(node)
+        # pop completed operators
+        while self._stack and self._stack[-1].is_complete():
+            self._stack.pop()
+
+    def is_complete(self) -> bool:
+        return self.root is not None and not self._stack
+
+
+_equations: Dict[int, Equation] = {}
+_eqn_lock = threading.Lock()
+_next_idx = [0]
+
+
+def meqn_create() -> int:
+    """libxsmm_meqn_create analogue: returns an equation handle index."""
+    with _eqn_lock:
+        idx = _next_idx[0]
+        _next_idx[0] += 1
+        _equations[idx] = Equation(idx=idx)
+        return idx
+
+
+def _eqn(idx: int) -> Equation:
+    try:
+        return _equations[idx]
+    except KeyError:
+        raise ValueError(f"unknown equation index {idx}") from None
+
+
+def meqn_push_back_arg(idx: int, m: int, n: int,
+                       in_pos: int,
+                       dtype: Datatype = Datatype.F32) -> None:
+    """libxsmm_meqn_push_back_arg analogue; in_pos = position of this arg in
+    the dispatch-time argument list."""
+    eqn = _eqn(idx)
+    eqn._attach(EqnNode(kind="arg", m=m, n=n, in_pos=in_pos, dtype=dtype))
+    eqn.nargs = max(eqn.nargs, in_pos + 1)
+
+
+def meqn_push_back_unary_op(idx: int, op: UnaryType,
+                            dtype: Datatype = Datatype.F32,
+                            flags: UnaryFlags = UnaryFlags.NONE) -> None:
+    _eqn(idx)._attach(EqnNode(kind="unary", op=op, flags=UnaryFlags(flags),
+                              dtype=dtype))
+
+
+def meqn_push_back_binary_op(idx: int, op: BinaryType,
+                             dtype: Datatype = Datatype.F32,
+                             flags: BinaryFlags = BinaryFlags.NONE) -> None:
+    _eqn(idx)._attach(EqnNode(kind="binary", op=op, flags=BinaryFlags(flags),
+                              dtype=dtype))
+
+
+def meqn_push_back_ternary_op(idx: int, op: TernaryType,
+                              dtype: Datatype = Datatype.F32,
+                              flags: TernaryFlags = TernaryFlags.NONE) -> None:
+    _eqn(idx)._attach(EqnNode(kind="ternary", op=op,
+                              flags=TernaryFlags(flags), dtype=dtype))
+
+
+def meqn_tree_print(idx: int) -> str:
+    """libxsmm_meqn_tree_print analogue (returns and prints)."""
+    s = _eqn(idx).root.pretty() if _eqn(idx).root else "<empty>"
+    print(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _eval(node: EqnNode, args: tuple, comp):
+    if node.kind == "arg":
+        return args[node.in_pos].astype(comp)
+    kids = [_eval(c, args, comp) for c in node.children]
+    if node.kind == "unary":
+        # BCAST_* flags are resolved by jnp broadcasting at the consumer op
+        return apply_unary_op(node.op, UnaryFlags(node.flags), kids[0])
+    if node.kind == "binary":
+        op = node.op
+        if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
+            a, b = kids
+            ta = "A_TRANS" in op.name
+            tb = "B_TRANS" in op.name
+            a = a.T if ta else a
+            b = b.T if tb else b
+            if op.name.startswith("BRGEMM"):
+                return jnp.einsum("bmk,bkn->mn", a, b,
+                                  preferred_element_type=comp,
+                                  precision=jax.lax.Precision.HIGHEST)
+            return jnp.dot(a, b, preferred_element_type=comp,
+                           precision=jax.lax.Precision.HIGHEST)
+        return apply_binary_op(op, BinaryFlags(node.flags), *kids)
+    if node.kind == "ternary":
+        op = node.op
+        if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
+            a, b, c = kids
+            a = a.T if "A_TRANS" in op.name else a
+            b = b.T if "B_TRANS" in op.name else b
+            if op.name.startswith("BRGEMM"):
+                return jnp.einsum("bmk,bkn->mn", a, b,
+                                  preferred_element_type=comp,
+                                  precision=jax.lax.Precision.HIGHEST) + c
+            return jnp.dot(a, b, preferred_element_type=comp,
+                           precision=jax.lax.Precision.HIGHEST) + c
+        return apply_ternary_op(op, TernaryFlags(node.flags), *kids)
+    raise ValueError(node.kind)
+
+
+def _tree_signature(node: EqnNode):
+    if node.kind == "arg":
+        return ("arg", node.m, node.n, node.in_pos, node.dtype)
+    return (node.kind, node.op, int(node.flags), node.dtype,
+            tuple(_tree_signature(c) for c in node.children))
+
+
+def dispatch_meqn(idx: int, out_m: int, out_n: int,
+                  out_type: Datatype = Datatype.F32) -> Kernel:
+    """libxsmm_dispatch_meqn analogue: fuse the tree into one jitted kernel.
+
+    Returned kernel takes the args in in_pos order: kernel(arg0, arg1, ...).
+    """
+    eqn = _eqn(idx)
+    if not eqn.is_complete():
+        raise ValueError(f"equation {idx} is incomplete")
+    desc = ("meqn", _tree_signature(eqn.root), out_m, out_n, out_type)
+
+    def _build(_key):
+        comp = jnp.float32
+        out_dt = to_jnp(out_type)
+        root = eqn.root
+
+        @jax.named_scope(f"xsmm_meqn_{idx}_{out_m}x{out_n}")
+        def run(*args):
+            res = _eval(root, args, comp)
+            if isinstance(res, tuple):
+                return tuple(r.astype(out_dt) for r in res)
+            return res.astype(out_dt)
+
+        info = KernelInfo(kind="meqn", nflops=out_m * out_n)
+        return Kernel(fn=jax.jit(run), descriptor=desc, info=info,
+                      name=f"meqn_{out_m}x{out_n}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+def meqn_destroy(idx: int) -> None:
+    with _eqn_lock:
+        _equations.pop(idx, None)

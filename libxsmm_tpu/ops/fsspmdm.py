@@ -69,6 +69,19 @@ class Fsspmdm:
         return self.execute(b, c)
 
 
+def _autotune_cache():
+    """Persistent KV log for autotune picks (XSMM_TPU_AUTOTUNE_CACHE path);
+    None when disabled or the native library is unavailable."""
+    path = CONFIG.autotune_cache_path
+    if not path:
+        return None
+    try:
+        from ..native_bridge import PersistentKv
+        return PersistentKv(path)
+    except Exception:
+        return None
+
+
 def _bench(fn, args, reps: int) -> float:
     out = fn(*args)
     jax.block_until_ready(out)
@@ -139,12 +152,27 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         except ValueError:
             sparse_kernel = None   # nnz over cap -> dense only
 
+    # persistent autotune decisions (native KV log; SURVEY.md §5.4 — the
+    # TPU analogue of AOT static kernels persisting across runs)
+    cache = _autotune_cache()
+    cache_key = (f"fsspmdm:{m}:{n}:{k}:{beta}:{dtype.value}:"
+                 f"{csr.fingerprint(include_values=True):x}").encode()
+    cached_kind = None
+    if cache is not None:
+        raw = cache.get(cache_key)
+        if raw in (b"dense", b"sparse"):
+            cached_kind = raw.decode()
+
     hint = CONFIG.fsspmdm_hint
     tuned = {}
     if hint == 2 or sparse_kernel is None:
         pick, kind = dense_kernel, "dense"
     elif hint == 1:
         pick, kind = sparse_kernel, "sparse"
+    elif cached_kind is not None:
+        kind = cached_kind
+        pick = dense_kernel if kind == "dense" else sparse_kernel
+        tuned["cached"] = True
     else:
         # create-time microbenchmark on device (:285-382)
         rng = np.random.default_rng(0)
@@ -160,6 +188,8 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
             pick, kind = sparse_kernel, "sparse"
         else:
             pick, kind = dense_kernel, "dense"
+        if cache is not None:
+            cache.put(cache_key, kind.encode())
 
     if CONFIG.verbose >= 2:
         print(f"libxsmm_tpu: fsspmdm {m}x{n}x{k} nnz={nnz} -> {kind} "

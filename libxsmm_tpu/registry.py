@@ -206,6 +206,12 @@ def init() -> Registry:
                 _REGISTRY = Registry()
                 if CONFIG.verbose:
                     atexit.register(_atexit_dump)
+                if CONFIG.compilation_cache_dir:
+                    # XLA executables persist across processes — the TPU
+                    # analogue of the reference's AOT static kernels
+                    import jax
+                    jax.config.update("jax_compilation_cache_dir",
+                                      CONFIG.compilation_cache_dir)
     return _REGISTRY
 
 

@@ -1,0 +1,128 @@
+"""xsmm-gen: AOT kernel pre-compilation from a JSON manifest.
+
+TPU rendition of the reference's offline codegen pair
+(/root/reference/src/libxsmm_generator_gemm_driver.c CLI and
+src/libxsmm_binaryexport_generator.c + samples/static_codegen JSON
+manifests): instead of emitting machine code, it dispatches every kernel in
+the manifest so the XLA compilations land in the persistent compilation
+cache (XSMM_TPU_COMPILATION_CACHE) — later processes start warm, the same
+effect as the reference's `make MNK=...` static kernel registration
+(src/libxsmm_main.c:622-666).
+
+Manifest schema (JSON):
+{
+  "gemm":   [{"m":32,"n":32,"k":32,"dtype":"f32","beta":0,"br":0}, ...],
+  "eltwise":[{"op":"RELU","kind":"unary","m":64,"n":64,"dtype":"f32"}, ...]
+}
+
+Usage: python -m libxsmm_tpu.utils.cli manifest.json [--bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _gen_gemm(spec: dict, bench: bool) -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import libxsmm_tpu as xt
+    from ..descriptor import (BatchReduceConfig, BatchReduceType, GemmFlags,
+                              GemmShape)
+    from ..dtypes import Datatype, to_jnp
+
+    dt = Datatype(spec.get("dtype", "f32"))
+    odt = Datatype(spec.get("out_dtype", spec.get("dtype", "f32")))
+    shape = GemmShape(spec["m"], spec["n"], spec["k"], a_in_type=dt,
+                      b_in_type=dt, out_type=odt)
+    flags = GemmFlags.BETA_0 if spec.get("beta", 1) == 0 else GemmFlags.NONE
+    br = int(spec.get("br", 0))
+    batch = int(spec.get("batch", 0))
+    if batch:
+        kern = xt.dispatch_gemm_batched(shape, flags)
+    elif br:
+        kern = xt.dispatch_brgemm(
+            shape, flags, BatchReduceConfig(BatchReduceType.STRIDE, br))
+    else:
+        kern = xt.dispatch_gemm(shape, flags)
+
+    rng = np.random.default_rng(0)
+    lead = (batch,) if batch else ((br,) if br else ())
+    a = jnp.asarray(rng.standard_normal((*lead, shape.m, shape.k)),
+                    to_jnp(dt))
+    b = jnp.asarray(rng.standard_normal((*lead, shape.k, shape.n)),
+                    to_jnp(dt))
+    args = (a, b) if spec.get("beta", 1) == 0 else (
+        a, b, jnp.zeros((*(lead if batch else ()), shape.m, shape.n),
+                        to_jnp(odt)))
+    out = kern(*args)          # trigger compile -> persistent cache
+    jax.block_until_ready(out)
+    note = ""
+    if bench:
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = kern(*args)
+        jax.block_until_ready(out)
+        per = (time.perf_counter() - t0) / 20
+        note = f"  {xt.get_kernel_info(kern).nflops * max(1, batch) / per / 1e9:.1f} GF/s"
+    return f"gemm {kern.name}{note}"
+
+
+def _gen_eltwise(spec: dict, bench: bool) -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import libxsmm_tpu as xt
+    from ..descriptor import BinaryType, TernaryType, UnaryType
+    from ..dtypes import Datatype, to_jnp
+
+    kind = spec.get("kind", "unary")
+    m, n = spec["m"], spec["n"]
+    dt = Datatype(spec.get("dtype", "f32"))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, n)), to_jnp(dt))
+    if kind == "unary":
+        kern = xt.dispatch_meltw_unary(UnaryType[spec["op"]], m, n,
+                                       in_type=dt)
+        out = kern(x)
+    elif kind == "binary":
+        kern = xt.dispatch_meltw_binary(BinaryType[spec["op"]], m, n,
+                                        in_type=dt)
+        out = kern(x, x)
+    else:
+        kern = xt.dispatch_meltw_ternary(TernaryType[spec["op"]], m, n,
+                                         in_type=dt)
+        out = kern(x, x, x)
+    jax.block_until_ready(out)
+    return f"eltwise {kern.name}"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="xsmm-gen", description=__doc__)
+    p.add_argument("manifest", help="JSON kernel manifest")
+    p.add_argument("--bench", action="store_true",
+                   help="report GFLOP/s per kernel")
+    args = p.parse_args(argv)
+
+    with open(args.manifest) as f:
+        manifest = json.load(f)
+
+    count = 0
+    for spec in manifest.get("gemm", []):
+        print(_gen_gemm(spec, args.bench))
+        count += 1
+    for spec in manifest.get("eltwise", []):
+        print(_gen_eltwise(spec, args.bench))
+        count += 1
+    print(f"xsmm-gen: {count} kernels compiled")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

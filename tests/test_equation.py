@@ -1,0 +1,181 @@
+"""Matrix-equation tests — the reference's equation sample set
+(samples/equation/: simple, relu, layernorm, softmax, gather_dot, matmul,
+splitSGD) rebuilt through the tree-builder API, checked vs NumPy.
+"""
+
+import numpy as np
+import pytest
+
+from libxsmm_tpu.descriptor import (BinaryFlags, BinaryType, TernaryType,
+                                    UnaryFlags, UnaryType)
+from libxsmm_tpu.dtypes import Datatype
+from libxsmm_tpu.matdiff import check
+from libxsmm_tpu.ops.equation import (dispatch_meqn, meqn_create,
+                                      meqn_destroy, meqn_push_back_arg,
+                                      meqn_push_back_binary_op,
+                                      meqn_push_back_ternary_op,
+                                      meqn_push_back_unary_op,
+                                      meqn_tree_print)
+
+RNG = np.random.default_rng(17)
+
+
+def _r(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+def test_equation_simple():
+    # out = (a + b) * c   — prefix: MUL( ADD(a, b), c )
+    m, n = 8, 12
+    a, b, c = _r(m, n), _r(m, n), _r(m, n)
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.MUL)
+    meqn_push_back_binary_op(idx, BinaryType.ADD)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=1)
+    meqn_push_back_arg(idx, m, n, in_pos=2)
+    kern = dispatch_meqn(idx, m, n)
+    check((a + b) * c, np.asarray(kern(a, b, c)), margin=1e-6)
+
+
+def test_equation_relu_of_matmul():
+    # out = relu(A @ B + bias_col)  (equation_relu / matmul fusion)
+    m, k, n = 16, 8, 24
+    a, b = _r(m, k), _r(k, n)
+    bias = _r(1, n)
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.RELU)
+    meqn_push_back_binary_op(idx, BinaryType.ADD)
+    meqn_push_back_binary_op(idx, BinaryType.MATMUL)
+    meqn_push_back_arg(idx, m, k, in_pos=0)
+    meqn_push_back_arg(idx, k, n, in_pos=1)
+    meqn_push_back_arg(idx, 1, n, in_pos=2)
+    kern = dispatch_meqn(idx, m, n)
+    ref = np.maximum(a @ b + bias, 0)
+    check(ref, np.asarray(kern(a, b, bias)), margin=1e-5)
+
+
+def test_equation_layernorm():
+    # out = (x - mean(x)) * rsqrt(var + eps) * gamma + beta, rowwise
+    # built as: TERNARY_MULADD( MUL(xc, rstd), gamma, beta ) with
+    # xc = SUB(x, mean) — means/vars fed as reduce-op sub-equations.
+    m, n = 32, 64
+    x = _r(m, n)
+    gamma, beta = _r(1, n), _r(1, n)
+    eps = 1e-5
+
+    idx = meqn_create()
+    meqn_push_back_ternary_op(idx, TernaryType.MULADD)
+    #   in0 = (x - mean) * rstd
+    meqn_push_back_binary_op(idx, BinaryType.MUL)
+    meqn_push_back_binary_op(idx, BinaryType.SUB)
+    meqn_push_back_arg(idx, m, n, in_pos=0)          # x
+    meqn_push_back_arg(idx, m, 1, in_pos=1)          # mean (row)
+    meqn_push_back_arg(idx, m, 1, in_pos=2)          # rstd (row)
+    #   in1 = gamma, in2 = beta
+    meqn_push_back_arg(idx, 1, n, in_pos=3)
+    meqn_push_back_arg(idx, 1, n, in_pos=4)
+    kern = dispatch_meqn(idx, m, n)
+
+    mean = x.mean(axis=1, keepdims=True)
+    var = x.var(axis=1, keepdims=True)
+    rstd = 1.0 / np.sqrt(var + eps)
+    ref = (x - mean) * rstd * gamma + beta
+    check(ref, np.asarray(kern(x, mean, rstd, gamma, beta)), margin=1e-5)
+
+
+def test_equation_softmax():
+    # rowwise softmax: EXP(x - max) / sum
+    m, n = 16, 32
+    x = _r(m, n)
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.DIV)
+    meqn_push_back_unary_op(idx, UnaryType.EXP)
+    meqn_push_back_binary_op(idx, BinaryType.SUB)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, 1, in_pos=1)          # row max
+    meqn_push_back_arg(idx, m, 1, in_pos=2)          # row expsum
+    kern = dispatch_meqn(idx, m, n)
+    mx = x.max(axis=1, keepdims=True)
+    e = np.exp(x - mx)
+    ref = e / e.sum(axis=1, keepdims=True)
+    check(ref, np.asarray(kern(x, mx, e.sum(axis=1, keepdims=True))),
+          margin=1e-5)
+
+
+def test_equation_gather_dot():
+    # reduce_add(cols) of elementwise product (equation_gather_dot shape)
+    m, n = 12, 20
+    a, b = _r(m, n), _r(m, n)
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.REDUCE_X_OP_ADD,
+                            flags=UnaryFlags.REDUCE_ROWS)
+    meqn_push_back_binary_op(idx, BinaryType.MUL)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=1)
+    kern = dispatch_meqn(idx, m, 1)
+    ref = (a * b).sum(axis=1, keepdims=True)
+    check(ref, np.asarray(kern(a, b)), margin=1e-5)
+
+
+def test_equation_split_sgd_bf16():
+    # splitSGD flavor: w' = w - lr * g, computed in f32, emitted bf16
+    m, n = 16, 16
+    w, g = _r(m, n), _r(m, n)
+    lr = np.asarray([[0.01]], np.float32)
+    idx = meqn_create()
+    meqn_push_back_ternary_op(idx, TernaryType.NMULADD)
+    meqn_push_back_arg(idx, 1, 1, in_pos=0)          # lr (scalar bcast)
+    meqn_push_back_arg(idx, m, n, in_pos=1)          # g
+    meqn_push_back_arg(idx, m, n, in_pos=2)          # w
+    kern = dispatch_meqn(idx, m, n, out_type=Datatype.BF16)
+    ref = w - 0.01 * g
+    out = np.asarray(kern(lr, g, w), np.float32)
+    check(ref, out, dtype_name="bf16")
+
+
+def test_equation_brgemm_node():
+    br, m, k, n = 4, 8, 6, 10
+    a, b = _r(br, m, k), _r(br, k, n)
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.BRGEMM)
+    meqn_push_back_arg(idx, m, k, in_pos=0)
+    meqn_push_back_arg(idx, k, n, in_pos=1)
+    kern = dispatch_meqn(idx, m, n)
+    ref = np.einsum("bmk,bkn->mn", a, b)
+    check(ref, np.asarray(kern(a, b)), margin=1e-5)
+
+
+def test_equation_incomplete_raises():
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.ADD)
+    meqn_push_back_arg(idx, 4, 4, in_pos=0)
+    with pytest.raises(ValueError):
+        dispatch_meqn(idx, 4, 4)
+
+
+def test_equation_overcomplete_raises():
+    idx = meqn_create()
+    meqn_push_back_arg(idx, 4, 4, in_pos=0)   # complete: a bare arg
+    with pytest.raises(ValueError):
+        meqn_push_back_arg(idx, 4, 4, in_pos=1)
+
+
+def test_equation_cache_and_print():
+    m, n = 4, 4
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.ADD)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=1)
+    s = meqn_tree_print(idx)
+    assert "BINARY ADD" in s and "ARG[0]" in s
+    k1 = dispatch_meqn(idx, m, n)
+    # identical tree in a NEW equation -> same cached kernel
+    idx2 = meqn_create()
+    meqn_push_back_binary_op(idx2, BinaryType.ADD)
+    meqn_push_back_arg(idx2, m, n, in_pos=0)
+    meqn_push_back_arg(idx2, m, n, in_pos=1)
+    k2 = dispatch_meqn(idx2, m, n)
+    assert k1 is k2
+    meqn_destroy(idx)
+    meqn_destroy(idx2)

@@ -258,3 +258,21 @@ def test_mtx_roundtrip(tmp_path):
     p = str(tmp_path / "t.mtx")
     write_mtx(p, a)
     np.testing.assert_allclose(read_mtx(p), a, rtol=1e-15)
+
+
+def test_fsspmdm_autotune_cache(tmp_path, monkeypatch):
+    from libxsmm_tpu import native_bridge
+    if native_bridge.load() is None:
+        pytest.skip("native lib unavailable")
+    from libxsmm_tpu.config import CONFIG
+    monkeypatch.setattr(CONFIG, "autotune_cache_path",
+                        str(tmp_path / "tune.xkv"))
+    m, k, n = 8, 8, 32
+    a = _sparse_dense(m, k, 0.3)
+    h1 = fsspmdm_create(n, a)
+    assert "cached" not in h1.tuned_us
+    h2 = fsspmdm_create(n, a)          # same matrix -> cached decision
+    assert h2.tuned_us.get("cached") is True
+    assert h2.kind == h1.kind
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    check(a @ b, np.asarray(h2.execute(b)), margin=1e-4)
