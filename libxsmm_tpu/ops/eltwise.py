@@ -82,6 +82,15 @@ _UNARY_MATH = {
         x > 0, jnp.ones_like(x), alpha * jnp.exp(x)),
 }
 
+def _trunc_f32_to_bf16_f32(x):
+    """f32 value truncated to a bf16-representable value, kept in f32 —
+    computed via integer bit ops so XLA cannot demote dependent f32
+    arithmetic to bf16."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
 _REDUCE_OPS = {
     UnaryType.REDUCE_X_OP_ADD: ("add", False),
     UnaryType.REDUCE_X2_OP_ADD: ("add", True),
@@ -181,7 +190,12 @@ def apply_unary_op(op: UnaryType, flags: UnaryFlags, x, **state):
             return (jnp.sum(x, axis=axis, keepdims=True),
                     jnp.sum(x * x, axis=axis, keepdims=True))
         src = x * x if squared else x
-        return _apply_reduce(kind, src, axis)
+        red = _apply_reduce(kind, src, axis)
+        if flags & UnaryFlags.REDUCE_RECORD_ARGOP and kind in ("max", "min"):
+            arg = (jnp.argmax if kind == "max" else jnp.argmin)(
+                src, axis=axis, keepdims=True)
+            return red, arg.astype(jnp.int32)
+        return red
     if op == UnaryType.REDUCE_TO_SCALAR_OP_ADD:
         return jnp.sum(x).reshape(1, 1)
     if op == UnaryType.TRANSFORM_NORM_TO_NORMT:
@@ -353,6 +367,19 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
             factor = int(op.name.rsplit("_", 1)[1])
             (mask,) = args
             return _decompress_sparse(xb, mask, factor, m, n, x.dtype)
+        if op == UnaryType.DECOMP_FP32_TO_BF16X2:
+            # split f32 into (hi, lo) bf16 with x ~= hi + lo (splitSGD).
+            # hi is derived by TRUNCATING x's own bits: computing
+            # x - bf16(x).astype(f32) is elided to bf16 by XLA on TPU
+            # (the convert is folded into the sub), losing the residual.
+            hf = _trunc_f32_to_bf16_f32(xb)
+            return hf.astype(jnp.bfloat16), (xb - hf).astype(jnp.bfloat16)
+        if op == UnaryType.DECOMP_FP32_TO_BF16X3:
+            h1f = _trunc_f32_to_bf16_f32(xb)
+            r1 = xb - h1f
+            h2f = _trunc_f32_to_bf16_f32(r1)
+            h3 = (r1 - h2f).astype(jnp.bfloat16)
+            return h1f.astype(jnp.bfloat16), h2f.astype(jnp.bfloat16), h3
         if op == UnaryType.DUMP:
             jax.debug.print("xsmm dump {}", x)
             return x

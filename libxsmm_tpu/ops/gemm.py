@@ -50,8 +50,18 @@ from ..registry import Kernel, KernelInfo, get_registry
 from .eltwise import apply_binary_op, apply_unary_op
 
 
+_INT_IN = (Datatype.I8, Datatype.U8, Datatype.I16, Datatype.U16,
+           Datatype.I32, Datatype.U32)
+
+
 def _comp_dtype(shape: GemmShape):
-    return jnp.float64 if shape.comp_type == Datatype.F64 else jnp.float32
+    if shape.comp_type == Datatype.F64:
+        return jnp.float64
+    if shape.a_in_type in _INT_IN and shape.out_type in _INT_IN:
+        # integer GEMM accumulates in i32 on the MXU (the reference's
+        # i8->i32 contract, generator_gemm.c dtype gating)
+        return jnp.int32
+    return jnp.float32
 
 
 def matmul_precision(shape: GemmShape):

@@ -341,3 +341,45 @@ def test_ternary_bcast():
     kern = xt.dispatch_meltw_ternary(TernaryType.MULADD, m, n,
                                      TernaryFlags.BCAST_COL_IN_1)
     check(a * col + c, np.asarray(kern(a, col, c)), margin=1e-6)
+
+
+def test_decomp_fp32_bf16x2_x3():
+    m, n = 8, 8
+    x = _rand((m, n)) * 10
+    k2 = xt.dispatch_meltw_unary(UnaryType.DECOMP_FP32_TO_BF16X2, m, n)
+    hi, lo = k2(x)
+    recon = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
+    assert np.abs(recon - x).max() <= np.abs(x).max() * 2 ** -15
+    k3 = xt.dispatch_meltw_unary(UnaryType.DECOMP_FP32_TO_BF16X3, m, n)
+    h1, h2, h3 = k3(x)
+    recon = (np.asarray(h1, np.float32) + np.asarray(h2, np.float32)
+             + np.asarray(h3, np.float32))
+    np.testing.assert_allclose(recon, x, rtol=1e-6)
+
+
+def test_reduce_record_argop():
+    m, n = 9, 6
+    x = _rand((m, n))
+    kern = xt.dispatch_meltw_unary(
+        UnaryType.REDUCE_X_OP_MAX, m, n,
+        UnaryFlags.REDUCE_COLS | UnaryFlags.REDUCE_RECORD_ARGOP)
+    red, arg = kern(x)
+    np.testing.assert_allclose(np.asarray(red)[0], x.max(axis=0), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(arg)[0], x.argmax(axis=0))
+
+
+def test_rng_and_timer_utils():
+    from libxsmm_tpu import rng as xrng
+    from libxsmm_tpu.utils import timer
+    st = xrng.set_seed(7)
+    a = np.asarray(xrng.f32_seq((128, 128)))
+    assert 0.0 <= a.min() and a.max() < 1.0
+    assert 0.4 < a.mean() < 0.6
+    st2 = xrng.RngState(7)
+    b = np.asarray(xrng.f32_seq((16,), st2))
+    c = np.asarray(xrng.f32_seq((16,), xrng.RngState(7)))
+    np.testing.assert_array_equal(b, c)   # reproducible from equal seeds
+    import jax.numpy as jnp
+    dt = timer.bench(lambda v: v + 1, (jnp.ones((8, 8)),), reps=3, warmup=1)
+    assert dt > 0
+    assert timer.gflops(1e9, 1.0) == 1.0

@@ -1,0 +1,101 @@
+"""Low-precision conversion / quantization tests (lpflt_quant parity)."""
+
+import numpy as np
+import pytest
+
+from libxsmm_tpu import quant
+from libxsmm_tpu.matdiff import check
+
+RNG = np.random.default_rng(31)
+
+
+def test_bf16_rne_vs_truncate():
+    x = np.float32(1.00390625)   # between bf16 neighbors 1.0 and 1.0078125
+    assert float(quant.rne_convert_fp32_bf16(x)) == 1.00390625 or \
+        float(quant.rne_convert_fp32_bf16(x)) in (1.0, 1.0078125)
+    # truncation always goes toward zero
+    assert float(quant.truncate_convert_fp32_bf16(x)) == 1.0
+    xs = RNG.standard_normal(256).astype(np.float32)
+    rne = np.asarray(quant.rne_convert_fp32_bf16(xs), np.float32)
+    assert np.abs(rne - xs).max() <= np.abs(xs).max() * 2 ** -8
+
+
+def test_bf8_hf8_roundtrip():
+    xs = RNG.standard_normal(128).astype(np.float32)
+    bf8 = quant.rne_convert_fp32_bf8(xs)
+    back = np.asarray(quant.convert_bf8_fp32(bf8))
+    assert np.abs(back - xs).max() <= np.abs(xs).max() * 0.25  # 2 mant bits
+    hf8 = quant.rne_convert_fp32_hf8(xs)
+    back = np.asarray(quant.convert_hf8_fp32(hf8))
+    assert np.abs(back - xs).max() <= np.abs(xs).max() * 0.125
+
+
+def test_quantize_i16_scale_search():
+    xs = (RNG.standard_normal(512) * 100).astype(np.float32)
+    q, scf = quant.quantize_i16(xs)
+    assert q.dtype == np.int16
+    back = np.asarray(quant.dequantize_i16(q, scf))
+    # error bounded by half a quantum
+    assert np.abs(back - xs).max() <= 2.0 ** -scf
+    # scale uses the available range (absmax maps above half range)
+    assert np.abs(np.asarray(q, np.int32)).max() > 16383
+
+
+def test_quantize_i8():
+    xs = RNG.standard_normal(256).astype(np.float32)
+    q, scf = quant.quantize_i8(xs)
+    back = np.asarray(q, np.float32) * 2.0 ** -scf
+    assert np.abs(back - xs).max() <= 2.0 ** -scf
+
+
+def test_quantize_zero():
+    q, scf = quant.quantize_i16(np.zeros(8, np.float32))
+    assert scf == 0 and not np.asarray(q).any()
+
+
+@pytest.mark.parametrize("fmt,rel", [("mxfp4", 0.25), ("mxfp6_e2m3", 0.0625),
+                                     ("mxfp6_e3m2", 0.125),
+                                     ("mxfp8_e4m3", 0.0625),
+                                     ("mxfp8_e5m2", 0.125)])
+def test_mx_roundtrip(fmt, rel):
+    x = RNG.standard_normal((4, 64)).astype(np.float32)
+    q, e = quant.mx_quantize(x, fmt)
+    assert e.shape == (4, 2)
+    back = np.asarray(quant.mx_dequantize(q, e))
+    # block-relative error bound: rel * block absmax
+    xb = x.reshape(4, 2, 32)
+    bb = back.reshape(4, 2, 32)
+    bound = rel * np.abs(xb).max(axis=-1, keepdims=True) + 1e-7
+    assert (np.abs(bb - xb) <= bound).all()
+
+
+def test_mx_grid_mxfp4():
+    # E2M1 grid is the documented {0, .5, 1, 1.5, 2, 3, 4, 6}
+    g = quant._format_grid("mxfp4")
+    np.testing.assert_allclose(g, [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0])
+
+
+def test_mx_bad_inputs():
+    with pytest.raises(ValueError):
+        quant.mx_quantize(np.zeros((2, 30), np.float32), "mxfp4")
+    with pytest.raises(ValueError):
+        quant.mx_quantize(np.zeros((2, 32), np.float32), "nope")
+
+
+def test_i4x2_pack_roundtrip():
+    lo = RNG.integers(-8, 8, 64).astype(np.int8)
+    hi = RNG.integers(-8, 8, 64).astype(np.int8)
+    packed = quant.pack_i4x2(lo, hi)
+    assert np.asarray(packed).dtype == np.uint8
+    lo2, hi2 = quant.unpack_i4x2(packed)
+    np.testing.assert_array_equal(np.asarray(lo2), lo)
+    np.testing.assert_array_equal(np.asarray(hi2), hi)
+
+
+def test_fp4_pack_roundtrip():
+    x = RNG.standard_normal((2, 64)).astype(np.float32)
+    q, e = quant.mx_quantize(x, "mxfp4")
+    packed = quant.pack_fp4(q)
+    assert packed.shape == (2, 32)
+    unpacked = np.asarray(quant.unpack_fp4(packed))
+    np.testing.assert_allclose(unpacked, np.asarray(q), rtol=0, atol=0)
