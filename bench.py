@@ -3,13 +3,16 @@
 Headline metric (BASELINE.md): roofline fraction of the batched 32-class
 small GEMM (the reference's smmbench/magazine streaming workload,
 /root/reference/samples/utilities/smmbench). The workload is HBM-bound
-(5.33 FLOP/byte at 32^3 f32), so the roofline is measured memory bandwidth
-times intensity, capped by MXU peak. vs_baseline = fraction / 0.80 (the
-BASELINE.json target), so >= 1.0 means target met.
+(5.33 FLOP/byte at 32^3 f32), so the roofline is MEASURED memory bandwidth
+times intensity, capped by MEASURED MXU peak. vs_baseline = fraction / 0.80
+(the BASELINE.json target), so >= 1.0 means target met.
 
-Extras report GFLOP/s for BRGEMM, SpMM nnz/s (fsspmdm + BCSC), and the
-measured copy bandwidth, mirroring the reference's per-driver GFLOP/s
-reporting via libxsmm_get_kernel_info nflops.
+Measurement discipline (both learned the hard way on this backend):
+  * every iteration is serially CHAINED through a data dependency — the
+    runtime memoizes repeat executions with identical inputs, so naive
+    fixed-arg loops measure dispatch latency, not the kernel;
+  * best-of-trials is reported — the device is shared and single trials
+    swing by 3x.
 """
 
 import json
@@ -21,32 +24,73 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-
-def _bench_fn(fn, args, reps=50, warmup=2):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+REPS = 10
+ROUNDS = 4
 
 
-def measure_copy_bw():
-    """Effective HBM bandwidth via a big streaming copy (read+write)."""
+class ChainCase:
+    """A chained-iteration benchmark case.
+
+    The runtime memoizes repeat executions with identical inputs, so every
+    iteration must be serially data-dependent; and the device is shared
+    with minute-scale throughput swings, so the driver interleaves all
+    cases over several ROUNDS and keeps each case's best window.
+    """
+
+    def __init__(self, step, state):
+        import jax
+        self.step = step
+        self.state = step(state)        # compile + warmup
+        self.state = step(self.state)
+        jax.block_until_ready(self.state)
+        self.best = float("inf")
+
+    def trial(self, reps=REPS):
+        import jax
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            self.state = self.step(self.state)
+        jax.block_until_ready(self.state)
+        dt = (time.perf_counter() - t0) / reps
+        self.best = min(self.best, dt)
+        return dt
+
+
+def make_copy_case():
+    """Effective HBM bandwidth via a chained streaming scale (read+write)."""
     import jax
     import jax.numpy as jnp
 
     nbytes = 256 * 2**20
     x = jnp.ones((nbytes // 4,), jnp.float32)
-    f = jax.jit(lambda v: v * 1.000001)
-    dt = _bench_fn(f, (x,), reps=20)
-    return 2 * nbytes / dt  # bytes/s (read + write)
+    f = jax.jit(lambda v: v * 1.0000001)
+    return ChainCase(f, x), 2 * nbytes
 
 
-def bench_batched_smm(geom, bw_bytes):
+def make_peak_case(dtype_name):
+    """Measured MXU peak via a chained large matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    dt_ = jnp.float32 if dtype_name == "f32" else jnp.bfloat16
+    prec = (jax.lax.Precision.HIGHEST if dtype_name == "f32"
+            else jax.lax.Precision.DEFAULT)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, n)) / np.sqrt(n), dt_)
+
+    @jax.jit
+    def step(a):
+        out = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+        return out.astype(dt_)   # b is scaled 1/sqrt(n): magnitudes stable
+
+    a0 = jnp.asarray(rng.standard_normal((n, n)), dt_)
+    return ChainCase(step, a0), 2 * n ** 3
+
+
+def make_smm_case():
     import jax.numpy as jnp
 
     import libxsmm_tpu as xt
@@ -54,20 +98,17 @@ def bench_batched_smm(geom, bw_bytes):
 
     B, m, n, k = 16384, 32, 32, 32
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.standard_normal((B, m, k)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((B, k, n)), jnp.float32)
+    a0 = jnp.asarray(rng.standard_normal((B, m, k)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, k, n)) * 0.1, jnp.float32)
     kern = xt.dispatch_gemm_batched(GemmShape(m, n, k), GemmFlags.BETA_0)
-    dt = _bench_fn(kern.fn, (a, b), reps=50)
     flops = 2 * B * m * n * k
     bytes_moved = B * (m * k + k * n + m * n) * 4
-    gflops = flops / dt / 1e9
-    intensity = flops / bytes_moved
-    roofline = min(geom.peak_f32_tflops * 1e12, intensity * bw_bytes)
-    frac = (flops / dt) / roofline
-    return gflops, frac, bytes_moved / dt / 1e9
+    # out (B,m,n) == a's shape since m==k: chain directly
+    return ChainCase(lambda a: kern(a, b), a0), (flops, bytes_moved)
 
 
-def bench_brgemm(geom):
+def make_brgemm_case():
+    import jax
     import jax.numpy as jnp
 
     import libxsmm_tpu as xt
@@ -78,33 +119,43 @@ def bench_brgemm(geom):
     br, m, n, k = 1024, 256, 256, 64
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((br, m, k)), jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal((br, k, n)), jnp.bfloat16)
+    b0 = jnp.asarray(rng.standard_normal((br, k, n)), jnp.bfloat16)
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     kern = xt.dispatch_brgemm(shape, GemmFlags.BETA_0,
                               BatchReduceConfig(BatchReduceType.STRIDE, br))
-    dt = _bench_fn(kern.fn, (a, b), reps=20)
-    return 2 * br * m * n * k / dt / 1e9  # GFLOP/s
+
+    @jax.jit
+    def perturb(b, out):
+        return b + (out[:k, :] * 1e-6).astype(jnp.bfloat16)[None, :, :]
+
+    return ChainCase(lambda b: perturb(b, kern(a, b)), b0), 2 * br * m * n * k
 
 
-def bench_fsspmdm():
-    """nnz/s on a synthetic spectral-element-like operator (the PyFR shape
-    class: small dense-ish rows, N streaming)."""
+def make_fsspmdm_case():
+    """PyFR-class operator (m=125,k=75 p3 hex, N=4800 streaming)."""
+    import jax
     import jax.numpy as jnp
 
     from libxsmm_tpu.ops.fsspmdm import fsspmdm_create
 
     rng = np.random.default_rng(1)
-    m, k, n = 125, 75, 4800   # p3 hex-element class, TEST_N default
+    m, k, n = 125, 75, 4800
     a = rng.standard_normal((m, k)).astype(np.float32)
     a[rng.random((m, k)) > 0.3] = 0.0
     h = fsspmdm_create(n, a)
-    b = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
-    dt = _bench_fn(h.kernel.fn, (b,), reps=50)
-    return h.nnz / dt / 1e9, h.kind  # Gnnz/s
+
+    @jax.jit
+    def perturb(b, out):
+        return b + out[:k, :] * 1e-6
+
+    b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    case = ChainCase(lambda b: perturb(b, h.kernel.fn(b)), b0)
+    return case, (h.nnz * n, h.kind)
 
 
-def bench_bcsc_spmm():
+def make_bcsc_case():
+    import jax
     import jax.numpy as jnp
 
     from libxsmm_tpu.descriptor import GemmFlags, GemmShape, SpgemmConfig
@@ -123,22 +174,52 @@ def bench_bcsc_spmm():
                                      SpgemmConfig(1, bk, bn),
                                      column_ptr=bcsc.indptr,
                                      row_idx=bcsc.indices)
-    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     v = jnp.asarray(bcsc.data, jnp.bfloat16)
-    dt = _bench_fn(kern.fn, (a, v), reps=20)
+
+    @jax.jit
+    def perturb(a, out):
+        return a + (out * 1e-6).astype(jnp.bfloat16)
+
+    a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    case = ChainCase(lambda a: perturb(a, kern(a, v)), a0)
     nnz = bcsc.nblocks * bk * bn
-    return 2 * nnz * m / dt / 1e9, nnz / dt / 1e9  # GFLOP/s, Gnnz/s
+    return case, (nnz, m, kern.name.split("_")[-1])
 
 
 def main():
     from libxsmm_tpu.device import get_geometry, on_tpu
 
     geom = get_geometry()
-    bw = measure_copy_bw()
-    smm_gflops, frac, smm_gbs = bench_batched_smm(geom, bw)
-    brgemm_gflops = bench_brgemm(geom)
-    fsspmdm_gnnz, fsspmdm_kind = bench_fsspmdm()
-    bcsc_gflops, bcsc_gnnz = bench_bcsc_spmm()
+    copy_case, copy_bytes = make_copy_case()
+    pf32_case, pf32_flops = make_peak_case("f32")
+    pbf16_case, pbf16_flops = make_peak_case("bf16")
+    smm_case, (smm_flops, smm_bytes) = make_smm_case()
+    brg_case, brg_flops = make_brgemm_case()
+    fss_case, (fss_nnzn, fss_kind) = make_fsspmdm_case()
+    bcsc_case, (bcsc_nnz, bcsc_m, bcsc_strategy) = make_bcsc_case()
+
+    cases = [copy_case, pf32_case, pbf16_case, smm_case, brg_case,
+             fss_case, bcsc_case]
+    # Interleave over time windows (the device is time-shared with >10x
+    # minute-scale swings). The headline fraction is computed per ROUND so
+    # numerator and roofline come from the SAME window; extras use each
+    # case's best window.
+    intensity = smm_flops / smm_bytes
+    frac = 0.0
+    for _ in range(ROUNDS):
+        dts = {id(c): c.trial() for c in cases}
+        bw_r = copy_bytes / dts[id(copy_case)]
+        peak_r = pf32_flops / dts[id(pf32_case)]
+        smm_r = smm_flops / dts[id(smm_case)]
+        frac = max(frac, smm_r / min(peak_r, intensity * bw_r))
+
+    bw = copy_bytes / copy_case.best
+    peak_f32 = pf32_flops / pf32_case.best
+    peak_bf16 = pbf16_flops / pbf16_case.best
+    smm_rate = smm_flops / smm_case.best
+    brg_rate = brg_flops / brg_case.best
+    fss_rate = fss_nnzn / fss_case.best
+    bcsc_rate = bcsc_nnz * bcsc_m * 2 / bcsc_case.best
 
     result = {
         "metric": "batched_smm32_roofline_fraction",
@@ -149,13 +230,19 @@ def main():
             "device": geom.name,
             "on_tpu": on_tpu(),
             "copy_bw_gbps": round(bw / 1e9, 1),
-            "smm32_f32_gflops": round(smm_gflops, 1),
-            "smm32_stream_gbps": round(smm_gbs, 1),
-            "brgemm_bf16_gflops": round(brgemm_gflops, 1),
-            "fsspmdm_gnnz_per_s": round(fsspmdm_gnnz, 3),
-            "fsspmdm_kind": fsspmdm_kind,
-            "bcsc_spmm_bf16_gflops": round(bcsc_gflops, 1),
-            "bcsc_spmm_gnnz_per_s": round(bcsc_gnnz, 3),
+            "peak_f32_gflops": round(peak_f32 / 1e9, 1),
+            "peak_bf16_gflops": round(peak_bf16 / 1e9, 1),
+            "smm32_f32_gflops": round(smm_rate / 1e9, 1),
+            "smm32_stream_gbps": round(smm_bytes / smm_case.best / 1e9, 1),
+            "brgemm_bf16_gflops": round(brg_rate / 1e9, 1),
+            "brgemm_peak_fraction": round(brg_rate / peak_bf16, 3),
+            "fsspmdm_eff_gflops": round(2 * fss_rate / 1e9, 1),
+            "fsspmdm_gnnz_per_s": round(fss_rate / 1e9, 3),
+            "fsspmdm_kind": fss_kind,
+            "bcsc_spmm_bf16_gflops": round(bcsc_rate / 1e9, 1),
+            "bcsc_spmm_gnnz_per_s": round(bcsc_nnz / bcsc_case.best / 1e9,
+                                          3),
+            "bcsc_strategy": bcsc_strategy,
         },
     }
     print(json.dumps(result))

@@ -36,10 +36,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import device
 from ..descriptor import (GemmFlags, GemmShape, SparsePattern, SpgemmConfig)
-from ..dtypes import Datatype, to_jnp
+from ..dtypes import Datatype, itemsize, to_jnp
 from ..registry import Kernel, KernelInfo, get_registry
 from .gemm import _ensure_x64, matmul_precision
+
+
+def _dense_beats_sparse(shape: GemmShape, sparse_bytes: int) -> bool:
+    """Roofline heuristic for the auto strategy: on a TPU the MXU is so much
+    faster than gather/scatter traffic that densifying the sparse operand
+    and doing ONE dense matmul often wins (the hardware-scale version of
+    fsspmdm's dense bias). Compare dense compute time against the sparse
+    path's dominant memory traffic."""
+    geom = device.get_geometry()
+    peak = (geom.peak_bf16_tflops if shape.a_in_type in
+            (Datatype.BF16, Datatype.F16, Datatype.I8, Datatype.U8)
+            else geom.peak_f32_tflops) * 1e12
+    dense_s = 2.0 * shape.m * shape.n * shape.k / peak
+    sparse_s = sparse_bytes / (geom.hbm_gbps * 1e9)
+    return dense_s < sparse_s
 
 
 # ---------------------------------------------------------------------------
@@ -189,18 +205,30 @@ def create_packed_spgemm_csr(shape: GemmShape,
                              flags: GemmFlags = GemmFlags.NONE,
                              packed_width: int = 1,
                              row_ptr: np.ndarray = None,
-                             column_idx: np.ndarray = None) -> Kernel:
+                             column_idx: np.ndarray = None,
+                             strategy: str = "auto") -> Kernel:
     """libxsmm_create_packed_spgemm_csr analogue (src/libxsmm_main.c:3553).
 
     Returned kernel: kernel(values, b[, c]) with values (nnz,) runtime,
     b (k,n) or (k,n,p); the pattern is baked at create time.
+
+    strategy: "sparse" = ELL gather path; "dense" = scatter values into a
+    dense A and run one MXU matmul (wins at moderate density on TPU);
+    "auto" picks by roofline heuristic (_dense_beats_sparse).
     """
     csr = CsrMatrix((shape.m, shape.k), np.asarray(row_ptr, np.int32),
                     np.asarray(column_idx, np.int32))
     _ensure_x64(shape)
+    _, _, _, rmax_probe = csr.ell()
+    if strategy == "auto":
+        sparse_bytes = (shape.m * rmax_probe * shape.n
+                        * max(1, packed_width) * itemsize(shape.b_in_type))
+        strategy = ("dense" if _dense_beats_sparse(shape, sparse_bytes)
+                    else "sparse")
     pattern = SparsePattern(format="csr", rows=shape.m, cols=shape.k,
                             nnz=csr.nnz, fingerprint=csr.fingerprint())
-    desc = ("pspgemm_csr", shape, GemmFlags(flags), packed_width, pattern)
+    desc = ("pspgemm_csr", shape, GemmFlags(flags), packed_width, pattern,
+            strategy)
 
     def _build(_key):
         col, pos, mask, rmax = csr.ell()
@@ -209,22 +237,39 @@ def create_packed_spgemm_csr(shape: GemmShape,
         colj = jax.device_put(jnp.asarray(col.reshape(-1)))
         posj = jax.device_put(jnp.asarray(pos.reshape(-1)))
         maskj = jax.device_put(jnp.asarray(mask))
+        # dense-strategy scatter coordinates
+        rows_sc = jax.device_put(jnp.asarray(
+            np.repeat(np.arange(shape.m, dtype=np.int32),
+                      np.diff(csr.indptr))))
+        cols_sc = jax.device_put(jnp.asarray(csr.indices, jnp.int32))
         comp = to_jnp(shape.comp_type)
         out_dt = to_jnp(shape.out_type)
+        prec = matmul_precision(shape)
 
         @jax.named_scope(f"xsmm_pspgemm_csr_{shape.m}x{shape.n}x{shape.k}"
-                         f"_nnz{csr.nnz}")
-        def run(colv, posv, maskv, values, b, c=None):
-            vals = jnp.take(values, posv, axis=0)
-            vals = vals.reshape(shape.m, rmax).astype(comp) * maskv
-            gb = jnp.take(b, colv, axis=0)
-            if b.ndim == 2:                      # (k, n)
-                gb = gb.reshape(shape.m, rmax, shape.n).astype(comp)
-                acc = jnp.einsum("mr,mrn->mn", vals, gb)
-            else:                                # (k, n, p)
-                p = b.shape[-1]
-                gb = gb.reshape(shape.m, rmax, shape.n, p).astype(comp)
-                acc = jnp.einsum("mr,mrnp->mnp", vals, gb)
+                         f"_nnz{csr.nnz}_{strategy}")
+        def run(colv, posv, maskv, rsc, csc_, values, b, c=None):
+            if strategy == "dense":
+                adense = jnp.zeros((shape.m, shape.k), values.dtype)
+                adense = adense.at[rsc, csc_].set(values)
+                if b.ndim == 2:
+                    acc = jax.lax.dot_general(
+                        adense, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=comp, precision=prec)
+                else:
+                    acc = jnp.einsum("mk,knp->mnp", adense.astype(comp),
+                                     b.astype(comp), precision=prec)
+            else:
+                vals = jnp.take(values, posv, axis=0)
+                vals = vals.reshape(shape.m, rmax).astype(comp) * maskv
+                gb = jnp.take(b, colv, axis=0)
+                if b.ndim == 2:                  # (k, n)
+                    gb = gb.reshape(shape.m, rmax, shape.n).astype(comp)
+                    acc = jnp.einsum("mr,mrn->mn", vals, gb)
+                else:                            # (k, n, p)
+                    p = b.shape[-1]
+                    gb = gb.reshape(shape.m, rmax, shape.n, p).astype(comp)
+                    acc = jnp.einsum("mr,mrnp->mnp", vals, gb)
             if c is not None:
                 acc = acc + c.astype(comp)
             return acc.astype(out_dt)
@@ -233,8 +278,8 @@ def create_packed_spgemm_csr(shape: GemmShape,
 
         def fn(values, b, c=None):
             if c is None:
-                return jitted(colj, posj, maskj, values, b)
-            return jitted(colj, posj, maskj, values, b, c)
+                return jitted(colj, posj, maskj, rows_sc, cols_sc, values, b)
+            return jitted(colj, posj, maskj, rows_sc, cols_sc, values, b, c)
 
         nflops = 2 * csr.nnz * shape.n * max(1, packed_width)
         info = KernelInfo(kind="pspgemm_csr", nflops=nflops)
@@ -316,13 +361,20 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
                               flags: GemmFlags = GemmFlags.NONE,
                               config: SpgemmConfig = SpgemmConfig(),
                               column_ptr: np.ndarray = None,
-                              row_idx: np.ndarray = None) -> Kernel:
+                              row_idx: np.ndarray = None,
+                              strategy: str = "auto") -> Kernel:
     """libxsmm_create_packed_spgemm_bcsc analogue (src/libxsmm_main.c:3640).
 
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
-    Lowering: gather A panels for every nonzero block -> one batched MXU
-    matmul -> segment-sum per block-column. BF16/INT8-friendly: the batched
-    matmul is a standard MXU contraction.
+
+    Two lowerings, picked by `strategy` ("auto" | "sparse" | "dense"):
+      * sparse: gather A panels per nonzero block -> one batched MXU matmul
+        -> segment-sum per block-column. Traffic scales with
+        nblocks*m*bk (A panel amplification) — wins only at low density.
+      * dense: scatter the blocks into a dense B (nnz-sized writes) and run
+        ONE dense MXU matmul. On TPU the MXU/bandwidth ratio makes this the
+        winner at moderate density — the hardware-scale form of the
+        reference's fsspmdm dense bias.
     """
     bk, bn = config.bk, config.bn
     indptr = np.asarray(column_ptr, np.int32)
@@ -330,31 +382,48 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     nb = shape.n // bn
     _ensure_x64(shape)
     bcsc = BcscMatrix((shape.k, shape.n), bk, bn, indptr, indices)
+    nblocks = bcsc.nblocks
+    if strategy == "auto":
+        sparse_bytes = (nblocks * shape.m * bk
+                        * itemsize(shape.a_in_type))
+        strategy = ("dense" if _dense_beats_sparse(shape, sparse_bytes)
+                    else "sparse")
     pattern = SparsePattern(format="bcsc", rows=shape.k, cols=shape.n,
-                            nnz=bcsc.nblocks * bk * bn,
+                            nnz=nblocks * bk * bn,
                             fingerprint=bcsc.fingerprint(), block=(bk, bn))
-    desc = ("pspgemm_bcsc", shape, GemmFlags(flags), config, pattern)
+    desc = ("pspgemm_bcsc", shape, GemmFlags(flags), config, pattern,
+            strategy)
 
     def _build(_key):
-        nblocks = bcsc.nblocks
         rowd = jax.device_put(jnp.asarray(indices, jnp.int32))
         seg = np.repeat(np.arange(nb, dtype=np.int32), np.diff(indptr))
         segd = jax.device_put(jnp.asarray(seg))
         comp = to_jnp(shape.comp_type)
         out_dt = to_jnp(shape.out_type)
         prec = matmul_precision(shape)
+        kb = shape.k // bk
 
         @jax.named_scope(f"xsmm_pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
-                         f"_b{bk}x{bn}_nb{nblocks}")
+                         f"_b{bk}x{bn}_nb{nblocks}_{strategy}")
         def run(rowj, segj, a, values, c=None):
-            # A panels: (m, k) -> (kb, m, bk) -> gather by block row
-            panels = a.reshape(shape.m, shape.k // bk, bk).transpose(1, 0, 2)
-            pa = jnp.take(panels, rowj, axis=0)              # (nblk, m, bk)
-            pb = jnp.einsum("bmk,bkn->bmn", pa.astype(comp),
-                            values.astype(comp),
-                            precision=prec)                  # batched MXU
-            acc = jax.ops.segment_sum(pb, segj, num_segments=nb)
-            acc = acc.transpose(1, 0, 2).reshape(shape.m, nb * bn)
+            if strategy == "dense":
+                # scatter blocks -> dense B, one MXU matmul
+                dense = jnp.zeros((kb, nb, bk, bn), values.dtype)
+                dense = dense.at[rowj, segj].set(values)
+                bdense = dense.transpose(0, 2, 1, 3).reshape(shape.k,
+                                                             shape.n)
+                acc = jax.lax.dot_general(
+                    a, bdense, (((1,), (0,)), ((), ())),
+                    preferred_element_type=comp, precision=prec)
+            else:
+                # A panels: (m, k) -> (kb, m, bk) -> gather by block row
+                panels = a.reshape(shape.m, kb, bk).transpose(1, 0, 2)
+                pa = jnp.take(panels, rowj, axis=0)          # (nblk, m, bk)
+                pb = jnp.einsum("bmk,bkn->bmn", pa.astype(comp),
+                                values.astype(comp),
+                                precision=prec)              # batched MXU
+                acc = jax.ops.segment_sum(pb, segj, num_segments=nb)
+                acc = acc.transpose(1, 0, 2).reshape(shape.m, nb * bn)
             if c is not None:
                 acc = acc + c.astype(comp)
             return acc.astype(out_dt)
@@ -369,7 +438,8 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         nflops = 2 * nblocks * bk * bn * shape.m
         info = KernelInfo(kind="pspgemm_bcsc", nflops=nflops)
         return Kernel(fn=fn, descriptor=desc, info=info,
-                      name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}")
+                      name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
+                           f"_{strategy}")
 
     return get_registry().dispatch(desc, _build)
 

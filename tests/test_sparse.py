@@ -276,3 +276,36 @@ def test_fsspmdm_autotune_cache(tmp_path, monkeypatch):
     assert h2.kind == h1.kind
     b = RNG.standard_normal((k, n)).astype(np.float32)
     check(a @ b, np.asarray(h2.execute(b)), margin=1e-4)
+
+
+@pytest.mark.parametrize("strategy", ["sparse", "dense"])
+def test_pspgemm_bcsc_strategies_agree(strategy):
+    m, k, n, bk, bn = 16, 32, 32, 8, 8
+    b = _sparse_dense(k, n, 0.3)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_bcsc(
+        GemmShape(m, n, k), GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        column_ptr=bm.indptr, row_idx=bm.indices, strategy=strategy)
+    assert strategy in kern.name
+    check(a @ bm.to_dense(), np.asarray(kern(a, bm.data)), margin=1e-4)
+
+
+@pytest.mark.parametrize("strategy", ["sparse", "dense"])
+def test_pspgemm_csr_strategies_agree(strategy):
+    m, n, k = 16, 24, 12
+    a = _sparse_dense(m, k, 0.3)
+    csr = CsrMatrix.from_dense(a)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    kern = create_packed_spgemm_csr(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        row_ptr=csr.indptr, column_idx=csr.indices, strategy=strategy)
+    check(a @ b, np.asarray(kern(csr.data, b)), margin=1e-4)
+    # packed width through the dense path too
+    p = 2
+    bp = RNG.standard_normal((k, n, p)).astype(np.float32)
+    kp = create_packed_spgemm_csr(
+        GemmShape(m, n, k), GemmFlags.BETA_0, packed_width=p,
+        row_ptr=csr.indptr, column_idx=csr.indices, strategy=strategy)
+    check(np.einsum("mk,knp->mnp", a, bp), np.asarray(kp(csr.data, bp)),
+          margin=1e-4)
