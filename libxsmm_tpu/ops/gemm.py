@@ -83,6 +83,36 @@ def _maybe_transpose(x, trans: bool):
     return x.T if trans else x
 
 
+def vnni_factor(dt: Datatype) -> int:
+    """Rows interleaved per VNNI group, by element width (the reference's
+    layout rule: 2 for 16-bit, 4 for 8-bit, 8 for 4-bit types)."""
+    from ..dtypes import bits
+    return max(1, 32 // bits(dt))
+
+
+def _undo_vnni(x, dt: Datatype):
+    """Interpret x (leading batch dims allowed) as the VNNI-packed form of a
+    NORM (r, c) matrix and return NORM layout (inverse of
+    TRANSFORM_NORM_TO_VNNIk: element (i,j) lives at vnni[i//k, j*k+i%k])."""
+    f = vnni_factor(dt)
+    if f == 1:
+        return x
+    *lead, rk, ck = x.shape
+    y = x.reshape(*lead, rk, ck // f, f)
+    y = jnp.swapaxes(y, -1, -2)
+    return y.reshape(*lead, rk * f, ck // f)
+
+
+def _to_vnni(x, dt: Datatype):
+    f = vnni_factor(dt)
+    if f == 1:
+        return x
+    *lead, r, c = x.shape
+    y = x.reshape(*lead, r // f, f, c)
+    y = jnp.swapaxes(y, -1, -2)
+    return y.reshape(*lead, r // f, c * f)
+
+
 def _dot(a, b, comp_dtype, precision):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
@@ -96,6 +126,15 @@ def _gemm_core(desc: GemmDescriptor, a, b, c=None,
     comp = _comp_dtype(shape)
     prec = matmul_precision(shape)
     br_type = desc.br.br_type
+
+    # VNNI_A/VNNI_B are functional layout contracts (not no-ops): the
+    # operand arrives packed as TRANSFORM_NORM_TO_VNNIk produced it, and is
+    # unpacked to NORM before the contraction (applied before transposes,
+    # matching the reference's "VNNI then trans" ordering).
+    if desc.flags & GemmFlags.VNNI_A:
+        a = _undo_vnni(a, shape.a_in_type)
+    if desc.flags & GemmFlags.VNNI_B:
+        b = _undo_vnni(b, shape.b_in_type)
 
     if br_type == BatchReduceType.NONE:
         am = _maybe_transpose(a, desc.trans_a)
@@ -120,8 +159,11 @@ def _gemm_core(desc: GemmDescriptor, a, b, c=None,
     return acc
 
 
-def _finalize_out(acc, shape: GemmShape):
-    return acc.astype(to_jnp(shape.out_type))
+def _finalize_out(acc, shape: GemmShape, flags: GemmFlags = GemmFlags.NONE):
+    out = acc.astype(to_jnp(shape.out_type))
+    if flags & GemmFlags.VNNI_C:
+        out = _to_vnni(out, shape.out_type)
+    return out
 
 
 def _ensure_x64(shape: GemmShape) -> None:
@@ -146,7 +188,7 @@ def _build_gemm(desc: GemmDescriptor) -> Kernel:
     @jax.named_scope(desc.name())
     def run(a, b, c=None, a_idx=None, b_idx=None):
         acc = _gemm_core(desc, a, b, c, a_idx, b_idx)
-        return _finalize_out(acc, shape)
+        return _finalize_out(acc, shape, desc.flags)
 
     if beta0:
         if needs_idx:
@@ -211,7 +253,7 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
                 extra["bp"] = b
         acc = _gemm_core(base, a, b, c, a_idx, b_idx)
         if argops.store_cp:
-            extra["cp"] = _finalize_out(acc, shape)
+            extra["cp"] = _finalize_out(acc, shape, base.flags)
         if postops.d_type.name != "NONE":
             if d is None:
                 raise ValueError("postop configured but no d operand passed")
@@ -219,7 +261,7 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
                                   acc, d.astype(acc.dtype))
         if argops.cp_type != UnaryType.NONE:
             acc = apply_unary_op(argops.cp_type, argops.cp_flags, acc)
-        out = _finalize_out(acc, shape)
+        out = _finalize_out(acc, shape, base.flags)
         if extra:
             return out, extra
         return out
@@ -314,20 +356,52 @@ def _batched_kernel(desc: GemmDescriptor, batch: int, use_pallas: bool):
 
 def dispatch_gemm_batched(shape: GemmShape,
                           flags: GemmFlags = GemmFlags.NONE,
-                          batch: int = 0) -> Kernel:
+                          batch: int = 0,
+                          tune: bool = False) -> Kernel:
     """Batched independent small GEMMs: C[i] = A[i]@B[i] (+ C0[i]).
 
     The TPU-native answer to "stream many independent small matmuls", the
     reference's bread-and-butter use (samples/utilities/smmbench,
     samples/magazine): one Pallas kernel streams (A_i, B_i, C_i) tiles
     through VMEM at HBM bandwidth. a:(B,m,k) b:(B,k,n).
+
+    tune=True microbenchmarks the Pallas kernel against XLA's batched dot
+    on the first invocation per batch size and keeps the winner — the
+    fsspmdm create-time autotune pattern applied to the SMM entry point.
     """
     desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
 
     def _build(d):
+        chosen = {}
+
+        def pick(bsz, a, b, c):
+            import time as _time
+            cands = [_batched_kernel(d, bsz, use_pallas=up)[0]
+                     for up in (True, False)]
+            args = (a, b) if c is None else (a, b, c)
+            best_fn, best_t = cands[0], float("inf")
+            for fn_ in cands:
+                out = fn_(*args)
+                jax.block_until_ready(out)    # compile + warm
+                t = float("inf")
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    jax.block_until_ready(fn_(*args))
+                    t = min(t, _time.perf_counter() - t0)
+                if t < best_t:
+                    best_fn, best_t = fn_, t
+            chosen[bsz] = best_fn
+            return best_fn
+
         def fn(a, b, c=None):
             bsz = a.shape[0]
-            inner, _ = _batched_kernel(d, bsz, use_pallas=True)
+            inner = chosen.get(bsz)
+            if inner is None:
+                if tune:
+                    inner = pick(bsz, a, b, c)
+                else:
+                    inner = _batched_kernel(d, bsz, use_pallas=True)[0]
+                    chosen[bsz] = inner
             if c is None:
                 return inner(a, b)
             return inner(a, b, c)
@@ -338,7 +412,7 @@ def dispatch_gemm_batched(shape: GemmShape,
                       name=d.name() + "_batched")
 
     # separate cache identity from plain gemm: wrap kind into the key
-    key = ("batched", desc)
+    key = ("batched", desc, bool(tune))
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 

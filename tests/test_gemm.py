@@ -209,3 +209,54 @@ def test_dgemm_wrapper():
     b = _rand((3, 7), np.float64)
     c = _rand((5, 7), np.float64)
     check(a @ b + c, np.asarray(xt.dgemm(a, b, c)), dtype_name="f64")
+
+
+def test_gemm_vnni_layout_flags():
+    import jax.numpy as jnp
+    from libxsmm_tpu.ops.gemm import _to_vnni
+    m, n, k = 16, 8, 32
+    a = jnp.asarray(_rand((m, k)), jnp.bfloat16)      # NORM
+    b = jnp.asarray(_rand((k, n)), jnp.bfloat16)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.BF16)
+    # pack operands the way TRANSFORM_NORM_TO_VNNI2 would
+    a_v = _to_vnni(a, Datatype.BF16)
+    b_v = _to_vnni(b, Datatype.BF16)
+    kern = xt.dispatch_gemm(
+        shape, GemmFlags.BETA_0 | GemmFlags.VNNI_A | GemmFlags.VNNI_B
+        | GemmFlags.VNNI_C)
+    out_v = kern(a_v, b_v)
+    assert out_v.shape == (m // 2, n * 2)             # C emitted in VNNI
+    # unpack C and compare
+    from libxsmm_tpu.ops.gemm import _undo_vnni
+    out = np.asarray(_undo_vnni(out_v, Datatype.BF16), np.float32)
+    ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    check(ref, out, dtype_name="bf16")
+
+
+def test_brgemm_vnni_a():
+    import jax.numpy as jnp
+    from libxsmm_tpu.ops.gemm import _to_vnni
+    br, m, n, k = 3, 8, 8, 16
+    a = jnp.asarray(_rand((br, m, k)), jnp.bfloat16)
+    b = jnp.asarray(_rand((br, k, n)), jnp.bfloat16)
+    a_v = _to_vnni(a, Datatype.BF16)                  # (br, m//2, k*2)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32)
+    kern = xt.dispatch_brgemm(
+        shape, GemmFlags.BETA_0 | GemmFlags.VNNI_A,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
+    ref = np.einsum("bmk,bkn->mn", np.asarray(a, np.float32),
+                    np.asarray(b, np.float32))
+    check(ref, np.asarray(kern(a_v, b)), dtype_name="bf16")
+
+
+def test_gemm_batched_tuned():
+    batch, m, n, k = 8, 16, 16, 16
+    a, b = _rand((batch, m, k)), _rand((batch, k, n))
+    kern = xt.dispatch_gemm_batched(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                    tune=True)
+    ref = np.einsum("bmk,bkn->bmn", a, b)
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
+    # second call reuses the tuned pick
+    check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
