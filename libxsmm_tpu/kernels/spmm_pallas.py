@@ -1,0 +1,159 @@
+"""Pallas BCSC SpMM kernel: pattern-driven block scheduling on the MXU.
+
+The TPU-native equivalent of the reference's BCSC B-sparse AMX kernels
+(/root/reference/src/generator_packed_spgemm_bcsc_bsparse_avx_avx2_avx512_amx.c):
+where the reference JITs the block pattern into tile-load/compute sequences,
+this kernel feeds the pattern through Pallas scalar prefetch
+(PrefetchScalarGridSpec) so the BLOCK INDEX MAPS themselves are driven by
+the sparsity structure:
+
+  * grid = (m_tiles, nblocks): one step per (A row-tile, nonzero block),
+    blocks in block-column (CSC) order;
+  * the A input block is selected by the block's row id (prefetched),
+    the output block by the block's column id;
+  * consecutive steps hitting the same output block keep it resident in
+    VMEM (Pallas revisiting); the first step of each column zeroes it.
+
+Compared to the gather+segment-sum XLA formulation (ops/sparse.py
+strategy="sparse"), A panels are NOT materialized per block — each is
+DMA'd once per (row-tile, block), and the accumulator never round-trips
+to HBM. Empty block-columns are padded with one zero block at create time
+so every output block is visited.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import device
+from ..descriptor import GemmShape, SpgemmConfig
+from ..dtypes import Datatype, to_jnp
+
+
+def _pad_empty_columns(indptr: np.ndarray, indices: np.ndarray,
+                       nblocks_data: int
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Insert a dummy block (row 0, value index -> zero slot) into every
+    empty block-column; returns (rows, cols, val_idx) flattened schedules."""
+    nb = len(indptr) - 1
+    rows, cols, vidx = [], [], []
+    for jb in range(nb):
+        s, e = int(indptr[jb]), int(indptr[jb + 1])
+        if s == e:
+            rows.append(0)
+            cols.append(jb)
+            vidx.append(nblocks_data)     # the appended zero block
+        else:
+            for l in range(s, e):
+                rows.append(int(indices[l]))
+                cols.append(jb)
+                vidx.append(l)
+    return (np.asarray(rows, np.int32), np.asarray(cols, np.int32),
+            np.asarray(vidx, np.int32))
+
+
+def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
+                    indptr: np.ndarray, indices: np.ndarray
+                    ) -> Optional[Callable]:
+    """Return fn(a, values) -> C(m, n) with beta=0 semantics, or None when
+    the descriptor doesn't fit this kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bk, bn = config.bk, config.bn
+    m, n, k = shape.m, shape.n, shape.k
+    if m % 8 or bk % 8 or bn % 8:
+        return None
+    if shape.a_in_type not in (Datatype.F32, Datatype.BF16):
+        return None
+    in_dt = to_jnp(shape.a_in_type)
+    out_dt = to_jnp(shape.out_type)
+    prec = (jax.lax.Precision.HIGHEST if shape.a_in_type == Datatype.F32
+            else jax.lax.Precision.DEFAULT)
+
+    rows, cols, vidx = _pad_empty_columns(np.asarray(indptr),
+                                          np.asarray(indices),
+                                          len(indices))
+    nsteps = len(rows)
+    tm = min(m, 256)
+    if m % tm:
+        return None
+    m_tiles = m // tm
+
+    # first-visit marker per step (True when this block starts its column)
+    first = np.ones(nsteps, np.int32)
+    first[1:] = (cols[1:] != cols[:-1]).astype(np.int32)
+
+    rows_d = jax.device_put(jnp.asarray(rows))
+    cols_d = jax.device_put(jnp.asarray(cols))
+    vidx_d = jax.device_put(jnp.asarray(vidx))
+    first_d = jax.device_put(jnp.asarray(first))
+
+    # Mosaic requires trailing block dims to be 128-divisible OR equal to
+    # the full array dims; so A is fed as panels (kb, m, bk) and C emitted
+    # as column blocks (nb, m, bn) — trailing dims == full dims.
+    nb = n // bn
+    kb = k // bk
+
+    def kernel(rows_ref, cols_ref, vidx_ref, first_ref,
+               a_ref, v_ref, o_ref):
+        l = pl.program_id(1)
+
+        @pl.when(first_ref[l] == 1)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        o_ref[0] += jax.lax.dot(
+            a_ref[0], v_ref[0],
+            preferred_element_type=o_ref.dtype,
+            precision=prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(m_tiles, nsteps),
+        in_specs=[
+            # A panel (row-tile x block-row), chosen by the block's row id
+            pl.BlockSpec((1, tm, bk),
+                         lambda i, l, rows, cols, vidx, first:
+                         (rows[l], i, 0)),
+            # the block's values, chosen by its value index
+            pl.BlockSpec((1, bk, bn),
+                         lambda i, l, rows, cols, vidx, first:
+                         (vidx[l], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tm, bn),
+                               lambda i, l, rows, cols, vidx, first:
+                               (cols[l], i, 0)),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, m, bn), out_dt),
+        interpret=device.use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * tm * bk * bn * m_tiles,
+            bytes_accessed=nsteps * (tm * bk + bk * bn) * 2,
+            transcendentals=0),
+    )
+
+    @jax.jit
+    @jax.named_scope(f"xsmm_pallas_bcsc_{m}x{n}x{k}_b{bk}x{bn}")
+    def run(rows, cols, vidx, first, a, values):
+        vpad = jnp.concatenate(
+            [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)], axis=0)
+        panels = (a.astype(in_dt).reshape(m, kb, bk)
+                  .transpose(1, 0, 2))                      # (kb, m, bk)
+        out = call(rows, cols, vidx, first, panels, vpad)
+        return out.transpose(1, 0, 2).reshape(m, n)
+
+    def fn(a, values):
+        # schedule arrays are device-resident bound ARGS, not jit closure
+        # constants (constants re-upload per call through the tunnel)
+        return run(rows_d, cols_d, vidx_d, first_d, a, values)
+
+    return fn

@@ -395,6 +395,25 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
             strategy)
 
     def _build(_key):
+        if strategy == "pallas":
+            from ..kernels import spmm_pallas
+            pfn = spmm_pallas.build_bcsc_spmm(shape, config, indptr, indices)
+            if pfn is None:
+                raise ValueError("descriptor unsupported by the Pallas BCSC "
+                                 "kernel; use strategy='sparse'/'dense'")
+
+            def fn(a, values, c=None):
+                out = pfn(a, values)
+                if c is not None:
+                    out = out + c.astype(out.dtype)
+                return out
+
+            info = KernelInfo(kind="pspgemm_bcsc",
+                              nflops=2 * nblocks * bk * bn * shape.m)
+            return Kernel(fn=fn, descriptor=desc, info=info,
+                          name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
+                               f"_pallas")
+
         rowd = jax.device_put(jnp.asarray(indices, jnp.int32))
         seg = np.repeat(np.arange(nb, dtype=np.int32), np.diff(indptr))
         segd = jax.device_put(jnp.asarray(seg))

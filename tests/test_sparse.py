@@ -309,3 +309,30 @@ def test_pspgemm_csr_strategies_agree(strategy):
         row_ptr=csr.indptr, column_idx=csr.indices, strategy=strategy)
     check(np.einsum("mk,knp->mnp", a, bp), np.asarray(kp(csr.data, bp)),
           margin=1e-4)
+
+
+def test_pspgemm_bcsc_pallas_strategy():
+    m, k, n, bk, bn = 32, 32, 64, 8, 8
+    b = _sparse_dense(k, n, 0.25)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_bcsc(
+        GemmShape(m, n, k), GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        column_ptr=bm.indptr, row_idx=bm.indices, strategy="pallas")
+    assert "pallas" in kern.name
+    check(a @ bm.to_dense(), np.asarray(kern(a, bm.data)), margin=1e-4)
+
+
+def test_pspgemm_bcsc_pallas_empty_columns():
+    # a pattern with fully empty block-columns must still produce zeros
+    m, k, n, bk, bn = 16, 16, 32, 8, 8
+    b = np.zeros((k, n), np.float32)
+    b[:8, :8] = RNG.standard_normal((8, 8))     # only block-col 0 occupied
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_bcsc(
+        GemmShape(m, n, k), GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        column_ptr=bm.indptr, row_idx=bm.indices, strategy="pallas")
+    out = np.asarray(kern(a, bm.data))
+    check(a @ b, out, margin=1e-4)
+    assert np.all(out[:, 8:] == 0)
