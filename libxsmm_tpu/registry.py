@@ -55,6 +55,28 @@ class Kernel:
     def __call__(self, *args, **kwargs):
         return self.fn(*args, **kwargs)
 
+    def lower_text(self, *args, **kwargs) -> str:
+        """StableHLO of this kernel for the given example args — the
+        introspection analogue of the reference's JIT code dumps
+        (negative LIBXSMM_VERBOSE, src/libxsmm_main.c internal_dump)."""
+        import jax
+        fn = self.fn
+        # unwrap to something lowerable; plain jit objects lower directly
+        lowered = jax.jit(fn).lower(*args, **kwargs)
+        return lowered.as_text()
+
+    def dump(self, *args, **kwargs) -> Optional[str]:
+        """Write the lowered kernel into CONFIG.dump_dir (XSMM_TPU_DUMP);
+        returns the file path or None when dumping is disabled."""
+        import os
+        if not CONFIG.dump_dir:
+            return None
+        os.makedirs(CONFIG.dump_dir, exist_ok=True)
+        path = os.path.join(CONFIG.dump_dir, f"{self.name}.stablehlo.txt")
+        with open(path, "w") as f:
+            f.write(self.lower_text(*args, **kwargs))
+        return path
+
 
 class _Stats:
     def __init__(self):

@@ -336,3 +336,22 @@ def test_pspgemm_bcsc_pallas_empty_columns():
     out = np.asarray(kern(a, bm.data))
     check(a @ b, out, margin=1e-4)
     assert np.all(out[:, 8:] == 0)
+
+
+def test_pspgemm_bcsc_i8_i32():
+    import jax.numpy as jnp
+    m, k, n, bk, bn = 32, 32, 32, 8, 8
+    bq = RNG.integers(-50, 50, (k, n)).astype(np.int8)
+    keep = RNG.random((k // bk, n // bn)) < 0.5
+    bq *= np.kron(keep, np.ones((bk, bn), np.int8))
+    bm = BcscMatrix.from_dense(bq.astype(np.float32), bk=bk, bn=bn)
+    aq = RNG.integers(-50, 50, (m, k)).astype(np.int8)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.I8, b_in_type=Datatype.I8,
+                      out_type=Datatype.I32, comp_type=Datatype.I32)
+    kern = create_packed_spgemm_bcsc(
+        shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        column_ptr=bm.indptr, row_idx=bm.indices, strategy="dense")
+    out = np.asarray(kern(jnp.asarray(aq),
+                          jnp.asarray(bm.data.astype(np.int8))))
+    ref = aq.astype(np.int32) @ bm.to_dense().astype(np.int32)
+    np.testing.assert_array_equal(ref, out)

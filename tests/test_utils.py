@@ -1,0 +1,60 @@
+"""Utility parity tests: math helpers, kernel dump, config tiers."""
+
+import numpy as np
+import pytest
+
+from libxsmm_tpu.utils import mathx
+
+
+def test_gcd_lcm():
+    assert mathx.gcd(0, 0) == 1          # reference corner case
+    assert mathx.gcd(12, 18) == 6
+    assert mathx.lcm(4, 6) == 12
+    assert mathx.lcm(0, 0) == 0
+
+
+def test_isqrt_icbrt():
+    assert mathx.isqrt2(17) == 4
+    assert mathx.icbrt2(26) == 2
+    assert mathx.icbrt2(27) == 3
+    assert mathx.icbrt2(0) == 0
+
+
+def test_sexp2():
+    assert mathx.sexp2(3) == 8.0
+    assert mathx.sexp2(-2) == 0.25
+
+
+def test_matdiff_log(tmp_path):
+    p = tmp_path / "eps.log"
+    mathx.matdiff_log(1.5e-6, path=str(p), note="gemm 8x8x8")
+    mathx.matdiff_log(2.5e-6, path=str(tmp_path))   # dir form
+    assert "1.5e-06 gemm 8x8x8" in p.read_text()
+    assert (tmp_path / "libxsmm_matdiff.log").exists()
+
+
+def test_kernel_dump(tmp_path, monkeypatch):
+    import libxsmm_tpu as xt
+    from libxsmm_tpu.config import CONFIG
+    from libxsmm_tpu.descriptor import GemmFlags, GemmShape
+    kern = xt.dispatch_gemm(GemmShape(8, 8, 8), GemmFlags.BETA_0)
+    a = np.ones((8, 8), np.float32)
+    text = kern.lower_text(a, a)
+    assert "stablehlo" in text or "module" in text
+    monkeypatch.setattr(CONFIG, "dump_dir", str(tmp_path))
+    path = kern.dump(a, a)
+    assert path and (tmp_path / f"{kern.name}.stablehlo.txt").exists()
+
+
+def test_verbose_statistic(capsys):
+    from libxsmm_tpu.registry import Registry, Kernel, KernelInfo
+    from libxsmm_tpu.descriptor import GemmShape, GemmFlags, GemmDescriptor
+    reg = Registry()
+    desc = GemmDescriptor(shape=GemmShape(8, 8, 8), flags=GemmFlags.BETA_0)
+    reg.dispatch(desc, lambda d: Kernel(fn=lambda: None, descriptor=d,
+                                        info=KernelInfo(kind="gemm"),
+                                        name="k"))
+    reg.print_statistic()
+    out = capsys.readouterr().out
+    assert "1 kernels" in out
+    assert "sml" in out     # 8x8x8 -> small bucket
