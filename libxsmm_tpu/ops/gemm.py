@@ -240,8 +240,12 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
     br = base.br.br_type
     needs_idx = br in (BatchReduceType.ADDRESS, BatchReduceType.OFFSET)
 
+    from ..descriptor import UnaryFlags
+    cp_bitmask = bool(argops.cp_flags & UnaryFlags.BITMASK_2BYTEMULT)
+    cp_stochastic = argops.cp_type == UnaryType.STOCHASTIC_ROUND
+
     @jax.named_scope(desc.name())
-    def run(a, b, c=None, d=None, a_idx=None, b_idx=None):
+    def run(a, b, c=None, d=None, a_idx=None, b_idx=None, seed=0):
         extra = {}
         if argops.ap_type != UnaryType.NONE:
             a = apply_unary_op(argops.ap_type, argops.ap_flags, a)
@@ -259,7 +263,21 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
                 raise ValueError("postop configured but no d operand passed")
             acc = apply_binary_op(postops.d_type, postops.d_flags,
                                   acc, d.astype(acc.dtype))
+        if cp_stochastic:
+            # fused stochastic-round store (reference: SR bf8/bf16 stores
+            # in the gemm_ext epilogue, meltw STOCHASTIC_ROUND flag)
+            from ..kernels.eltwise_pallas import stochastic_round
+            out = stochastic_round(acc, seed, shape.out_type)
+            if base.flags & GemmFlags.VNNI_C:
+                out = _to_vnni(out, shape.out_type)
+            if extra:
+                return out, extra
+            return out
         if argops.cp_type != UnaryType.NONE:
+            if argops.cp_type == UnaryType.RELU and cp_bitmask:
+                # relu with bitmask output: the mask is an extra result
+                # (the reference writes a packed bitmask side buffer)
+                extra["cp_bitmask"] = (acc > 0)
             acc = apply_unary_op(argops.cp_type, argops.cp_flags, acc)
         out = _finalize_out(acc, shape, base.flags)
         if extra:
@@ -268,7 +286,7 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
 
     has_d = postops.d_type.name != "NONE"
 
-    def fn(a, b, *rest):
+    def fn(a, b, *rest, seed=0):
         i = 0
         c = None
         d = None
@@ -279,7 +297,7 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
             d = rest[i]; i += 1
         if needs_idx:
             a_idx = rest[i]; b_idx = rest[i + 1]; i += 2
-        return run(a, b, c, d, a_idx, b_idx)
+        return run(a, b, c, d, a_idx, b_idx, seed)
 
     jitted = jax.jit(fn)
     nflops = shape.nflops(base.br.br_count_hint or 1)

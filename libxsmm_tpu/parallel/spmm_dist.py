@@ -108,11 +108,20 @@ class DistributedBsrSpmm:
     """
 
     def __init__(self, a: BsrMatrix, n: int, mesh: Mesh, axis: str = "x",
-                 dtype: Optional[Datatype] = None):
+                 dtype: Optional[Datatype] = None, comm: str = "ring"):
+        """comm: "ring" rotates X segments via ppermute (halo exchange,
+        minimal memory, overlap-friendly); "allgather" gathers the full X
+        per device and multiplies the densified local row band in one MXU
+        matmul (maximum MXU utilization, k*n working set per device —
+        wins at moderate density / small k, the distributed counterpart
+        of the sparse module's densify strategy)."""
+        if comm not in ("ring", "allgather"):
+            raise ValueError(f"unknown comm strategy {comm}")
         self.a = a
         self.n = n
         self.mesh = mesh
         self.axis = axis
+        self.comm = comm
         self.num_devices = mesh.shape[axis]
         if dtype is None:
             dtype = Datatype.F32
@@ -122,16 +131,27 @@ class DistributedBsrSpmm:
         self.nnz = a.nnz
         self.flops = 2 * a.nnz * n
 
-        plan = _build_plan(a, self.num_devices)
-        self._plan = plan
         pspec = NamedSharding(mesh, P(axis))
-        self.rows = jax.device_put(jnp.asarray(plan.rows), pspec)
-        self.cols = jax.device_put(jnp.asarray(plan.cols), pspec)
-        self.vidx = jax.device_put(jnp.asarray(plan.vidx), pspec)
-        self.mask = jax.device_put(jnp.asarray(plan.mask, self.dtype), pspec)
-        self.vals = jax.device_put(jnp.asarray(plan.vals, self.dtype), pspec)
         self.x_sharding = NamedSharding(mesh, P(axis, None))
-        self._fn = self._build()
+        if comm == "ring":
+            plan = _build_plan(a, self.num_devices)
+            self._plan = plan
+            self.rows = jax.device_put(jnp.asarray(plan.rows), pspec)
+            self.cols = jax.device_put(jnp.asarray(plan.cols), pspec)
+            self.vidx = jax.device_put(jnp.asarray(plan.vidx), pspec)
+            self.mask = jax.device_put(jnp.asarray(plan.mask, self.dtype),
+                                       pspec)
+            self.vals = jax.device_put(jnp.asarray(plan.vals, self.dtype),
+                                       pspec)
+            self._fn = self._build()
+        else:
+            if (m // a.br) % self.num_devices:
+                raise ValueError("block rows not divisible by devices")
+            dense = a.to_dense().astype(np.float32)
+            self.a_dense = jax.device_put(
+                jnp.asarray(dense, self.dtype),
+                NamedSharding(mesh, P(axis, None)))
+            self._fn = self._build_allgather()
 
     def _build(self):
         a = self.a
@@ -188,6 +208,28 @@ class DistributedBsrSpmm:
             x = jax.device_put(x.astype(self.dtype), self.x_sharding)
             return jitted(self.rows, self.cols, self.vidx, self.mask,
                           self.vals, x)
+
+        return run
+
+    def _build_allgather(self):
+        axis = self.axis
+
+        def local_fn(a_local, x_local):
+            x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+            return jnp.dot(a_local, x_full,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).astype(x_local.dtype)
+
+        shmapped = jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None))
+        jitted = jax.jit(shmapped)
+
+        def run(x):
+            x = jax.device_put(x.astype(self.dtype), self.x_sharding)
+            return jitted(self.a_dense, x)
 
         return run
 

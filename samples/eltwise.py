@@ -1,0 +1,97 @@
+"""eltwise — randomized unary/binary/ternary TPP sweep driver.
+
+TPU rendition of /root/reference/samples/eltwise (10 drivers + 30 generated
+shell templates sampling random (M,N) per run, eltwise_common.h golden
+check): one driver sweeps random shapes x ops x dtypes against the NumPy
+oracle through matdiff norms.
+
+Usage: python eltwise.py [ncases]
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import scipy.special
+
+import libxsmm_tpu as xt
+from libxsmm_tpu.descriptor import (BinaryFlags, BinaryType, TernaryType,
+                                    UnaryFlags, UnaryType)
+from libxsmm_tpu.matdiff import matdiff
+
+UNARY = {
+    UnaryType.IDENTITY: lambda x: x,
+    UnaryType.X2: lambda x: x * x,
+    UnaryType.RELU: lambda x: np.maximum(x, 0),
+    UnaryType.TANH: np.tanh,
+    UnaryType.SIGMOID: lambda x: 1 / (1 + np.exp(-x)),
+    UnaryType.GELU: lambda x: 0.5 * x * (1 + scipy.special.erf(x / np.sqrt(2))),
+    UnaryType.NEGATE: lambda x: -x,
+    UnaryType.EXP: np.exp,
+    UnaryType.SQRT: lambda x: np.sqrt(np.abs(x)),
+}
+BINARY = {
+    BinaryType.ADD: np.add,
+    BinaryType.MUL: np.multiply,
+    BinaryType.SUB: np.subtract,
+    BinaryType.MAX: np.maximum,
+    BinaryType.MIN: np.minimum,
+}
+
+
+def run_case(rng):
+    m = int(rng.integers(1, 130))
+    n = int(rng.integers(1, 130))
+    kind = rng.choice(["unary", "binary", "ternary", "reduce", "transform"])
+    x = rng.standard_normal((m, n)).astype(np.float32)
+    if kind == "unary":
+        op = list(UNARY)[rng.integers(len(UNARY))]
+        if op == UnaryType.SQRT:
+            x = np.abs(x) + 0.1
+        kern = xt.dispatch_meltw_unary(op, m, n)
+        ref, out = UNARY[op](x), np.asarray(kern(x))
+        label = f"unary {op.name}"
+    elif kind == "binary":
+        op = list(BINARY)[rng.integers(len(BINARY))]
+        y = rng.standard_normal((m, n)).astype(np.float32)
+        kern = xt.dispatch_meltw_binary(op, m, n)
+        ref, out = BINARY[op](x, y), np.asarray(kern(x, y))
+        label = f"binary {op.name}"
+    elif kind == "ternary":
+        y = rng.standard_normal((m, n)).astype(np.float32)
+        z = rng.standard_normal((m, n)).astype(np.float32)
+        kern = xt.dispatch_meltw_ternary(TernaryType.MULADD, m, n)
+        ref, out = x * y + z, np.asarray(kern(x, y, z))
+        label = "ternary MULADD"
+    elif kind == "reduce":
+        rows = bool(rng.integers(2))
+        flags = UnaryFlags.REDUCE_ROWS if rows else UnaryFlags.REDUCE_COLS
+        kern = xt.dispatch_meltw_unary(UnaryType.REDUCE_X_OP_ADD, m, n, flags)
+        ref = x.sum(axis=1 if rows else 0, keepdims=True)
+        out = np.asarray(kern(x))
+        label = f"reduce add {'rows' if rows else 'cols'}"
+    else:
+        kern = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_NORMT,
+                                       m, n)
+        ref, out = x.T, np.asarray(kern(x))
+        label = "transform NORMT"
+
+    info = matdiff(ref, out)
+    ok = info.normf_rel <= 1e-4 or info.linf_abs <= 1e-4
+    print(f"{'OK  ' if ok else 'FAIL'} {label:28s} {m:4d}x{n:<4d} "
+          f"normf_rel={info.normf_rel:.2e}")
+    return ok
+
+
+def main():
+    ncases = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    rng = np.random.default_rng(20260816)
+    results = [run_case(rng) for _ in range(ncases)]
+    print(f"\n{sum(results)}/{len(results)} passed")
+    sys.exit(0 if all(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -260,3 +260,31 @@ def test_gemm_batched_tuned():
     check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
     # second call reuses the tuned pick
     check(ref, np.asarray(kern(a, b)), dtype_name="f32", margin=1e-4)
+
+
+def test_brgemm_ext_relu_bitmask():
+    from libxsmm_tpu.descriptor import UnaryFlags
+    br, m, n, k = 2, 8, 8, 8
+    a, b = _rand((br, m, k)), _rand((br, k, n))
+    kern = xt.dispatch_brgemm_ext(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br),
+        argops=UnaryArgops(cp_type=UnaryType.RELU,
+                           cp_flags=UnaryFlags.BITMASK_2BYTEMULT))
+    out, extra = kern(a, b)
+    ref = np.einsum("bmk,bkn->mn", a, b)
+    check(np.maximum(ref, 0), np.asarray(out), margin=1e-4)
+    np.testing.assert_array_equal(np.asarray(extra["cp_bitmask"]), ref > 0)
+
+
+def test_brgemm_ext_stochastic_round_store():
+    br, m, n, k = 2, 16, 16, 8
+    a, b = _rand((br, m, k)), _rand((br, k, n))
+    kern = xt.dispatch_brgemm_ext(
+        GemmShape(m, n, k, out_type=Datatype.BF16), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br_count_hint=br),
+        argops=UnaryArgops(cp_type=UnaryType.STOCHASTIC_ROUND))
+    out = np.asarray(kern(a, b, seed=5), np.float32)
+    ref = np.einsum("bmk,bkn->mn", a, b)
+    # SR result within one bf16 ulp of the exact value
+    check(ref, out, dtype_name="bf16", margin=2 ** -7)

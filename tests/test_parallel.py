@@ -84,3 +84,28 @@ def test_dist_spmm_indivisible_raises():
     mesh = make_mesh([("x", ndev)])
     with pytest.raises(ValueError):
         DistributedBsrSpmm(bsr, 8, mesh)
+
+
+def test_dist_spmm_allgather_matches_ring():
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    m = k = 32 * ndev
+    br = bc = 8
+    n = 16
+    a = _block_sparse(m, k, br, bc, 0.3)
+    bsr = BsrMatrix.from_dense(a, br, bc)
+    mesh = make_mesh([("x", ndev)])
+    ring = DistributedBsrSpmm(bsr, n, mesh, comm="ring")
+    ag = DistributedBsrSpmm(bsr, n, mesh, comm="allgather")
+    x = RNG.standard_normal((k, n)).astype(np.float32)
+    ref = a @ x
+    check(ref, np.asarray(ring(x)), margin=1e-4)
+    check(ref, np.asarray(ag(x)), margin=1e-4)
+
+
+def test_dist_spmm_bad_comm():
+    mesh = make_mesh([("x", 1)])
+    a = BsrMatrix.from_dense(np.eye(8, dtype=np.float32), 4, 4)
+    with pytest.raises(ValueError):
+        DistributedBsrSpmm(a, 4, mesh, comm="nope")
