@@ -51,15 +51,22 @@ class _PlanArrays:
     lv_max: int
 
 
-def _build_plan(a: BsrMatrix, num_devices: int) -> _PlanArrays:
+def _build_plan(a: BsrMatrix, num_devices: int,
+                ring_size: int = 0) -> _PlanArrays:
+    """Block schedules for `num_devices` row bands with a halo ring of
+    `ring_size` X segments (== num_devices for a flat mesh; == the ICI
+    axis size for a two-level DCN x ICI mesh, where each DCN group runs
+    an independent ring and the device's ICI rank is d % ring_size)."""
+    if ring_size == 0:
+        ring_size = num_devices
     m, k = a.shape
     mb = m // a.br
     kb = k // a.bc
-    if mb % num_devices or kb % num_devices:
+    if mb % num_devices or kb % ring_size:
         raise ValueError(f"block grid ({mb}x{kb}) not divisible by "
-                         f"{num_devices} devices")
+                         f"{num_devices} devices / ring {ring_size}")
     mb_loc = mb // num_devices
-    kb_seg = kb // num_devices
+    kb_seg = kb // ring_size
 
     # per-device block store
     dev_blocks = [[] for _ in range(num_devices)]   # (row_loc, col, data)
@@ -72,22 +79,23 @@ def _build_plan(a: BsrMatrix, num_devices: int) -> _PlanArrays:
 
     lv_max = max(1, max(len(bl) for bl in dev_blocks))
     vals = np.zeros((num_devices, lv_max, a.br, a.bc), a.data.dtype)
-    sched = [[[] for _ in range(num_devices)] for _ in range(num_devices)]
+    sched = [[[] for _ in range(ring_size)] for _ in range(num_devices)]
     for d in range(num_devices):
+        rank = d % ring_size               # position within the ICI ring
         for vi, (r, c, blk) in enumerate(dev_blocks[d]):
             vals[d, vi] = blk
-            owner = c // kb_seg            # which device owns this X segment
-            step = (d - owner) % num_devices
+            owner = c // kb_seg            # which ring rank owns this segment
+            step = (rank - owner) % ring_size
             sched[d][step].append((r, c % kb_seg, vi))
 
     l_max = max(1, max(len(sched[d][s]) for d in range(num_devices)
-                       for s in range(num_devices)))
-    rows = np.zeros((num_devices, num_devices, l_max), np.int32)
+                       for s in range(ring_size)))
+    rows = np.zeros((num_devices, ring_size, l_max), np.int32)
     cols = np.zeros_like(rows)
     vidx = np.zeros_like(rows)
     mask = np.zeros(rows.shape, np.float32)
     for d in range(num_devices):
-        for s in range(num_devices):
+        for s in range(ring_size):
             for j, (r, c, vi) in enumerate(sched[d][s]):
                 rows[d, s, j] = r
                 cols[d, s, j] = c
@@ -232,6 +240,96 @@ class DistributedBsrSpmm:
             return jitted(self.a_dense, x)
 
         return run
+
+    def __call__(self, x):
+        return self._fn(x)
+
+
+class DistributedBsrSpmm2Level:
+    """Two-level (DCN x ICI) distributed BSR SpMM for multi-slice pods.
+
+    A's block-rows are partitioned across ALL devices (dcn-major); X is
+    row-sharded over the ICI axis only and replicated across slices, so the
+    halo-exchange ring rides ICI within each slice and NO steady-state
+    traffic crosses the DCN (SURVEY.md §5.8: lay shardings so collectives
+    ride ICI, not DCN). Each slice computes its row band independently.
+    """
+
+    def __init__(self, a: BsrMatrix, n: int, mesh: Mesh,
+                 dcn_axis: str = "dcn", ici_axis: str = "ici",
+                 dtype: Optional[Datatype] = None):
+        self.a = a
+        self.n = n
+        self.mesh = mesh
+        self.dcn_axis = dcn_axis
+        self.ici_axis = ici_axis
+        groups = mesh.shape[dcn_axis]
+        ring = mesh.shape[ici_axis]
+        total = groups * ring
+        self.num_devices = total
+        self.ring_size = ring
+        if dtype is None:
+            dtype = Datatype.F32
+        self.dtype = to_jnp(dtype)
+        m, k = a.shape
+        self.m, self.k = m, k
+        self.nnz = a.nnz
+
+        plan = _build_plan(a, total, ring_size=ring)
+        self._plan = plan
+        pspec = NamedSharding(mesh, P((dcn_axis, ici_axis)))
+        self.rows = jax.device_put(jnp.asarray(plan.rows), pspec)
+        self.cols = jax.device_put(jnp.asarray(plan.cols), pspec)
+        self.vidx = jax.device_put(jnp.asarray(plan.vidx), pspec)
+        self.mask = jax.device_put(jnp.asarray(plan.mask, self.dtype), pspec)
+        self.vals = jax.device_put(jnp.asarray(plan.vals, self.dtype), pspec)
+        self.x_sharding = NamedSharding(mesh, P(ici_axis, None))
+
+        mb_loc = (m // a.br) // total
+        kb_seg = (k // a.bc) // ring
+        br, bc = a.br, a.bc
+        axis = ici_axis
+
+        def local_fn(rows, cols, vidx, mask, vals, x_local):
+            rows0, cols0, vidx0, mask0, vals0 = (
+                rows[0], cols[0], vidx[0], mask[0], vals[0])
+
+            def step(s, carry):
+                x_seg, acc = carry
+                blocks = jnp.take(vals0, vidx0[s], axis=0)
+                xs = x_seg.reshape(kb_seg, bc, n)
+                xg = jnp.take(xs, cols0[s], axis=0)
+                contrib = jnp.einsum("lij,ljn->lin", blocks, xg,
+                                     preferred_element_type=jnp.float32)
+                contrib = contrib * mask0[s][:, None, None]
+                accb = jax.ops.segment_sum(contrib, rows0[s],
+                                           num_segments=mb_loc)
+                acc = acc + accb.reshape(mb_loc * br, n)
+                x_seg = jax.lax.ppermute(
+                    x_seg, axis,
+                    perm=[(i, (i + 1) % ring) for i in range(ring)])
+                return x_seg, acc
+
+            acc0 = jax.lax.pvary(
+                jnp.zeros((mb_loc * br, n), jnp.float32),
+                (dcn_axis, axis))
+            _, acc = jax.lax.fori_loop(0, ring, step, (x_local, acc0))
+            return acc.astype(x_local.dtype)
+
+        shmapped = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P((dcn_axis, ici_axis)), P((dcn_axis, ici_axis)),
+                      P((dcn_axis, ici_axis)), P((dcn_axis, ici_axis)),
+                      P((dcn_axis, ici_axis)), P(ici_axis, None)),
+            out_specs=P((dcn_axis, ici_axis), None))
+        jitted = jax.jit(shmapped)
+
+        def run(x):
+            x = jax.device_put(x.astype(self.dtype), self.x_sharding)
+            return jitted(self.rows, self.cols, self.vidx, self.mask,
+                          self.vals, x)
+
+        self._fn = run
 
     def __call__(self, x):
         return self._fn(x)

@@ -109,3 +109,20 @@ def test_dist_spmm_bad_comm():
     a = BsrMatrix.from_dense(np.eye(8, dtype=np.float32), 4, 4)
     with pytest.raises(ValueError):
         DistributedBsrSpmm(a, 4, mesh, comm="nope")
+
+
+def test_dist_spmm_two_level():
+    from libxsmm_tpu.parallel.spmm_dist import DistributedBsrSpmm2Level
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    dcn, ici = 2, 4
+    m = k = 32 * dcn * ici
+    br = bc = 8
+    n = 16
+    a = _block_sparse(m, k, br, bc, 0.25)
+    bsr = BsrMatrix.from_dense(a, br, bc)
+    mesh = make_mesh([("dcn", dcn), ("ici", ici)])
+    spmm = DistributedBsrSpmm2Level(bsr, n, mesh)
+    x = RNG.standard_normal((k, n)).astype(np.float32)
+    check(a @ x, np.asarray(spmm(x)), margin=1e-4)
+    assert spmm.ring_size == ici
