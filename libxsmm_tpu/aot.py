@@ -1,0 +1,63 @@
+"""AOT kernel export/import: serialized XLA executables in the native KV.
+
+Parity with the reference's binary-export tool + static-kernel registration
+(/root/reference/src/libxsmm_binaryexport_generator.c,
+samples/static_codegen, internal_register_static_code
+src/libxsmm_main.c:622-666): compiled kernels are serialized
+(jax.experimental.serialize_executable) and persisted in the native
+append-only KV log, so later processes load ready-to-run executables
+without re-tracing or re-compiling.
+
+Keys incorporate the kernel name, argument avals and the backend platform;
+executables are only portable to matching hardware (exactly like the
+reference's exported binaries are ISA-specific).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Optional, Sequence
+
+import jax
+
+from .native_bridge import PersistentKv
+from .registry import Kernel
+
+
+def _aval_sig(args) -> str:
+    return ",".join(f"{a.dtype}{list(a.shape)}" for a in map(jax.numpy.asarray,
+                                                             args))
+
+
+def default_key(name: str, args) -> bytes:
+    platform = jax.devices()[0].platform
+    return f"aot:{platform}:{name}:{_aval_sig(args)}".encode()
+
+
+def export_kernel(kernel_or_fn, args: Sequence, store: PersistentKv,
+                  key: Optional[bytes] = None) -> bytes:
+    """Compile for `args` and persist the executable; returns the key."""
+    from jax.experimental.serialize_executable import serialize
+
+    fn = getattr(kernel_or_fn, "fn", kernel_or_fn)
+    name = getattr(kernel_or_fn, "name", getattr(fn, "__name__", "kernel"))
+    if key is None:
+        key = default_key(name, args)
+    compiled = jax.jit(fn).lower(*args).compile()
+    blob, in_tree, out_tree = serialize(compiled)
+    payload = pickle.dumps((blob, in_tree, out_tree))
+    if not store.put(key, payload):
+        raise IOError("failed to persist AOT executable")
+    return key
+
+
+def load_kernel(store: PersistentKv, key: bytes) -> Optional[Callable]:
+    """Load a persisted executable; None when absent. The returned callable
+    accepts exactly the arg structure it was exported with."""
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    payload = store.get(key)
+    if payload is None:
+        return None
+    blob, in_tree, out_tree = pickle.loads(payload)
+    return deserialize_and_load(blob, in_tree, out_tree)

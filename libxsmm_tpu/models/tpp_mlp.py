@@ -90,6 +90,55 @@ def shard_params(params, mesh: Mesh):
     return out
 
 
+# ---------------------------------------------------------------------------
+# splitSGD: bf16 master-weight training without f32 storage
+# (the reference's equation_splitSGD.c use case: the f32 weight is held as
+# two bf16 halves — the RNE high part and the residual low part — updated
+# in f32 and re-split; combine/split use integer bit ops because XLA on
+# TPU elides x - bf16(x) arithmetic, see ops/eltwise.py)
+# ---------------------------------------------------------------------------
+
+
+def split_f32(w):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == w up to 2^-16 rel."""
+    from ..ops.eltwise import _trunc_f32_to_bf16_f32
+
+    hf = _trunc_f32_to_bf16_f32(w.astype(jnp.float32))
+    return hf.astype(jnp.bfloat16), (w - hf).astype(jnp.bfloat16)
+
+
+def combine_f32(hi, lo):
+    return hi.astype(jnp.float32) + lo.astype(jnp.float32)
+
+
+def split_sgd_update(hi, lo, grad, lr: float):
+    """One splitSGD step: recombine, update in f32, re-split."""
+    w = combine_f32(hi, lo) - lr * grad.astype(jnp.float32)
+    return split_f32(w)
+
+
+def split_params(params):
+    return [
+        {"w": split_f32(l["w"].astype(jnp.float32)),
+         "b": split_f32(l["b"].astype(jnp.float32))}
+        for l in params
+    ]
+
+
+def split_sgd_train_step(split_ps, x, y, cfg: MlpConfig, lr: float = 1e-3):
+    """Train step over split-precision parameters: forward/backward run in
+    bf16 (the hi halves), the update maintains f32 effective precision."""
+    hi_params = [{"w": l["w"][0], "b": l["b"][0]} for l in split_ps]
+    loss, grads = jax.value_and_grad(loss_fn)(hi_params, x, y, cfg)
+    new_ps = []
+    for l, g in zip(split_ps, grads):
+        new_ps.append({
+            "w": split_sgd_update(*l["w"], g["w"], lr),
+            "b": split_sgd_update(*l["b"], g["b"], lr),
+        })
+    return new_ps, loss
+
+
 def make_sharded_train_step(cfg: MlpConfig, mesh: Mesh, lr: float = 1e-3):
     """jit the FULL train step over a (dp, tp) mesh; activations are
     batch-sharded over dp, weights feature-sharded over tp."""

@@ -288,3 +288,45 @@ def test_brgemm_ext_stochastic_round_store():
     ref = np.einsum("bmk,bkn->mn", a, b)
     # SR result within one bf16 ulp of the exact value
     check(ref, out, dtype_name="bf16", margin=2 ** -7)
+
+
+def test_kernels_are_differentiable():
+    """Dispatched kernels are jnp-composed, so jax.grad flows through —
+    the library works as a building block for training code."""
+    import jax
+    import jax.numpy as jnp
+    m, n, k = 8, 6, 4
+    kern = xt.dispatch_gemm(GemmShape(m, n, k), GemmFlags.BETA_0)
+
+    def loss(a, b):
+        return jnp.sum(kern(a, b) ** 2)
+
+    a, b = jnp.asarray(_rand((m, k))), jnp.asarray(_rand((k, n)))
+    ga, gb = jax.grad(loss, argnums=(0, 1))(a, b)
+    c = np.asarray(kern(a, b))
+    np.testing.assert_allclose(np.asarray(ga), 2 * c @ np.asarray(b).T,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(a).T @ (2 * c),
+                               rtol=1e-4)
+
+
+def test_threadsafe_dispatch_real_kernels():
+    """tests/threadsafety.c parity with REAL kernels: concurrent dispatch
+    of identical and distinct GEMM descriptors returns consistent kernels
+    and correct results."""
+    import concurrent.futures
+    shapes = [GemmShape(8 + i % 3, 8, 8) for i in range(64)]
+
+    def work(s):
+        kern = xt.dispatch_gemm(s, GemmFlags.BETA_0)
+        a, b = _rand((s.m, s.k)), _rand((s.k, s.n))
+        out = np.asarray(kern(a, b))
+        return kern, float(np.abs(out - a @ b).max())
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(work, shapes))
+    by_shape = {}
+    for s, (kern, err) in zip(shapes, results):
+        assert err < 1e-4
+        by_shape.setdefault(s, kern)
+        assert by_shape[s] is kern   # same descriptor -> same kernel object

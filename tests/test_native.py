@@ -91,3 +91,42 @@ def test_kv_persists_across_instances(tmp_path):
     path = tmp_path / "c.xkv"
     native_bridge.PersistentKv(path).put(b"a", b"1")
     assert native_bridge.PersistentKv(path).get(b"a") == b"1"
+
+
+def test_aot_export_load(tmp_path):
+    # AOT executables bind the device topology they were compiled for
+    # (like the reference's ISA-specific binary exports), so run the
+    # round-trip in a clean 1-device process — the suite's 8-virtual-device
+    # topology would not match itself on reload.
+    import subprocess
+    import sys
+
+    code = f"""
+import os
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import libxsmm_tpu as xt
+from libxsmm_tpu import aot, native_bridge
+from libxsmm_tpu.descriptor import GemmFlags, GemmShape
+
+kern = xt.dispatch_gemm(GemmShape(8, 8, 8), GemmFlags.BETA_0)
+a = jnp.ones((8, 8), jnp.float32)
+store = native_bridge.PersistentKv(r"{tmp_path / 'aot.xkv'}")
+key = aot.export_kernel(kern, (a, a), store)
+assert store.get(key) is not None
+loaded = aot.load_kernel(store, key)
+assert loaded is not None
+np.testing.assert_allclose(np.asarray(loaded(a, a)),
+                           np.full((8, 8), 8.0), rtol=1e-6)
+assert aot.load_kernel(store, b"missing") is None
+print("AOT-OK")
+"""
+    env = dict(**__import__("os").environ)
+    result = subprocess.run([sys.executable, "-c", code], env=env,
+                            capture_output=True, text=True, timeout=300,
+                            cwd=str(__import__("pathlib").Path(
+                                __file__).resolve().parents[1]))
+    assert "AOT-OK" in result.stdout, result.stderr[-2000:]
