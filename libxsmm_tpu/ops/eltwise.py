@@ -272,6 +272,11 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
         if op in _UNARY_MATH or op in _REDUCE_OPS or op in (
                 UnaryType.REDUCE_TO_SCALAR_OP_ADD,):
             y = apply_unary_op(op, flags, xb.astype(comp))
+            if (op in _REDUCE_OPS and flags & UnaryFlags.REDUCE_INIT_ACC
+                    and args):
+                # accumulate into the caller's running accumulator
+                # (REDUCE_INIT_ACC: kernel(x, acc) -> acc + reduce(x))
+                y = y + args[0].astype(comp)
             if isinstance(y, tuple):
                 return tuple(_out_cast(t, desc.out_type, x.dtype) for t in y)
             return _out_cast(y, desc.out_type, x.dtype)

@@ -355,3 +355,45 @@ def test_pspgemm_bcsc_i8_i32():
                           jnp.asarray(bm.data.astype(np.int8))))
     ref = aq.astype(np.int32) @ bm.to_dense().astype(np.int32)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_reduce_init_acc():
+    from libxsmm_tpu.descriptor import UnaryFlags, UnaryType
+    m, n = 6, 8
+    x = _sparse_dense(m, n, 1.0)
+    acc0 = RNG.standard_normal((1, n)).astype(np.float32)
+    kern = xt.dispatch_meltw_unary(
+        UnaryType.REDUCE_X_OP_ADD, m, n,
+        UnaryFlags.REDUCE_COLS | UnaryFlags.REDUCE_INIT_ACC)
+    check(x.sum(axis=0, keepdims=True) + acc0, np.asarray(kern(x, acc0)),
+          margin=1e-5)
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_fsspmdm_spectral_element_operators(p):
+    """The north-star workload on synthetic PyFR-class operators
+    (tensor-product hex derivative + face interpolation)."""
+    from libxsmm_tpu.utils.testmats import (hex_derivative_operator,
+                                            hex_interp_operator)
+    n = 192
+    for op in (hex_derivative_operator(p, axis=1),
+               hex_interp_operator(p)):
+        dens = np.count_nonzero(op) / op.size
+        assert dens < 0.6            # genuinely sparse
+        h = fsspmdm_create(n, op.astype(np.float64))
+        b = RNG.standard_normal((op.shape[1], n))
+        check(op @ b, np.asarray(h.execute(b)), dtype_name="f64",
+              margin=1e-9)
+
+
+def test_spgemm_areg_edge_matrix():
+    """EDGE-class flux matrix with few unique values through the
+    values-baked kernel (the reference's dedup-unique-values target)."""
+    from libxsmm_tpu.utils.testmats import edge_fluxmatrix
+    a = edge_fluxmatrix(20, 35, seed=3)
+    csr = CsrMatrix.from_dense(a)
+    assert len(np.unique(np.abs(csr.data))) <= 16
+    kern = create_spgemm_csr_areg(GemmShape(20, 64, 35), GemmFlags.BETA_0,
+                                  csr.indptr, csr.indices, csr.data)
+    b = RNG.standard_normal((35, 64)).astype(np.float32)
+    check(a @ b, np.asarray(kern(b)), margin=1e-4)
