@@ -100,7 +100,10 @@ def make_smm_case():
     rng = np.random.default_rng(0)
     a0 = jnp.asarray(rng.standard_normal((B, m, k)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((B, k, n)) * 0.1, jnp.float32)
-    kern = xt.dispatch_gemm_batched(GemmShape(m, n, k), GemmFlags.BETA_0)
+    # tune=True: first call microbenchmarks Pallas vs XLA batched dot and
+    # keeps whichever wins in the current device-sharing window
+    kern = xt.dispatch_gemm_batched(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                    tune=True)
     flops = 2 * B * m * n * k
     bytes_moved = B * (m * k + k * n + m * n) * 4
     # out (B,m,n) == a's shape since m==k: chain directly

@@ -154,6 +154,26 @@ def meqn_tree_print(idx: int) -> str:
     return s
 
 
+def meqn_rpn_print(idx: int) -> str:
+    """libxsmm_meqn_rpn_print analogue: post-order (RPN) op listing."""
+    out = []
+
+    def visit(node: EqnNode):
+        for c in node.children:
+            visit(c)
+        if node.kind == "arg":
+            out.append(f"ARG{node.in_pos}")
+        else:
+            out.append(node.op.name)
+
+    root = _eqn(idx).root
+    if root is not None:
+        visit(root)
+    s = " ".join(out) if out else "<empty>"
+    print(s)
+    return s
+
+
 # ---------------------------------------------------------------------------
 # evaluation
 # ---------------------------------------------------------------------------
