@@ -150,6 +150,7 @@ class UnaryType(enum.Enum):
     REDUCE_X_X2_OP_ADD = 20
     REDUCE_X_OP_MAX = 21
     REDUCE_X_OP_MUL = 22
+    REDUCE_X_OP_ADD_NCNC_FORMAT = 23
     REDUCE_TO_SCALAR_OP_ADD = 24
     DROPOUT = 25
     DROPOUT_INV = 26
@@ -235,9 +236,20 @@ class BinaryType(enum.Enum):
     MAX = 9
     MIN = 10
     BRGEMM = 11
+    BRGEMM_B_TRANS = 12
+    BRGEMM_A_TRANS = 13
+    BRGEMM_A_TRANS_B_TRANS = 14
+    BRGEMM_A_VNNI = 15
+    BRGEMM_A_VNNI_B_TRANS = 16
+    BRGEMM_A_VNNI_TRANS = 17
+    BRGEMM_A_VNNI_TRANS_B_TRANS = 18
     MATMUL_B_TRANS = 19
     MATMUL_A_TRANS = 20
     MATMUL_A_TRANS_B_TRANS = 21
+    MATMUL_A_VNNI = 22
+    MATMUL_A_VNNI_B_TRANS = 23
+    MATMUL_A_VNNI_TRANS = 24
+    MATMUL_A_VNNI_TRANS_B_TRANS = 25
     ZIP = 26
     CMP_OP_GT = 27
     CMP_OP_GE = 28
@@ -274,9 +286,20 @@ class TernaryType(enum.Enum):
     SELECT = 3     # out = in2(bitmask) ? in0 : in1
     NMULADD = 4    # out = -(in0*in1) + in2
     BRGEMM = 5
+    BRGEMM_B_TRANS = 6
+    BRGEMM_A_TRANS = 7
+    BRGEMM_A_TRANS_B_TRANS = 8
+    BRGEMM_A_VNNI = 9
+    BRGEMM_A_VNNI_B_TRANS = 10
+    BRGEMM_A_VNNI_TRANS = 11
+    BRGEMM_A_VNNI_TRANS_B_TRANS = 12
     MATMUL_B_TRANS = 13
     MATMUL_A_TRANS = 14
     MATMUL_A_TRANS_B_TRANS = 15
+    MATMUL_A_VNNI = 16
+    MATMUL_A_VNNI_B_TRANS = 17
+    MATMUL_A_VNNI_TRANS = 18
+    MATMUL_A_VNNI_TRANS_B_TRANS = 19
 
 
 # ---------------------------------------------------------------------------

@@ -281,6 +281,17 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
                 return tuple(_out_cast(t, desc.out_type, x.dtype) for t in y)
             return _out_cast(y, desc.out_type, x.dtype)
 
+        if op == UnaryType.REDUCE_X_OP_ADD_NCNC_FORMAT:
+            # Blocked NCNC layout reduce-over-N (reference impl
+            # generator_mateltwise_reference_impl.c:2118-2137: bc=desc.m,
+            # bn=desc.n, C=ldi, N=ldo; offset = iN*C*bn + iC*bn*bc + in*bc+ic).
+            # Here desc.extra = (C, N); blocks (bc, bn) = (desc.m, desc.n).
+            bc, bn = m, n
+            C, N = desc.extra
+            blk = x.reshape(N // bn, C // bc, bn, bc).astype(comp)
+            red = jnp.sum(blk, axis=(0, 2))          # (C//bc, bc)
+            return _out_cast(red.reshape(1, C), desc.out_type, x.dtype)
+
         # transforms -------------------------------------------------------
         if op == UnaryType.TRANSFORM_NORM_TO_NORMT:
             return _out_cast(xb.T, desc.out_type, x.dtype)

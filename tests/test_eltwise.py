@@ -383,3 +383,22 @@ def test_rng_and_timer_utils():
     dt = timer.bench(lambda v: v + 1, (jnp.ones((8, 8)),), reps=3, warmup=1)
     assert dt > 0
     assert timer.gflops(1e9, 1.0) == 1.0
+
+
+def test_reduce_ncnc_format():
+    # REDUCE_X_OP_ADD_NCNC_FORMAT (reference impl
+    # generator_mateltwise_reference_impl.c:2118-2137): input in blocked
+    # NCNC layout, output = per-column sums over N.
+    import numpy as np
+    from libxsmm_tpu.descriptor import UnaryType
+    from libxsmm_tpu.ops.eltwise import dispatch_meltw_unary
+    rng = np.random.default_rng(5)
+    C, N, bc, bn = 16, 12, 4, 3
+    dense = rng.standard_normal((N, C)).astype(np.float32)
+    # pack into NCNC: blocks [iN][iC][in][ic]
+    blk = (dense.reshape(N // bn, bn, C // bc, bc)
+           .transpose(0, 2, 1, 3).copy())
+    kern = dispatch_meltw_unary(UnaryType.REDUCE_X_OP_ADD_NCNC_FORMAT,
+                                m=bc, n=bn, extra=(C, N))
+    got = np.asarray(kern(blk.reshape(-1))).reshape(C)
+    np.testing.assert_allclose(got, dense.sum(axis=0), rtol=1e-5, atol=1e-5)

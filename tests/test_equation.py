@@ -179,3 +179,81 @@ def test_equation_cache_and_print():
     assert k1 is k2
     meqn_destroy(idx)
     meqn_destroy(idx2)
+
+
+def test_equation_matmul_trans_variants():
+    # reference enum include/libxsmm_typedefs.h:391-393 — MATMUL_{B,A,AB}_TRANS
+    m, k, n = 12, 8, 16
+    a, b = _r(m, k), _r(k, n)
+    for op, lhs, rhs in [
+        (BinaryType.MATMUL_B_TRANS, a, np.ascontiguousarray(b.T)),
+        (BinaryType.MATMUL_A_TRANS, np.ascontiguousarray(a.T), b),
+        (BinaryType.MATMUL_A_TRANS_B_TRANS, np.ascontiguousarray(a.T),
+         np.ascontiguousarray(b.T)),
+    ]:
+        idx = meqn_create()
+        meqn_push_back_binary_op(idx, op)
+        meqn_push_back_arg(idx, *lhs.shape, in_pos=0)
+        meqn_push_back_arg(idx, *rhs.shape, in_pos=1)
+        kern = dispatch_meqn(idx, m, n)
+        check(a @ b, np.asarray(kern(lhs, rhs)), margin=1e-5)
+        meqn_destroy(idx)
+
+
+def test_equation_brgemm_trans_variants():
+    # reference enum :383-386 — BRGEMM_{B,A,AB}_TRANS; trans must hit the
+    # trailing 2 dims only (batch dim preserved)
+    br, m, k, n = 3, 8, 6, 10
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    want = np.einsum("bmk,bkn->mn", a, b)
+    for op, lhs, rhs in [
+        (BinaryType.BRGEMM_B_TRANS, a, np.ascontiguousarray(
+            b.transpose(0, 2, 1))),
+        (BinaryType.BRGEMM_A_TRANS, np.ascontiguousarray(
+            a.transpose(0, 2, 1)), b),
+        (BinaryType.BRGEMM_A_TRANS_B_TRANS,
+         np.ascontiguousarray(a.transpose(0, 2, 1)),
+         np.ascontiguousarray(b.transpose(0, 2, 1))),
+    ]:
+        idx = meqn_create()
+        meqn_push_back_binary_op(idx, op)
+        meqn_push_back_arg(idx, lhs.shape[1], lhs.shape[2], in_pos=0)
+        meqn_push_back_arg(idx, rhs.shape[1], rhs.shape[2], in_pos=1)
+        kern = dispatch_meqn(idx, m, n)
+        check(want, np.asarray(kern(lhs, rhs)), margin=1e-5)
+        meqn_destroy(idx)
+
+
+def test_equation_matmul_a_vnni():
+    # A stored in VNNI2 (bf16) layout; node un-interleaves before the dot
+    # (reference enum :394 MATMUL_A_VNNI)
+    from libxsmm_tpu.ops.eltwise import _norm_to_vnni
+    import jax.numpy as jnp
+    m, k, n = 8, 6, 16
+    a = _r(m, k).astype(np.float32)
+    b = _r(k, n)
+    a_bf16 = np.asarray(jnp.asarray(a, dtype=jnp.bfloat16))
+    a_vnni = np.asarray(_norm_to_vnni(jnp.asarray(a_bf16), 2, pad=False))
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.MATMUL_A_VNNI)
+    meqn_push_back_arg(idx, m // 2, k * 2, in_pos=0, dtype=Datatype.BF16)
+    meqn_push_back_arg(idx, k, n, in_pos=1)
+    kern = dispatch_meqn(idx, m, n)
+    want = a_bf16.astype(np.float32) @ b
+    check(want, np.asarray(kern(a_vnni, b)), margin=1e-2)
+    meqn_destroy(idx)
+
+
+def test_equation_ternary_matmul_a_trans():
+    # ternary MATMUL_A_TRANS: out = A^T-stored matmul + C (enum :438)
+    m, k, n = 10, 4, 12
+    a_t, b, c = _r(k, m), _r(k, n), _r(m, n)
+    idx = meqn_create()
+    meqn_push_back_ternary_op(idx, TernaryType.MATMUL_A_TRANS)
+    meqn_push_back_arg(idx, k, m, in_pos=0)
+    meqn_push_back_arg(idx, k, n, in_pos=1)
+    meqn_push_back_arg(idx, m, n, in_pos=2)
+    kern = dispatch_meqn(idx, m, n)
+    check(a_t.T @ b + c, np.asarray(kern(a_t, b, c)), margin=1e-5)
+    meqn_destroy(idx)
