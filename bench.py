@@ -28,29 +28,43 @@ REPS = 10
 ROUNDS = 4
 
 
+def _sync(state):
+    """True device sync: fetch one element to host.
+
+    jax.block_until_ready does NOT reliably flush this backend's async
+    pipeline (measured: chained 256MB elementwise steps "complete" at
+    44 TB/s under block_until_ready but 0.25 TB/s under a host fetch);
+    only a host readback of data dependent on the chain proves the work
+    ran.
+    """
+    import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(state)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 class ChainCase:
     """A chained-iteration benchmark case.
 
     The runtime memoizes repeat executions with identical inputs, so every
     iteration must be serially data-dependent; and the device is shared
     with minute-scale throughput swings, so the driver interleaves all
-    cases over several ROUNDS and keeps each case's best window.
+    cases over several ROUNDS and keeps each case's best window. Trials
+    sync via a host readback (see _sync), not block_until_ready.
     """
 
     def __init__(self, step, state):
-        import jax
         self.step = step
         self.state = step(state)        # compile + warmup
         self.state = step(self.state)
-        jax.block_until_ready(self.state)
+        _sync(self.state)
         self.best = float("inf")
 
     def trial(self, reps=REPS):
-        import jax
         t0 = time.perf_counter()
         for _ in range(reps):
             self.state = self.step(self.state)
-        jax.block_until_ready(self.state)
+        _sync(self.state)
         dt = (time.perf_counter() - t0) / reps
         self.best = min(self.best, dt)
         return dt

@@ -83,13 +83,10 @@ def _autotune_cache():
 
 
 def _bench(fn, args, reps: int) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e6  # us
+    from ..utils.timer import bench_chain
+    # chain through B (args[0]): fixed-arg loops are memoized by the
+    # runtime and block_until_ready does not actually sync (CLAUDE.md)
+    return bench_chain(fn, args, chain_idx=0, reps=reps) * 1e6  # us
 
 
 def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,

@@ -393,19 +393,15 @@ def dispatch_gemm_batched(shape: GemmShape,
         chosen = {}
 
         def pick(bsz, a, b, c):
-            import time as _time
+            from ..utils.timer import bench_chain
             cands = [_batched_kernel(d, bsz, use_pallas=up)[0]
                      for up in (True, False)]
             args = (a, b) if c is None else (a, b, c)
             best_fn, best_t = cands[0], float("inf")
             for fn_ in cands:
-                out = fn_(*args)
-                jax.block_until_ready(out)    # compile + warm
-                t = float("inf")
-                for _ in range(3):
-                    t0 = _time.perf_counter()
-                    jax.block_until_ready(fn_(*args))
-                    t = min(t, _time.perf_counter() - t0)
+                # chained + host-synced: fixed-arg timing is memoized and
+                # block_until_ready does not sync on this backend
+                t = bench_chain(fn_, args, chain_idx=0, reps=6)
                 if t < best_t:
                     best_fn, best_t = fn_, t
             chosen[bsz] = best_fn

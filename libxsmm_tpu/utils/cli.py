@@ -64,11 +64,8 @@ def _gen_gemm(spec: dict, bench: bool) -> str:
     jax.block_until_ready(out)
     note = ""
     if bench:
-        t0 = time.perf_counter()
-        for _ in range(20):
-            out = kern(*args)
-        jax.block_until_ready(out)
-        per = (time.perf_counter() - t0) / 20
+        from .timer import bench_chain
+        per = bench_chain(kern, args, chain_idx=0, reps=20)
         note = f"  {xt.get_kernel_info(kern).nflops * max(1, batch) / per / 1e9:.1f} GF/s"
     return f"gemm {kern.name}{note}"
 

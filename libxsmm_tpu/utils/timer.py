@@ -2,9 +2,14 @@
 
 Port of the reference timer semantics (include/utils/libxsmm_timer.h:29,
 src/libxsmm_timer.c TSC+calibration) to the TPU execution model: wall-clock
-ticks plus a device-honest `bench` helper that forces completion with
-block_until_ready — the discipline every driver in this repo uses (async
-dispatch makes naive timing meaningless on TPU).
+ticks plus device-honest bench helpers.
+
+Two backend hazards shape the discipline here (both measured on the axon
+backend, see CLAUDE.md):
+  * repeat jit executions with IDENTICAL inputs are memoized — timing loops
+    must chain a data dependency through every rep (`bench_chain`);
+  * jax.block_until_ready does NOT flush the async pipeline — the only true
+    sync is a HOST FETCH of chain-dependent data (`device_sync`).
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ import time
 from typing import Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 
 
 def tick() -> float:
@@ -25,17 +31,53 @@ def duration(t0: float, t1: float) -> float:
     return t1 - t0
 
 
+def device_sync(out) -> float:
+    """Force completion of `out` (any pytree) via a 1-element host fetch."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def bench(fn: Callable, args: Tuple = (), reps: int = 50,
           warmup: int = 2) -> float:
-    """Average seconds per call, device-synchronized."""
+    """Average seconds per call, device-synchronized.
+
+    NOTE: with fixed args the runtime may memoize reps; prefer bench_chain
+    for kernel-selection decisions.
+    """
     out = None
     for _ in range(max(1, warmup)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
+                reps: int = 20, warmup: int = 2) -> float:
+    """Average seconds per call with a data dependency chained through
+    args[chain_idx] each rep (a zero-valued output readback folded in), so
+    the runtime cannot memoize, and a host fetch as the final sync."""
+    args = tuple(args)
+
+    @jax.jit
+    def step(x):
+        call = [x if i == chain_idx else a for i, a in enumerate(args)]
+        out = fn(*call)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        zero = (jnp.ravel(leaf)[0] * 0).astype(x.dtype)
+        return x + zero
+
+    x = args[chain_idx]
+    for _ in range(max(1, warmup)):
+        x = step(x)
+    device_sync(x)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = step(x)
+    device_sync(x)
     return (time.perf_counter() - t0) / reps
 
 
