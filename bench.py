@@ -7,12 +7,17 @@ small GEMM (the reference's smmbench/magazine streaming workload,
 times intensity, capped by MEASURED MXU peak. vs_baseline = fraction / 0.80
 (the BASELINE.json target), so >= 1.0 means target met.
 
-Measurement discipline (both learned the hard way on this backend):
+Measurement discipline (all learned the hard way on this backend):
   * every iteration is serially CHAINED through a data dependency — the
-    runtime memoizes repeat executions with identical inputs, so naive
-    fixed-arg loops measure dispatch latency, not the kernel;
-  * best-of-trials is reported — the device is shared and single trials
-    swing by 3x.
+    runtime memoizes repeat executions with identical inputs;
+  * iterations are chained INSIDE one jit via lax.fori_loop — per-launch
+    overhead on this backend is ~1.2 ms regardless of size, which would
+    otherwise dominate any workload under ~1 GB of traffic;
+  * the only true sync is a HOST FETCH of chain-dependent data —
+    jax.block_until_ready does not flush the async pipeline;
+  * the device is time-shared: all cases are interleaved over ROUNDS and
+    the headline fraction is computed per round so numerator and roofline
+    come from the SAME window.
 """
 
 import json
@@ -24,19 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REPS = 10
+REPS = 3        # launches per trial
+INNER = 16      # chained iterations inside each launch (fori_loop)
 ROUNDS = 4
 
 
 def _sync(state):
-    """True device sync: fetch one element to host.
-
-    jax.block_until_ready does NOT reliably flush this backend's async
-    pipeline (measured: chained 256MB elementwise steps "complete" at
-    44 TB/s under block_until_ready but 0.25 TB/s under a host fetch);
-    only a host readback of data dependent on the chain proves the work
-    ran.
-    """
+    """True device sync: fetch one element to host (block_until_ready does
+    NOT flush this backend's async pipeline; see module docstring)."""
     import jax
     import jax.numpy as jnp
     leaf = jax.tree_util.tree_leaves(state)[0]
@@ -44,41 +44,36 @@ def _sync(state):
 
 
 class ChainCase:
-    """A chained-iteration benchmark case.
-
-    The runtime memoizes repeat executions with identical inputs, so every
-    iteration must be serially data-dependent; and the device is shared
-    with minute-scale throughput swings, so the driver interleaves all
-    cases over several ROUNDS and keeps each case's best window. Trials
-    sync via a host readback (see _sync), not block_until_ready.
-    """
+    """A chained-iteration benchmark case: INNER iterations fold into one
+    launch via fori_loop, trials sync via host readback, best window kept."""
 
     def __init__(self, step, state):
-        self.step = step
-        self.state = step(state)        # compile + warmup
-        self.state = step(self.state)
+        import jax
+
+        self.fn = jax.jit(
+            lambda s: jax.lax.fori_loop(0, INNER, lambda i, ss: step(ss), s))
+        self.state = self.fn(state)      # compile + warmup
         _sync(self.state)
         self.best = float("inf")
 
     def trial(self, reps=REPS):
         t0 = time.perf_counter()
         for _ in range(reps):
-            self.state = self.step(self.state)
+            self.state = self.fn(self.state)
         _sync(self.state)
-        dt = (time.perf_counter() - t0) / reps
+        dt = (time.perf_counter() - t0) / (reps * INNER)
         self.best = min(self.best, dt)
         return dt
 
 
 def make_copy_case():
-    """Effective HBM bandwidth via a chained streaming scale (read+write)."""
-    import jax
+    """Effective HBM bandwidth via a chained streaming pass (read+write).
+    roll defeats both constant-folding and the runtime's result reuse."""
     import jax.numpy as jnp
 
     nbytes = 256 * 2**20
     x = jnp.ones((nbytes // 4,), jnp.float32)
-    f = jax.jit(lambda v: v * 1.0000001)
-    return ChainCase(f, x), 2 * nbytes
+    return ChainCase(lambda v: jnp.roll(v, 1) + 1e-9, x), 2 * nbytes
 
 
 def make_peak_case(dtype_name):
@@ -93,7 +88,6 @@ def make_peak_case(dtype_name):
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((n, n)) / np.sqrt(n), dt_)
 
-    @jax.jit
     def step(a):
         out = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32,
@@ -105,27 +99,30 @@ def make_peak_case(dtype_name):
 
 
 def make_smm_case():
+    """Headline: 16384 x (32^3) f32 SMMs on the lane-packed layout
+    (dispatch_gemm_batched_packed — every HBM tile 128 lanes wide, one MXU
+    pass per 4 problems via a VMEM block-diagonal RHS)."""
     import jax.numpy as jnp
 
     import libxsmm_tpu as xt
     from libxsmm_tpu.descriptor import GemmFlags, GemmShape
 
     B, m, n, k = 16384, 32, 32, 32
+    p = xt.smm_pack_factor(GemmShape(m, n, k))
     rng = np.random.default_rng(0)
-    a0 = jnp.asarray(rng.standard_normal((B, m, k)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((B, k, n)) * 0.1, jnp.float32)
-    # tune=True: first call microbenchmarks Pallas vs XLA batched dot and
-    # keeps whichever wins in the current device-sharing window
-    kern = xt.dispatch_gemm_batched(GemmShape(m, n, k), GemmFlags.BETA_0,
-                                    tune=True)
+    a0 = xt.pack_batched(
+        jnp.asarray(rng.standard_normal((B, m, k)), jnp.float32), p)
+    b = xt.pack_batched(
+        jnp.asarray(rng.standard_normal((B, k, n)) * 0.1, jnp.float32), p)
+    kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
+                                           GemmFlags.BETA_0)
     flops = 2 * B * m * n * k
-    bytes_moved = B * (m * k + k * n + m * n) * 4
-    # out (B,m,n) == a's shape since m==k: chain directly
+    bytes_moved = B * (m * k + k * n + m * n) * 4   # packed layout = dense
+    # out (G,m,p*n) == a's packed shape since m==k: chain directly
     return ChainCase(lambda a: kern(a, b), a0), (flops, bytes_moved)
 
 
 def make_brgemm_case():
-    import jax
     import jax.numpy as jnp
 
     import libxsmm_tpu as xt
@@ -142,19 +139,18 @@ def make_brgemm_case():
     kern = xt.dispatch_brgemm(shape, GemmFlags.BETA_0,
                               BatchReduceConfig(BatchReduceType.STRIDE, br))
 
-    @jax.jit
-    def perturb(b, out):
+    def step(b):
+        out = kern(a, b)
         return b + (out[:k, :] * 1e-6).astype(jnp.bfloat16)[None, :, :]
 
-    return ChainCase(lambda b: perturb(b, kern(a, b)), b0), 2 * br * m * n * k
+    return ChainCase(step, b0), 2 * br * m * n * k
 
 
 def make_fsspmdm_case():
     """PyFR-class operator (m=125,k=75 p3 hex, N=4800 streaming)."""
-    import jax
-    import jax.numpy as jnp
-
     from libxsmm_tpu.ops.fsspmdm import fsspmdm_create
+
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
     m, k, n = 125, 75, 4800
@@ -162,17 +158,16 @@ def make_fsspmdm_case():
     a[rng.random((m, k)) > 0.3] = 0.0
     h = fsspmdm_create(n, a)
 
-    @jax.jit
-    def perturb(b, out):
+    def step(b):
+        out = h.kernel.fn(b)
         return b + out[:k, :] * 1e-6
 
     b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
-    case = ChainCase(lambda b: perturb(b, h.kernel.fn(b)), b0)
+    case = ChainCase(step, b0)
     return case, (h.nnz * n, h.kind)
 
 
 def make_bcsc_case():
-    import jax
     import jax.numpy as jnp
 
     from libxsmm_tpu.descriptor import GemmFlags, GemmShape, SpgemmConfig
@@ -193,12 +188,12 @@ def make_bcsc_case():
                                      row_idx=bcsc.indices)
     v = jnp.asarray(bcsc.data, jnp.bfloat16)
 
-    @jax.jit
-    def perturb(a, out):
+    def step(a):
+        out = kern(a, v)
         return a + (out * 1e-6).astype(jnp.bfloat16)
 
     a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-    case = ChainCase(lambda a: perturb(a, kern(a, v)), a0)
+    case = ChainCase(step, a0)
     nnz = bcsc.nblocks * bk * bn
     return case, (nnz, m, kern.name.split("_")[-1])
 

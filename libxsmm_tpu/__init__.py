@@ -26,7 +26,9 @@ from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
                        get_registry, init)
 from .ops.gemm import (dgemm, dispatch_brgemm, dispatch_brgemm_ext,
                        dispatch_gemm, dispatch_gemm_batched,
-                       dispatch_tilecfg_gemm, gemm, sgemm)
+                       dispatch_gemm_batched_packed, dispatch_tilecfg_gemm,
+                       gemm, pack_batched, sgemm, smm_pack_factor,
+                       unpack_batched)
 from .ops.eltwise import (dispatch_meltw_binary, dispatch_meltw_ternary,
                           dispatch_meltw_unary)
 from .ops.equation import (dispatch_meqn, meqn_create, meqn_destroy,

@@ -17,10 +17,23 @@ picked to give each pipeline stage ~0.75 MB of traffic, which measured best
 on v5e-class hardware (30 TF/s f32 at 32^3, 1.4x over XLA's batched dot;
 see bench.py).
 
-(A block-diagonal-packing variant that fuses G problems into one wide MXU
-pass was prototyped and rejected: Mosaic 2026-08 lacks value-level
-dynamic_update_slice and miscompiles the iota-mask construction; batched
-dot_general is both supported and faster in practice.)
+Two kernels live here:
+
+* build_batched_gemm — grid over batch chunks of (B,m,k)x(B,k,n) problems,
+  one batched dot_general per step. Simple, works for any small shape, but
+  pays lane padding: a 32-wide minor dim occupies a full 128-lane tile in
+  HBM and in the MXU (measured 0.32 of copy bandwidth at 32^3 f32).
+
+* build_packed_batched_gemm — the speed-of-light path (measured 0.94 of
+  copy bandwidth at 32^3 f32): P = 128//n problems are packed side by side
+  along lanes, so every HBM tile is full. Per group the kernel builds a
+  block-diagonal (128,128) RHS in VMEM (tile the packed B rows P times,
+  zero off-diagonal blocks with an iota mask — pure VPU work, no HBM
+  cost) and issues ONE (m,128)x(128,128) MXU pass computing all P
+  products: [A0|..|A3] @ diag(B0..B3) = [A0B0|..|A3B3]. This is the TPU
+  analogue of the reference's packed/SOA GEMM layouts
+  (/root/reference/src/generator_packed_gemm*.c): accept a packed storage
+  format in exchange for full-width vector units.
 """
 
 from __future__ import annotations
@@ -77,7 +90,6 @@ def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
     gg = min(gg, batch)
 
     steps = max(1, -(-batch // gg))
-    padded = steps * gg
 
     def kernel(a_ref, b_ref, *rest):
         if beta0:
@@ -108,13 +120,15 @@ def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
         in_specs.append(pl.BlockSpec((gg, m, n), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
 
+    # non-divisible grids are fine: Pallas clamps the trailing block
+    # (no manual padding — a jnp.pad here would full-copy both operands)
     call = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((gg, m, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded, m, n), out_dt),
+        out_shape=jax.ShapeDtypeStruct((batch, m, n), out_dt),
         cost_estimate=pl.CostEstimate(
             flops=flops * steps,
             bytes_accessed=bytes_step * steps,
@@ -124,14 +138,114 @@ def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
 
     @jax.named_scope(desc.name() + "_batched_pallas")
     def fn(a, b, c=None):
-        pad = padded - batch
-        if pad:
-            a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
-            b = jnp.pad(b, ((0, pad), (0, 0), (0, 0)))
-            if c is not None:
-                c = jnp.pad(c, ((0, pad), (0, 0), (0, 0)))
         args = (a, b) if beta0 else (a, b, c)
-        out = call(*args)
-        return out[:batch] if pad else out
+        return call(*args)
+
+    return fn
+
+
+def packed_smm_supported(desc: GemmDescriptor) -> bool:
+    """Lane-packing needs square-ish tiles: k == n, n divides 128, and the
+    f32/bf16 dtypes the MXU consumes directly."""
+    s = desc.shape
+    if desc.trans_a or desc.trans_b:
+        return False
+    if s.a_in_type not in (Datatype.F32, Datatype.BF16):
+        return False
+    if s.b_in_type != s.a_in_type:
+        return False
+    if s.k != s.n or 128 % s.n or s.n > 128:
+        return False
+    return s.m <= 512
+
+
+def build_packed_batched_gemm(desc: GemmDescriptor,
+                              groups: int) -> Optional[Callable]:
+    """Lane-packed batched SMM: P = 128//n problems per lane group.
+
+    fn(a, b[, c]) with PACKED operands (see ops.gemm.pack_batched):
+      a: (G, m, P*k)  = [A_0 | A_1 | ... | A_{P-1}] along lanes
+      b: (G, k, P*n)  = [B_0 | B_1 | ... | B_{P-1}]
+      c: (G, m, P*n)  (beta=1 only)
+    -> (G, m, P*n)    = [A_0B_0 | ... | A_{P-1}B_{P-1}]
+
+    One MXU pass per group via a VMEM-built block-diagonal RHS; every HBM
+    tile is 128 lanes wide, so the stream runs at copy bandwidth (the
+    reference gets the same effect from SOA packing,
+    src/generator_packed_gemm_common.c).
+    """
+    if not packed_smm_supported(desc):
+        return None
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = desc.shape
+    m, n, k = s.m, s.n, s.k
+    p = 128 // n
+    in_dt = to_jnp(s.a_in_type)
+    out_dt = to_jnp(s.out_type)
+    comp_dt = jnp.float32
+    precision = (jax.lax.Precision.HIGHEST if s.a_in_type == Datatype.F32
+                 else jax.lax.Precision.DEFAULT)
+    beta0 = desc.beta == 0
+    interpret = device.use_interpret()
+
+    isz = jnp.dtype(in_dt).itemsize
+    per_group = (m * k + k * n + m * n) * isz * p
+    # ~0.5 MB of traffic per grid step (measured plateau; smaller steps
+    # underfill the DMA pipeline, larger ones waste VMEM)
+    gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
+    gg = min(gg, groups)
+    steps = max(1, -(-groups // gg))
+
+    def kernel(a_ref, b_ref, *rest):
+        if beta0:
+            o_ref = rest[0]
+        else:
+            c_ref, o_ref = rest
+        row = jax.lax.broadcasted_iota(jnp.int32, (p * k, p * n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (p * k, p * n), 1)
+        mask = jnp.where((row // k) == (col // n), 1.0, 0.0).astype(in_dt)
+        for g in range(gg):
+            bd = jnp.concatenate([b_ref[g]] * p, axis=0) * mask
+            acc = jax.lax.dot_general(
+                a_ref[g], bd, (((1,), (0,)), ((), ())),
+                preferred_element_type=comp_dt, precision=precision)
+            if not beta0:
+                acc = acc + c_ref[g].astype(comp_dt)
+            o_ref[g] = acc.astype(out_dt)
+
+    in_specs = [
+        pl.BlockSpec((gg, m, p * k), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gg, k, p * n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not beta0:
+        in_specs.append(pl.BlockSpec((gg, m, p * n), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    osz = jnp.dtype(out_dt).itemsize
+    # non-divisible grids are fine: Pallas clamps the trailing block
+    # (no manual padding — a jnp.pad here would full-copy both operands)
+    call = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gg, m, p * n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((groups, m, p * n), out_dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k * p * gg * steps,
+            bytes_accessed=(per_group + (0 if beta0 else m * n * p * osz))
+            * gg * steps,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    @jax.named_scope(desc.name() + "_packed_smm")
+    def fn(a, b, c=None):
+        args = (a, b) if beta0 else (a, b, c)
+        return call(*args)
 
     return fn

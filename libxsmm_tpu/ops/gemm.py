@@ -430,6 +430,73 @@ def dispatch_gemm_batched(shape: GemmShape,
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 
+def smm_pack_factor(shape: GemmShape) -> int:
+    """Lane-pack factor P for the packed batched SMM layout (128//n)."""
+    if shape.k != shape.n or 128 % shape.n:
+        raise ValueError("packed SMM needs k == n and n | 128 "
+                         f"(got n={shape.n} k={shape.k})")
+    return 128 // shape.n
+
+
+def pack_batched(x, p: int):
+    """(B, r, c) -> lane-packed (B//p, r, p*c): p consecutive problems side
+    by side along lanes, so minor-dim tiles are 128 wide in HBM (no padding
+    waste). The TPU analogue of the reference's SOA packing
+    (src/generator_packed_gemm_common.c); inverse: unpack_batched."""
+    bsz, r, c = x.shape
+    if bsz % p:
+        raise ValueError(f"batch {bsz} not divisible by pack factor {p}")
+    return (jnp.asarray(x).reshape(bsz // p, p, r, c)
+            .transpose(0, 2, 1, 3).reshape(bsz // p, r, p * c))
+
+
+def unpack_batched(x, p: int):
+    """Inverse of pack_batched: (G, r, p*c) -> (G*p, r, c)."""
+    g, r, pc = x.shape
+    c = pc // p
+    return (jnp.asarray(x).reshape(g, r, p, c)
+            .transpose(0, 2, 1, 3).reshape(g * p, r, c))
+
+
+def dispatch_gemm_batched_packed(shape: GemmShape,
+                                 flags: GemmFlags = GemmFlags.NONE) -> Kernel:
+    """Batched independent small GEMMs on the lane-packed layout.
+
+    The speed-of-light SMM path (bench.py headline): operands stay in the
+    pack_batched layout end-to-end — a:(G,m,P*k) b:(G,k,P*n) [c:(G,m,P*n)]
+    -> (G,m,P*n), P = 128//n. Requires k == n, n | 128, f32/bf16.
+
+    Use dispatch_gemm_batched for arbitrary layouts/shapes; this kernel
+    trades layout freedom for full-width HBM tiles + one MXU pass per P
+    problems (kernels/gemm_pallas.py build_packed_batched_gemm).
+    """
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
+    from ..kernels import gemm_pallas
+    if not gemm_pallas.packed_smm_supported(desc):
+        raise ValueError(f"unsupported for packed SMM: {desc.name()} "
+                         "(need k==n, n|128, f32/bf16, no transposes)")
+
+    def _build(d):
+        built = {}
+
+        def fn(a, b, c=None):
+            g = a.shape[0]
+            inner = built.get(g)
+            if inner is None:
+                inner = jax.jit(gemm_pallas.build_packed_batched_gemm(d, g))
+                built[g] = inner
+            return inner(a, b) if c is None else inner(a, b, c)
+
+        p = 128 // d.shape.n
+        info = KernelInfo(kind="gemm_batched_packed",
+                          nflops=d.shape.nflops() * p)
+        return Kernel(fn=fn, descriptor=d, info=info,
+                      name=d.name() + f"_packed{p}")
+
+    key = ("batched_packed", desc)
+    return get_registry().dispatch(key, lambda _k: _build(desc))
+
+
 # ---------------------------------------------------------------------------
 # BLAS-style convenience (libxsmm_?gemm, src/libxsmm_main.c:3933)
 # ---------------------------------------------------------------------------

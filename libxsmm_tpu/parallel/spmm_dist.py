@@ -201,7 +201,10 @@ class DistributedBsrSpmm:
             acc0 = jnp.zeros((mb_loc * br, n), jnp.float32)
             # mark the accumulator as device-varying for shard_map's
             # varying-axis type system (it will hold per-shard partials)
-            acc0 = jax.lax.pvary(acc0, (axis,))
+            if hasattr(jax.lax, "pcast"):
+                acc0 = jax.lax.pcast(acc0, (axis,), to="varying")
+            else:
+                acc0 = jax.lax.pvary(acc0, (axis,))
             _, acc = jax.lax.fori_loop(0, num, step, (x_local, acc0))
             return acc.astype(x_local.dtype)
 

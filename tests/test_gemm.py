@@ -330,3 +330,65 @@ def test_threadsafe_dispatch_real_kernels():
         assert err < 1e-4
         by_shape.setdefault(s, kern)
         assert by_shape[s] is kern   # same descriptor -> same kernel object
+
+
+@pytest.mark.parametrize("n,batch,mdim", [(32, 64, 32), (16, 24, 40),
+                                          (64, 8, 16)])
+def test_gemm_batched_packed(n, batch, mdim):
+    # lane-packed SMM: pack -> kernel -> unpack == per-item matmul
+    k = n
+    p = xt.smm_pack_factor(GemmShape(mdim, n, k))
+    assert p == 128 // n
+    a = RNG.standard_normal((batch, mdim, k)).astype(np.float32)
+    b = RNG.standard_normal((batch, k, n)).astype(np.float32)
+    kern = xt.dispatch_gemm_batched_packed(GemmShape(mdim, n, k),
+                                           GemmFlags.BETA_0)
+    out = xt.unpack_batched(kern(xt.pack_batched(a, p),
+                                 xt.pack_batched(b, p)), p)
+    check(np.einsum("bmk,bkn->bmn", a, b), np.asarray(out), margin=1e-5)
+
+
+def test_gemm_batched_packed_beta1():
+    m = n = k = 32
+    batch, p = 16, 4
+    a = RNG.standard_normal((batch, m, k)).astype(np.float32)
+    b = RNG.standard_normal((batch, k, n)).astype(np.float32)
+    c = RNG.standard_normal((batch, m, n)).astype(np.float32)
+    kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k))
+    out = xt.unpack_batched(
+        kern(xt.pack_batched(a, p), xt.pack_batched(b, p),
+             xt.pack_batched(c, p)), p)
+    check(np.einsum("bmk,bkn->bmn", a, b) + c, np.asarray(out), margin=1e-5)
+
+
+def test_gemm_batched_packed_bf16():
+    import jax.numpy as jnp
+    m = n = k = 32
+    batch, p = 12, 4
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32)
+    a = jnp.asarray(RNG.standard_normal((batch, m, k)), jnp.bfloat16)
+    b = jnp.asarray(RNG.standard_normal((batch, k, n)), jnp.bfloat16)
+    kern = xt.dispatch_gemm_batched_packed(shape, GemmFlags.BETA_0)
+    out = xt.unpack_batched(kern(xt.pack_batched(a, p),
+                                 xt.pack_batched(b, p)), p)
+    want = np.einsum("bmk,bkn->bmn", np.asarray(a, np.float32),
+                     np.asarray(b, np.float32))
+    check(want, np.asarray(out), margin=3e-2)
+
+
+def test_gemm_batched_packed_rejects():
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm_batched_packed(GemmShape(32, 32, 16))  # k != n
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm_batched_packed(GemmShape(32, 48, 48))  # 48 !| 128
+    with pytest.raises(ValueError):
+        xt.pack_batched(np.zeros((10, 4, 4), np.float32), 4)  # 10 % 4
+
+
+def test_pack_unpack_roundtrip():
+    x = RNG.standard_normal((24, 8, 16)).astype(np.float32)
+    p = 8
+    packed = xt.pack_batched(x, p)
+    assert packed.shape == (3, 8, 128)
+    np.testing.assert_array_equal(np.asarray(xt.unpack_batched(packed, p)), x)
