@@ -29,9 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REPS = 3        # launches per trial
-INNER = 16      # chained iterations inside each launch (fori_loop)
-ROUNDS = 4
+ROUNDS = 5
+TARGET_LAUNCH_S = 0.2   # sized so ~13 ms worst-case launch cost is <7% noise
 
 
 def _sync(state):
@@ -44,24 +43,47 @@ def _sync(state):
 
 
 class ChainCase:
-    """A chained-iteration benchmark case: INNER iterations fold into one
-    launch via fori_loop, trials sync via host readback, best window kept."""
+    """A chained-iteration benchmark case.
+
+    Iterations fold into ONE launch via fori_loop; the inner count is
+    calibrated per case (two-point probe) so each launch runs
+    ~TARGET_LAUNCH_S of device time — per-launch overhead on this backend
+    swings 1.2–14 ms with the time-sharing window, which would otherwise
+    dominate any small-traffic case. Trials sync via host readback.
+    """
 
     def __init__(self, step, state):
         import jax
 
-        self.fn = jax.jit(
-            lambda s: jax.lax.fori_loop(0, INNER, lambda i, ss: step(ss), s))
+        def make(r):
+            return jax.jit(lambda s: jax.lax.fori_loop(
+                0, r, lambda i, ss: step(ss), s))
+
+        f_lo, f_hi = make(8), make(24)
+        state = f_lo(state)              # compile + warmup
+        _sync(state)
+        t0 = time.perf_counter()
+        state = f_lo(state)
+        _sync(state)
+        t_lo = time.perf_counter() - t0
+        state = f_hi(state)              # compile + warmup
+        _sync(state)
+        t0 = time.perf_counter()
+        state = f_hi(state)
+        _sync(state)
+        t_hi = time.perf_counter() - t0
+        per_iter = max((t_hi - t_lo) / 16, 1e-6)
+        self.inner = int(min(1024, max(16, TARGET_LAUNCH_S / per_iter)))
+        self.fn = make(self.inner)
         self.state = self.fn(state)      # compile + warmup
         _sync(self.state)
         self.best = float("inf")
 
-    def trial(self, reps=REPS):
+    def trial(self):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            self.state = self.fn(self.state)
+        self.state = self.fn(self.state)
         _sync(self.state)
-        dt = (time.perf_counter() - t0) / (reps * INNER)
+        dt = (time.perf_counter() - t0) / self.inner
         self.best = min(self.best, dt)
         return dt
 
@@ -141,7 +163,10 @@ def make_brgemm_case():
 
     def step(b):
         out = kern(a, b)
-        return b + (out[:k, :] * 1e-6).astype(jnp.bfloat16)[None, :, :]
+        # chain via an in-place SLICE update of the loop carry: a full
+        # `b + eps` perturb would add 2x67MB of traffic per iteration and
+        # dominate the kernel being measured
+        return b.at[0].add((out[:k, :] * 1e-6).astype(jnp.bfloat16))
 
     return ChainCase(step, b0), 2 * br * m * n * k
 
@@ -160,7 +185,7 @@ def make_fsspmdm_case():
 
     def step(b):
         out = h.kernel.fn(b)
-        return b + out[:k, :] * 1e-6
+        return b.at[:, :8].add(out[:k, :8] * 1e-6)   # slice chain (see brgemm)
 
     b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
     case = ChainCase(step, b0)
@@ -190,7 +215,8 @@ def make_bcsc_case():
 
     def step(a):
         out = kern(a, v)
-        return a + (out * 1e-6).astype(jnp.bfloat16)
+        # slice chain (see brgemm case)
+        return a.at[:, :128].add((out[:, :128] * 1e-6).astype(jnp.bfloat16))
 
     a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     case = ChainCase(step, a0)

@@ -29,6 +29,7 @@ reference does (:196-236); beta must be 0 or 1 (:80-120).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -160,7 +161,11 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         if raw in (b"dense", b"sparse"):
             cached_kind = raw.decode()
 
-    hint = CONFIG.fsspmdm_hint
+    # re-read the env at create time like the reference (getenv inside
+    # libxsmm_fsspmdm_create, src/libxsmm_fsspmdm.c:35-36) — CONFIG only
+    # snapshots import-time values
+    hint = int(os.environ.get("XSMM_TPU_FSSPMDM_HINT",
+                              CONFIG.fsspmdm_hint))
     tuned = {}
     if hint == 2 or sparse_kernel is None:
         pick, kind = dense_kernel, "dense"
