@@ -20,7 +20,7 @@ from .descriptor import (BatchReduceConfig, BatchReduceType, BinaryFlags,
                          SpgemmConfig, TernaryFlags, TernaryType, UnaryArgops,
                          UnaryFlags, UnaryType)
 from .device import get_geometry, on_tpu
-from .dtypes import Datatype, from_jnp, to_jnp, typesize
+from .dtypes import (Datatype, from_jnp, get_typename, to_jnp, typesize)
 from .matdiff import MatdiffInfo, matdiff, matdiff_reduce
 from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
                        get_registry, init)
@@ -39,6 +39,7 @@ from .ops.fsspmdm import (Fsspmdm, fsspmdm_create, fsspmdm_destroy,
                           fsspmdm_execute)
 from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
                          create_packed_spgemm_bcsc, create_packed_spgemm_csc,
+                         create_tilecfg_packed_spgemm_bcsc,
                          create_packed_spgemm_csr, create_spgemm_csr_areg)
 
 __version__ = "0.1.0"

@@ -124,3 +124,8 @@ def itemsize(dt: "Datatype") -> int:
 def typesize(dt: "Datatype") -> int:
     """Alias mirroring LIBXSMM_TYPESIZE."""
     return itemsize(dt)
+
+
+def get_typename(dt: "Datatype") -> str:
+    """libxsmm_get_typename analogue (include/libxsmm.h:77)."""
+    return Datatype(dt).value

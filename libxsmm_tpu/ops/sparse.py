@@ -357,6 +357,16 @@ def create_packed_spgemm_csc(shape: GemmShape,
 # packed SpGEMM, B block-sparse (BCSC): all FLOPs on the MXU
 # ---------------------------------------------------------------------------
 
+def create_tilecfg_packed_spgemm_bcsc(shape: GemmShape,
+                                      flags: GemmFlags = GemmFlags.NONE,
+                                      config: SpgemmConfig = SpgemmConfig()):
+    """API-parity analogue of libxsmm_create_tilecfg_packed_spgemm_bcsc
+    (include/libxsmm.h:187): AMX tileconfig has no TPU equivalent, so this
+    returns the same no-op kernel as dispatch_tilecfg_gemm."""
+    from .gemm import dispatch_tilecfg_gemm
+    return dispatch_tilecfg_gemm(shape, flags)
+
+
 def create_packed_spgemm_bcsc(shape: GemmShape,
                               flags: GemmFlags = GemmFlags.NONE,
                               config: SpgemmConfig = SpgemmConfig(),

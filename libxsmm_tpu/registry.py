@@ -228,6 +228,17 @@ def init() -> Registry:
                 _REGISTRY = Registry()
                 if CONFIG.verbose:
                     atexit.register(_atexit_dump)
+                # crash diagnostics (reference installs SIGSEGV/SIGABRT
+                # handlers that force-dump registry state and re-raise,
+                # src/libxsmm_main.c:349,961-976): faulthandler gives the
+                # same post-mortem value without altering signal disposition
+                # for user code
+                try:
+                    import faulthandler
+                    if not faulthandler.is_enabled():
+                        faulthandler.enable()
+                except Exception:
+                    pass
                 if CONFIG.compilation_cache_dir:
                     # XLA executables persist across processes — the TPU
                     # analogue of the reference's AOT static kernels
