@@ -175,11 +175,14 @@ def make_brgemm_case():
     b0 = jnp.asarray(rng.standard_normal((br, k, n)), jnp.bfloat16)
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
-    kern = xt.dispatch_brgemm(shape, GemmFlags.BETA_0,
-                              BatchReduceConfig(BatchReduceType.STRIDE, br))
+    q = xt.brgemm_pack_factor(shape)
+    a_packed = xt.pack_batched(a, q)
+    kern = xt.dispatch_brgemm_packed(
+        shape, GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
 
     def step(b):
-        out = kern(a, b)
+        out = kern(a_packed, b)
         # chain via an in-place SLICE update of the loop carry: a full
         # `b + eps` perturb would add 2x67MB of traffic per iteration and
         # dominate the kernel being measured

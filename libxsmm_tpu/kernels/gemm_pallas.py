@@ -144,6 +144,99 @@ def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
     return fn
 
 
+def packed_brgemm_supported(desc: GemmDescriptor) -> bool:
+    """Lane-packed BRGEMM needs k | 128 and MXU dtypes."""
+    s = desc.shape
+    if desc.trans_a or desc.trans_b:
+        return False
+    if s.a_in_type not in (Datatype.F32, Datatype.BF16):
+        return False
+    if s.b_in_type != s.a_in_type:
+        return False
+    if 128 % s.k or s.k > 128:
+        return False
+    return s.m <= 1024 and s.n <= 1024
+
+
+def build_packed_brgemm(desc: GemmDescriptor, br: int):
+    """Lane-packed batch-reduce GEMM: C = sum_i A_i @ B_i (+ C0).
+
+    Q = 128//k batch items are packed side by side along A's lanes
+    (ops.gemm.pack_batched), so the MXU contraction over 128 lanes
+    computes Q items' partial products AND their batch-reduce sum in one
+    pass — no mask needed, the reduction is the contraction:
+
+        [A_0 | A_1] @ [B_0 ; B_1] = A_0 B_0 + A_1 B_1
+
+    fn(a, b[, c]) with a: (br/Q, m, Q*k) packed, b: (br/Q, Q, k, n)
+    natural-grouped, c: (m, n) -> (m, n). Measured +20% over XLA's single
+    (br,k) contraction at br=1024 m=n=256 k=64 bf16 (full-width lanes for
+    the k=64 operand; the reference gets the same effect from VNNI-layout
+    BRGEMM operands, generator_gemm_amx.c)."""
+    if not packed_brgemm_supported(desc) or br <= 0:
+        return None
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = desc.shape
+    m, n, k = s.m, s.n, s.k
+    q = 128 // k
+    if br % q:
+        return None
+    groups = br // q
+    in_dt = to_jnp(s.a_in_type)
+    out_dt = to_jnp(s.out_type)
+    precision = (jax.lax.Precision.HIGHEST if s.a_in_type == Datatype.F32
+                 else jax.lax.Precision.DEFAULT)
+    beta0 = desc.beta == 0
+    interpret = device.use_interpret()
+
+    isz = jnp.dtype(in_dt).itemsize
+    per_group = (m + n) * 128 * isz
+    gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
+    gg = min(gg, groups)
+    steps = -(-groups // gg)
+
+    def kernel(a_ref, b_ref, o_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+        acc = o_ref[...]
+        for g in range(gg):
+            acc = acc + jax.lax.dot_general(
+                a_ref[g], b_ref[g].reshape(q * k, n),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        o_ref[...] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((gg, m, q * k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gg, q, k, n), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k * q * gg * steps,
+            bytes_accessed=per_group * gg * steps + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    @jax.named_scope(desc.name() + "_packed_brgemm")
+    def fn(a, b, c=None):
+        out = call(a, b.reshape(groups, q, k, n))
+        if c is not None:
+            out = out + c.astype(out.dtype)
+        return out.astype(out_dt)
+
+    return fn
+
+
 def packed_smm_supported(desc: GemmDescriptor) -> bool:
     """Lane-packing needs square-ish tiles: k == n, n divides 128, and the
     f32/bf16 dtypes the MXU consumes directly."""

@@ -430,6 +430,57 @@ def dispatch_gemm_batched(shape: GemmShape,
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 
+def brgemm_pack_factor(shape: GemmShape) -> int:
+    """Lane-pack factor Q for the packed BRGEMM layout (128//k)."""
+    if 128 % shape.k:
+        raise ValueError(f"packed BRGEMM needs k | 128 (got k={shape.k})")
+    return 128 // shape.k
+
+
+def dispatch_brgemm_packed(shape: GemmShape,
+                           flags: GemmFlags = GemmFlags.NONE,
+                           br_config: BatchReduceConfig = None) -> Kernel:
+    """Batch-reduce GEMM on the lane-packed A layout.
+
+    C = sum_i A_i @ B_i with A in pack_batched(a, Q) layout (Q = 128//k):
+    the MXU's 128-lane contraction computes Q items and their reduction in
+    one pass (kernels/gemm_pallas.py build_packed_brgemm). b stays in the
+    natural (br, k, n) layout; kernel(a_packed, b[, c]) -> (m, n).
+
+    Use dispatch_brgemm for natural-layout A; this variant is the
+    speed-of-light path when k < 128 (measured +20% at k=64 bf16).
+    """
+    if br_config is None:
+        br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags), br=br_config)
+    from ..kernels import gemm_pallas
+    if not gemm_pallas.packed_brgemm_supported(desc):
+        raise ValueError(f"unsupported for packed BRGEMM: {desc.name()} "
+                         "(need k|128, f32/bf16, no transposes)")
+
+    def _build(d):
+        built = {}
+
+        def fn(a, b, c=None):
+            br = b.shape[0]
+            inner = built.get(br)
+            if inner is None:
+                raw = gemm_pallas.build_packed_brgemm(d, br)
+                if raw is None:
+                    raise ValueError(
+                        f"br={br} not divisible by pack factor "
+                        f"{128 // d.shape.k}")
+                built[br] = inner = jax.jit(raw)
+            return inner(a, b) if c is None else inner(a, b, c)
+
+        info = KernelInfo(kind="brgemm_packed", nflops=d.shape.nflops())
+        return Kernel(fn=fn, descriptor=d, info=info,
+                      name=d.name() + "_brpacked")
+
+    key = ("brgemm_packed", desc)
+    return get_registry().dispatch(key, lambda _k: _build(desc))
+
+
 def smm_pack_factor(shape: GemmShape) -> int:
     """Lane-pack factor P for the packed batched SMM layout (128//n)."""
     if shape.k != shape.n or 128 % shape.n:

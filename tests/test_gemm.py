@@ -392,3 +392,37 @@ def test_pack_unpack_roundtrip():
     packed = xt.pack_batched(x, p)
     assert packed.shape == (3, 8, 128)
     np.testing.assert_array_equal(np.asarray(xt.unpack_batched(packed, p)), x)
+
+
+@pytest.mark.parametrize("k,br", [(64, 8), (32, 16), (128, 4)])
+def test_brgemm_packed(k, br):
+    import jax.numpy as jnp
+    m, n = 32, 64
+    q = xt.brgemm_pack_factor(GemmShape(m, n, k))
+    assert q == 128 // k
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
+    got = np.asarray(kern(xt.pack_batched(a, q), jnp.asarray(b)))
+    want = np.einsum("bmk,bkn->mn", a, b)
+    check(want, got, margin=1e-5)
+
+
+def test_brgemm_packed_beta1_and_reject():
+    import jax.numpy as jnp
+    m, n, k, br = 16, 32, 64, 4
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    c = RNG.standard_normal((m, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_packed(
+        GemmShape(m, n, k), GemmFlags.NONE,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
+    got = np.asarray(kern(xt.pack_batched(a, 2), jnp.asarray(b),
+                          jnp.asarray(c)))
+    check(np.einsum("bmk,bkn->mn", a, b) + c, got, margin=1e-5)
+    with pytest.raises(ValueError):
+        xt.dispatch_brgemm_packed(GemmShape(16, 16, 48))   # 48 !| 128
+    with pytest.raises(ValueError):
+        kern(xt.pack_batched(a, 2)[:1], jnp.asarray(b)[:3])  # br % q
