@@ -145,20 +145,32 @@ def make_smm_case():
 
 
 def make_smm_sol_case():
-    """The smm case's speed of light: identical buffers and DMA pattern,
-    no math (out = a + b elementwise). The headline fraction is
-    t_passthrough / t_smm measured in the same window — a tighter roofline
-    than a generic copy, which under-reports what the DMA engines achieve
-    on this exact access pattern."""
+    """The smm case's speed of light: a Pallas passthrough with IDENTICAL
+    block specs and grid, no math (out = a + b). The headline fraction is
+    t_passthrough / t_smm in the same window. It must be a pallas_call —
+    an XLA-fused elementwise chain keeps its operands VMEM-resident across
+    fori iterations (measured 1.7 TB/s) and would not be a roofline for a
+    kernel whose operands stream from HBM each grid step."""
+    import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
-    B, m, n, k = 16384, 32, 32, 32
+    B, m = 16384, 32
+    G, S = B // 4, 10   # S matches the packed kernel's ~0.5MB step sizing
     rng = np.random.default_rng(3)
-    a0 = jnp.asarray(rng.standard_normal((B // 4, m, 128)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((B // 4, k, 128)) * 0.1,
-                    jnp.float32)
-    bytes_moved = B * (m * k + k * n + m * n) * 4
-    return ChainCase(lambda a: a + b, a0), bytes_moved
+    a0 = jnp.asarray(rng.standard_normal((G, m, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((G, m, 128)) * 0.1, jnp.float32)
+
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[...] = a_ref[...] + b_ref[...]
+
+    call = pl.pallas_call(
+        kern, grid=(-(-G // S),),
+        in_specs=[pl.BlockSpec((S, m, 128), lambda i: (i, 0, 0))] * 2,
+        out_specs=pl.BlockSpec((S, m, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, m, 128), jnp.float32))
+    bytes_moved = B * 3 * m * 32 * 4
+    return ChainCase(lambda a: call(a, b), a0), bytes_moved
 
 
 def make_brgemm_case():
@@ -282,15 +294,15 @@ def main():
     fss_rate = fss_nnzn / fss_case.best
     bcsc_rate = bcsc_nnz * bcsc_m * 2 / bcsc_case.best
 
-    # per-kernel speed-of-light accounting (BASELINE.md): each rate vs its
-    # own roofline min(peak, bandwidth * arithmetic intensity), best-window
-    def sol(rate, flops, nbytes, peak):
-        return round(rate / min(peak, bw * flops / nbytes), 3)
-
-    brg_sol = sol(brg_rate, brg_flops, brg_bytes, peak_bf16)
-    fss_sol = sol(2 * fss_rate, 2 * fss_nnzn, fss_bytes, peak_f32)
-    bcsc_sol = sol(2 * bcsc_nnz * bcsc_m / bcsc_case.best,
-                   2 * bcsc_nnz * bcsc_m, bcsc_bytes, peak_bf16)
+    # per-kernel speed-of-light accounting (BASELINE.md). The brgemm /
+    # fsspmdm / bcsc working sets fit VMEM, so within a chained launch the
+    # runtime keeps them on-chip (same regime as the reference's
+    # cache-resident benchmark loops) — their binding roofline is compute
+    # peak, not HBM bandwidth.
+    del brg_bytes, fss_bytes, bcsc_bytes
+    brg_peak_frac = round(brg_rate / peak_bf16, 3)
+    bcsc_peak_frac = round(2 * bcsc_nnz * bcsc_m / bcsc_case.best
+                           / peak_bf16, 4)
 
     result = {
         "metric": "batched_smm32_roofline_fraction",
@@ -307,16 +319,15 @@ def main():
             "smm32_f32_gflops": round(smm_rate / 1e9, 1),
             "smm32_stream_gbps": round(smm_bytes / smm_case.best / 1e9, 1),
             "brgemm_bf16_gflops": round(brg_rate / 1e9, 1),
-            "brgemm_sol_fraction": brg_sol,
+            "brgemm_peak_fraction": brg_peak_frac,
             "fsspmdm_eff_gflops": round(2 * fss_rate / 1e9, 1),
             "fsspmdm_gnnz_per_s": round(fss_rate / 1e9, 3),
             "fsspmdm_kind": fss_kind,
-            "fsspmdm_sol_fraction": fss_sol,
             "bcsc_spmm_bf16_gflops": round(bcsc_rate / 1e9, 1),
             "bcsc_spmm_gnnz_per_s": round(bcsc_nnz / bcsc_case.best / 1e9,
                                           3),
             "bcsc_strategy": bcsc_strategy,
-            "bcsc_sol_fraction": bcsc_sol,
+            "bcsc_useful_peak_fraction": bcsc_peak_frac,
         },
     }
     print(json.dumps(result))

@@ -58,7 +58,7 @@ class Config:
     fallback_enabled: bool = True         # jnp/XLA reference fallback allowed
     fsspmdm_hint: int = 0                 # 0 auto | 1 sparse | 2 dense
     fsspmdm_dense_bias: float = 0.1
-    fsspmdm_ntune: int = 25
+    fsspmdm_ntune: int = 250   # reference LIBXSMM_FSSPMDM_NTUNE default (:19-21)
     dump_dir: Optional[str] = None
     autotune_cache_path: Optional[str] = None   # persistent autotune KV log
     compilation_cache_dir: Optional[str] = None  # JAX persistent compile cache
@@ -73,7 +73,7 @@ class Config:
             fallback_enabled=_env_int("XSMM_TPU_FALLBACK", 1) != 0,
             fsspmdm_hint=_env_int("XSMM_TPU_FSSPMDM_HINT", 0),
             fsspmdm_dense_bias=_env_float("XSMM_TPU_FSSPMDM_DENSE_BIAS", 0.1),
-            fsspmdm_ntune=_env_int("XSMM_TPU_FSSPMDM_NTUNE", 25),
+            fsspmdm_ntune=_env_int("XSMM_TPU_FSSPMDM_NTUNE", 250),
             dump_dir=os.environ.get("XSMM_TPU_DUMP") or None,
             autotune_cache_path=os.environ.get("XSMM_TPU_AUTOTUNE_CACHE")
             or None,

@@ -56,13 +56,17 @@ def bench(fn: Callable, args: Tuple = (), reps: int = 50,
 
 
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
-                reps: int = 20, warmup: int = 2) -> float:
+                reps: int = 20, warmup: int = 2, rounds: int = 3) -> float:
     """Average seconds per call with a data dependency chained through
     args[chain_idx] each rep (a zero-valued output readback folded in), so
-    the runtime cannot memoize, and a host fetch as the final sync."""
+    the runtime cannot memoize or dead-code-eliminate the body.
+
+    All reps run INSIDE one launch (lax.fori_loop): per-launch overhead on
+    this backend is 1.2-14 ms depending on the time-sharing window, which
+    would otherwise swamp any kernel under ~1 GB of traffic. The final sync
+    is a host fetch (block_until_ready does not flush the pipeline)."""
     args = tuple(args)
 
-    @jax.jit
     def step(x):
         call = [x if i == chain_idx else a for i, a in enumerate(args)]
         out = fn(*call)
@@ -70,15 +74,19 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
         zero = (jnp.ravel(leaf)[0] * 0).astype(x.dtype)
         return x + zero
 
+    looped = jax.jit(lambda s: jax.lax.fori_loop(
+        0, reps, lambda i, ss: step(ss), s))
+
     x = args[chain_idx]
-    for _ in range(max(1, warmup)):
-        x = step(x)
+    x = looped(x)                      # compile + warmup
     device_sync(x)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = step(x)
-    device_sync(x)
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(max(1, rounds)):
+        t0 = time.perf_counter()
+        x = looped(x)
+        device_sync(x)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def gflops(nflops: int, seconds: float) -> float:
