@@ -156,7 +156,7 @@ def make_smm_sol_case():
     from jax.experimental import pallas as pl
 
     B, m = 16384, 32
-    G, S = B // 4, 10   # S matches the packed kernel's ~0.5MB step sizing
+    G, S = B // 4, 48   # S matches the packed kernel's ~2.25MB step sizing
     rng = np.random.default_rng(3)
     a0 = jnp.asarray(rng.standard_normal((G, m, 128)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((G, m, 128)) * 0.1, jnp.float32)

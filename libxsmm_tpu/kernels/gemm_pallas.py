@@ -286,9 +286,10 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
 
     isz = jnp.dtype(in_dt).itemsize
     per_group = (m * k + k * n + m * n) * isz * p
-    # ~0.5 MB of traffic per grid step (measured plateau; smaller steps
-    # underfill the DMA pipeline, larger ones waste VMEM)
-    gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
+    # ~2.25 MB of traffic per grid step (measured: 48 groups of 32^3 f32
+    # reaches DMA-passthrough parity; 0.5 MB steps lose ~15% to per-step
+    # overhead). Double-buffered x 3 operands ~ 14 MB VMEM at the cap.
+    gg = max(1, min(96, (2304 * 1024) // max(per_group, 1)))
     gg = min(gg, groups)
     steps = max(1, -(-groups // gg))
 
