@@ -37,9 +37,9 @@ def main(size=32, batch=16384):
     p = xt.smm_pack_factor(GemmShape(m, n, k))
     G = batch // p
     rng = np.random.default_rng(0)
-    inner = 16
 
-    def run(step, state, traffic_bytes, nflops, reps=3, rounds=3):
+    def run(step, state, traffic_bytes, nflops, reps=3, rounds=3,
+            inner=16):
         fn = jax.jit(lambda s: jax.lax.fori_loop(
             0, inner, lambda i, ss: step(ss), s))
         state = fn(state)
@@ -112,8 +112,10 @@ def main(size=32, batch=16384):
     kern5 = xt.dispatch_gemm(GemmShape(m, n, k), GemmFlags.BETA_0)
     a5 = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
     b5 = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.float32)
+    # tiny serial workload: needs a deep inner chain or launch overhead
+    # (1.2-14 ms on this backend) swamps the ~1 us kernel
     gf, gb = run(lambda a: kern5(a, b5) * 0.999 + a * 1e-6, a5,
-                 0, 2 * m * n * k)
+                 0, 2 * m * n * k, inner=4096)
     print(f"case 5 (cached; repeated single SMM): {gf:8.1f} GF/s per-call "
           f"{2*m*n*k/gf/1e9*1e9:.0f} ns")
 
