@@ -17,9 +17,16 @@ micro-benchmarks them on the actual device, then keeps the winner:
 Selection applies a dense bias (default 10%, XSMM_TPU_FSSPMDM_DENSE_BIAS,
 reference LIBXSMM_FSSPMDM_DENSE_BIAS :16-17) and honors the hint override
 (XSMM_TPU_FSSPMDM_HINT: 0 auto | 1 sparse | 2 dense; reference
-LIBXSMM_FSSPMDM_HINT :35-36). Tuning reps default 25
-(XSMM_TPU_FSSPMDM_NTUNE; reference ntune=250 :19-21 — TPU dispatch is
-costlier, fewer reps suffice because kernels are deterministic).
+LIBXSMM_FSSPMDM_HINT :35-36). Tuning reps default 250
+(XSMM_TPU_FSSPMDM_NTUNE, matching the reference :19-21), chained inside
+one launch (utils.timer.bench_chain).
+
+Expect dense to win for PyFR/EDGE-class shapes: A is baked device-resident
+either way, so sparsity saves no HBM traffic — the per-call traffic is B+C
+for both candidates, and dense keeps all FLOPs on the MXU. That inverts
+the reference's economics (on CPUs, skipping zero FLOPs is the win); the
+sparse candidate matters only when m*k is large enough that the dense
+matmul's wasted FLOPs exceed the bandwidth budget.
 
 On TPU there is no need for the reference's N-chunking loop (:498-515):
 XLA tiles the N dimension. Alpha is folded into A values exactly as the
