@@ -252,8 +252,23 @@ def packed_smm_supported(desc: GemmDescriptor) -> bool:
     return s.m <= 512
 
 
+# fused output epilogues for the packed kernels (the BRGEMM-ext cp_type
+# subset that makes sense elementwise on the accumulator; reference fuses
+# these into the JIT epilogue, generator_gemm_amx_microkernel.c fused paths)
+_EPILOGUES = {
+    "NONE": lambda x: x,
+    "IDENTITY": lambda x: x,
+    "RELU": lambda x: jnp.maximum(x, 0.0),
+    "X2": lambda x: x * x,
+    "TANH": jnp.tanh,
+    "SIGMOID": lambda x: 1.0 / (1.0 + jnp.exp(-x)),
+    "GELU": lambda x: 0.5 * x * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0))),
+}
+
+
 def build_packed_batched_gemm(desc: GemmDescriptor,
-                              groups: int) -> Optional[Callable]:
+                              groups: int,
+                              cp_type: str = "NONE") -> Optional[Callable]:
     """Lane-packed batched SMM: P = 128//n problems per lane group.
 
     fn(a, b[, c]) with PACKED operands (see ops.gemm.pack_batched):
@@ -293,6 +308,8 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
     gg = min(gg, groups)
     steps = max(1, -(-groups // gg))
 
+    epilogue = _EPILOGUES[cp_type]
+
     def kernel(a_ref, b_ref, *rest):
         if beta0:
             o_ref = rest[0]
@@ -308,7 +325,7 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
                 preferred_element_type=comp_dt, precision=precision)
             if not beta0:
                 acc = acc + c_ref[g].astype(comp_dt)
-            o_ref[g] = acc.astype(out_dt)
+            o_ref[g] = epilogue(acc).astype(out_dt)
 
     in_specs = [
         pl.BlockSpec((gg, m, p * k), lambda i: (i, 0, 0),

@@ -510,7 +510,9 @@ def unpack_batched(x, p: int):
 
 
 def dispatch_gemm_batched_packed(shape: GemmShape,
-                                 flags: GemmFlags = GemmFlags.NONE) -> Kernel:
+                                 flags: GemmFlags = GemmFlags.NONE,
+                                 cp_type: UnaryType = UnaryType.NONE
+                                 ) -> Kernel:
     """Batched independent small GEMMs on the lane-packed layout.
 
     The speed-of-light SMM path (bench.py headline): operands stay in the
@@ -520,12 +522,19 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
     Use dispatch_gemm_batched for arbitrary layouts/shapes; this kernel
     trades layout freedom for full-width HBM tiles + one MXU pass per P
     problems (kernels/gemm_pallas.py build_packed_batched_gemm).
+
+    cp_type fuses a unary epilogue (RELU/GELU/TANH/SIGMOID/X2) onto the
+    accumulator inside the kernel — the BRGEMM-ext cp_type analogue.
     """
     desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
     from ..kernels import gemm_pallas
     if not gemm_pallas.packed_smm_supported(desc):
         raise ValueError(f"unsupported for packed SMM: {desc.name()} "
                          "(need k==n, n|128, f32/bf16, no transposes)")
+    cp = UnaryType(cp_type).name
+    if cp not in gemm_pallas._EPILOGUES:
+        raise ValueError(f"unsupported packed-SMM epilogue: {cp} "
+                         f"(supported: {sorted(gemm_pallas._EPILOGUES)})")
 
     def _build(d):
         built = {}
@@ -534,7 +543,8 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
             g = a.shape[0]
             inner = built.get(g)
             if inner is None:
-                inner = jax.jit(gemm_pallas.build_packed_batched_gemm(d, g))
+                inner = jax.jit(
+                    gemm_pallas.build_packed_batched_gemm(d, g, cp))
                 built[g] = inner
             return inner(a, b) if c is None else inner(a, b, c)
 
@@ -542,9 +552,10 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
         info = KernelInfo(kind="gemm_batched_packed",
                           nflops=d.shape.nflops() * p)
         return Kernel(fn=fn, descriptor=d, info=info,
-                      name=d.name() + f"_packed{p}")
+                      name=d.name() + f"_packed{p}"
+                      + ("" if cp == "NONE" else f"_{cp.lower()}"))
 
-    key = ("batched_packed", desc)
+    key = ("batched_packed", desc, cp)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 

@@ -426,3 +426,21 @@ def test_brgemm_packed_beta1_and_reject():
         xt.dispatch_brgemm_packed(GemmShape(16, 16, 48))   # 48 !| 128
     with pytest.raises(ValueError):
         kern(xt.pack_batched(a, 2)[:1], jnp.asarray(b)[:3])  # br % q
+
+
+def test_gemm_batched_packed_fused_epilogue():
+    from libxsmm_tpu.descriptor import UnaryType
+    m = n = k = 32
+    batch, p = 16, 4
+    a = RNG.standard_normal((batch, m, k)).astype(np.float32)
+    b = RNG.standard_normal((batch, k, n)).astype(np.float32)
+    kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
+                                           GemmFlags.BETA_0,
+                                           cp_type=UnaryType.RELU)
+    out = xt.unpack_batched(kern(xt.pack_batched(a, p),
+                                 xt.pack_batched(b, p)), p)
+    want = np.maximum(np.einsum("bmk,bkn->bmn", a, b), 0.0)
+    check(want, np.asarray(out), margin=1e-5)
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
+                                        cp_type=UnaryType.DROPOUT)
