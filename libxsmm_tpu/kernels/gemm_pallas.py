@@ -111,13 +111,13 @@ def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
                        + (0 if beta0 else m * n * osz))
 
     in_specs = [
-        pl.BlockSpec((gg, m, k), lambda i: (i, 0, 0),
+        pl.BlockSpec((gg, m, k), lambda i: (i, i - i, i - i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gg, k, n), lambda i: (i, 0, 0),
+        pl.BlockSpec((gg, k, n), lambda i: (i, i - i, i - i),
                      memory_space=pltpu.VMEM),
     ]
     if not beta0:
-        in_specs.append(pl.BlockSpec((gg, m, n), lambda i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((gg, m, n), lambda i: (i, i - i, i - i),
                                      memory_space=pltpu.VMEM))
 
     # non-divisible grids are fine: Pallas clamps the trailing block
@@ -126,7 +126,7 @@ def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
         kernel,
         grid=(steps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((gg, m, n), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((gg, m, n), lambda i: (i, i - i, i - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, m, n), out_dt),
         cost_estimate=pl.CostEstimate(
@@ -213,11 +213,11 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int):
     call = pl.pallas_call(
         kernel,
         grid=(steps,),
-        in_specs=[pl.BlockSpec((gg, m, q * k), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((gg, m, q * k), lambda i: (i, i - i, i - i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((gg, q, k, n), lambda i: (i, 0, 0, 0),
+                  pl.BlockSpec((gg, q, k, n), lambda i: (i, i - i, i - i, i - i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((m, n), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((m, n), lambda i: (i - i, i - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -255,6 +255,9 @@ def packed_smm_supported(desc: GemmDescriptor) -> bool:
 # fused output epilogues for the packed kernels (the BRGEMM-ext cp_type
 # subset that makes sense elementwise on the accumulator; reference fuses
 # these into the JIT epilogue, generator_gemm_amx_microkernel.c fused paths)
+# (python scalar literals here are WEAK-typed so they follow x's f32 dtype
+# even under jax_enable_x64; jnp.sqrt(2.0) would be a concrete f64 — see
+# the x64 note in build_packed_batched_gemm)
 _EPILOGUES = {
     "NONE": lambda x: x,
     "IDENTITY": lambda x: x,
@@ -262,7 +265,7 @@ _EPILOGUES = {
     "X2": lambda x: x * x,
     "TANH": jnp.tanh,
     "SIGMOID": lambda x: 1.0 / (1.0 + jnp.exp(-x)),
-    "GELU": lambda x: 0.5 * x * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0))),
+    "GELU": lambda x: 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476)),
 }
 
 
@@ -317,7 +320,17 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
             c_ref, o_ref = rest
         row = jax.lax.broadcasted_iota(jnp.int32, (p * k, p * n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (p * k, p * n), 1)
-        mask = jnp.where((row // k) == (col // n), 1.0, 0.0).astype(in_dt)
+        # NOTE: x64-proofing (jax_enable_x64 is flipped by any F64
+        # dispatch): `row // int` and bool/int64 casts send Mosaic's
+        # convert-element-type lowering into infinite recursion. Use
+        # lax.div with typed i32 constants (iota is non-negative, so
+        # truncating == floor) and typed where branches (select, no cast).
+        # select in f32 (i1 masks can't relayout to bf16's 16-row tiles),
+        # then a supported f32->in_dt convert
+        mask = jnp.where(jax.lax.div(row, jnp.int32(k))
+                         == jax.lax.div(col, jnp.int32(n)),
+                         jnp.ones((), jnp.float32),
+                         jnp.zeros((), jnp.float32)).astype(in_dt)
         for g in range(gg):
             bd = jnp.concatenate([b_ref[g]] * p, axis=0) * mask
             acc = jax.lax.dot_general(
@@ -328,13 +341,13 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
             o_ref[g] = epilogue(acc).astype(out_dt)
 
     in_specs = [
-        pl.BlockSpec((gg, m, p * k), lambda i: (i, 0, 0),
+        pl.BlockSpec((gg, m, p * k), lambda i: (i, i - i, i - i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gg, k, p * n), lambda i: (i, 0, 0),
+        pl.BlockSpec((gg, k, p * n), lambda i: (i, i - i, i - i),
                      memory_space=pltpu.VMEM),
     ]
     if not beta0:
-        in_specs.append(pl.BlockSpec((gg, m, p * n), lambda i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((gg, m, p * n), lambda i: (i, i - i, i - i),
                                      memory_space=pltpu.VMEM))
     osz = jnp.dtype(out_dt).itemsize
     # non-divisible grids are fine: Pallas clamps the trailing block
@@ -343,7 +356,7 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
         kernel,
         grid=(steps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((gg, m, p * n), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((gg, m, p * n), lambda i: (i, i - i, i - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((groups, m, p * n), out_dt),
         cost_estimate=pl.CostEstimate(

@@ -119,15 +119,15 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
             # A panel (row-tile x block-row), chosen by the block's row id
             pl.BlockSpec((1, tm, bk),
                          lambda i, l, rows, cols, vidx, first:
-                         (rows[l], i, 0)),
+                         (rows[l], i, i - i)),
             # the block's values, chosen by its value index
             pl.BlockSpec((1, bk, bn),
                          lambda i, l, rows, cols, vidx, first:
-                         (vidx[l], 0, 0)),
+                         (vidx[l], i - i, i - i)),
         ],
         out_specs=pl.BlockSpec((1, tm, bn),
                                lambda i, l, rows, cols, vidx, first:
-                               (cols[l], i, 0)),
+                               (cols[l], i, i - i)),
     )
 
     call = pl.pallas_call(
