@@ -239,11 +239,11 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int):
 
 def packed_smm_supported(desc: GemmDescriptor) -> bool:
     """Lane-packing needs square-ish tiles: k == n, n divides 128, and the
-    f32/bf16 dtypes the MXU consumes directly."""
+    f32/bf16/int8 dtypes the MXU consumes directly."""
     s = desc.shape
     if desc.trans_a or desc.trans_b:
         return False
-    if s.a_in_type not in (Datatype.F32, Datatype.BF16):
+    if s.a_in_type not in (Datatype.F32, Datatype.BF16, Datatype.I8):
         return False
     if s.b_in_type != s.a_in_type:
         return False
@@ -261,7 +261,7 @@ def packed_smm_supported(desc: GemmDescriptor) -> bool:
 _EPILOGUES = {
     "NONE": lambda x: x,
     "IDENTITY": lambda x: x,
-    "RELU": lambda x: jnp.maximum(x, 0.0),
+    "RELU": lambda x: jnp.maximum(x, jnp.zeros((), x.dtype)),
     "X2": lambda x: x * x,
     "TANH": jnp.tanh,
     "SIGMOID": lambda x: 1.0 / (1.0 + jnp.exp(-x)),
@@ -296,7 +296,10 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
     p = 128 // n
     in_dt = to_jnp(s.a_in_type)
     out_dt = to_jnp(s.out_type)
-    comp_dt = jnp.float32
+    is_int = s.a_in_type == Datatype.I8
+    comp_dt = jnp.int32 if is_int else jnp.float32
+    if is_int and cp_type not in ("NONE", "IDENTITY", "RELU", "X2"):
+        return None   # transcendental epilogues are float-only
     precision = (jax.lax.Precision.HIGHEST if s.a_in_type == Datatype.F32
                  else jax.lax.Precision.DEFAULT)
     beta0 = desc.beta == 0
@@ -325,14 +328,20 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
         # convert-element-type lowering into infinite recursion. Use
         # lax.div with typed i32 constants (iota is non-negative, so
         # truncating == floor) and typed where branches (select, no cast).
-        # select in f32 (i1 masks can't relayout to bf16's 16-row tiles),
-        # then a supported f32->in_dt convert
-        mask = jnp.where(jax.lax.div(row, jnp.int32(k))
-                         == jax.lax.div(col, jnp.int32(n)),
-                         jnp.ones((), jnp.float32),
-                         jnp.zeros((), jnp.float32)).astype(in_dt)
+        cond = (jax.lax.div(row, jnp.int32(k))
+                == jax.lax.div(col, jnp.int32(n)))
+        if not is_int:
+            # select in f32 (i1 masks can't relayout to bf16's 16-row
+            # tiles), then a supported f32->in_dt convert
+            mask = jnp.where(cond, jnp.ones((), jnp.float32),
+                             jnp.zeros((), jnp.float32)).astype(in_dt)
         for g in range(gg):
-            bd = jnp.concatenate([b_ref[g]] * p, axis=0) * mask
+            bt = jnp.concatenate([b_ref[g]] * p, axis=0)
+            if is_int:
+                # int8 muli does not legalize on Mosaic; select does
+                bd = jnp.where(cond, bt, jnp.zeros((), in_dt))
+            else:
+                bd = bt * mask
             acc = jax.lax.dot_general(
                 a_ref[g], bd, (((1,), (0,)), ((), ())),
                 preferred_element_type=comp_dt, precision=precision)

@@ -535,6 +535,9 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
     if cp not in gemm_pallas._EPILOGUES:
         raise ValueError(f"unsupported packed-SMM epilogue: {cp} "
                          f"(supported: {sorted(gemm_pallas._EPILOGUES)})")
+    if (shape.a_in_type == Datatype.I8
+            and cp not in ("NONE", "IDENTITY", "RELU", "X2")):
+        raise ValueError(f"epilogue {cp} is float-only (int8 kernel)")
 
     def _build(d):
         built = {}

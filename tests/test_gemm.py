@@ -444,3 +444,22 @@ def test_gemm_batched_packed_fused_epilogue():
     with pytest.raises(ValueError):
         xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
                                         cp_type=UnaryType.DROPOUT)
+
+
+def test_gemm_batched_packed_int8():
+    import jax.numpy as jnp
+    m = n = k = 32
+    batch, p = 12, 4
+    shape = GemmShape(m, n, k, a_in_type=Datatype.I8,
+                      b_in_type=Datatype.I8, out_type=Datatype.I32)
+    a = RNG.integers(-50, 50, (batch, m, k)).astype(np.int8)
+    b = RNG.integers(-50, 50, (batch, k, n)).astype(np.int8)
+    kern = xt.dispatch_gemm_batched_packed(shape, GemmFlags.BETA_0)
+    out = xt.unpack_batched(kern(xt.pack_batched(jnp.asarray(a), p),
+                                 xt.pack_batched(jnp.asarray(b), p)), p)
+    want = np.einsum("bmk,bkn->bmn", a.astype(np.int32),
+                     b.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(out), want)
+    from libxsmm_tpu.descriptor import UnaryType
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm_batched_packed(shape, cp_type=UnaryType.GELU)
