@@ -1,0 +1,84 @@
+"""pyfr — fixed-sparsity SpMM driver on spectral-element operators.
+
+TPU rendition of /root/reference/samples/xgemm_sparse_Ainregs
+(pyfr_driver_asp_reg.c + performance.sh): sweep the PyFR-class operator
+set (derivative + face-interp operators at orders p1..p4, hex elements),
+create an fsspmdm handle per operator (create-time autotune, dense vs
+pattern-baked), validate against the NumPy oracle, and report Gnnz/s and
+effective GFLOP/s per operator for the streaming N=4800 case (reference
+TEST_N default, test.sh:16).
+
+The reference downloads real .mtx operators (pyfr_download_mats.sh); this
+environment has no network, so utils/testmats.py synthesizes operators of
+the same class (kron-structured derivative ops ~1/(p+1) density,
+tall-skinny face-interp ops).
+
+Usage: python samples/pyfr.py [N]      (default 4800)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main(n=4800):
+    import jax
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.ops.fsspmdm import fsspmdm_create
+    from libxsmm_tpu.matdiff import matdiff
+    from libxsmm_tpu.utils.testmats import (hex_derivative_operator,
+                                            hex_interp_operator)
+
+    ops = []
+    for p in (1, 2, 3, 4):
+        ops.append((f"p{p} hex deriv  ", hex_derivative_operator(p)))
+        ops.append((f"p{p} hex interp ", hex_interp_operator(p)))
+
+    rng = np.random.default_rng(0)
+    inner = 256
+    failures = 0
+    for name, a in ops:
+        m, k = a.shape
+        h = fsspmdm_create(n, a.astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+
+        # correctness vs oracle
+        got = np.asarray(h.execute(b))
+        want = a.astype(np.float64) @ np.asarray(b, np.float64)
+        d = matdiff(want, got)
+        ok = d.normf_rel < 1e-5
+        failures += not ok
+
+        # perf: chained inside one launch (see bench.py discipline)
+        def step(x):
+            out = h.kernel.fn(x)
+            return x.at[:, :8].add(out[:k, :8] * 1e-6)
+
+        fn = jax.jit(lambda s: jax.lax.fori_loop(
+            0, inner, lambda i, ss: step(ss), s))
+        x = fn(b)
+        float(jnp.ravel(x)[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = fn(x)
+            float(jnp.ravel(x)[0])
+            best = min(best, (time.perf_counter() - t0) / inner)
+        gnnz = h.nnz * n / best / 1e9
+        eff = 2 * h.nnz * n / best / 1e9
+        dense_frac = h.nnz / (m * k)
+        print(f"{name} {m:4d}x{k:4d} nnz={h.nnz:6d} ({dense_frac:4.0%}) "
+              f"[{h.kind:6s}] {'OK ' if ok else 'FAIL'} "
+              f"{gnnz:8.1f} Gnnz/s {eff:8.1f} GF/s(eff)")
+    if failures:
+        print(f"{failures} operator(s) FAILED tolerance")
+    return failures
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4800
+    sys.exit(main(n))
