@@ -82,6 +82,37 @@ def main():
         print(f"devices={nd:2d}  m={m:6d} k={k}  nnz={bsr.nnz:9d}  "
               f"{nnz_rate / 1e9:7.3f} Gnnz/s  weak-eff={eff:5.2f}")
 
+    # two-level DCN x ICI mesh (multi-slice pods): same weak-scaling
+    # measurement over the largest device count, rings kept on ICI
+    if max(ndevs) >= 4:
+        from libxsmm_tpu.parallel.spmm_dist import DistributedBsrSpmm2Level
+        nd = max(ndevs)
+        m, k = rows_per_dev * nd, k_fixed
+        mask = rng.random((m // br, k // bc)) < density
+        for i in range(m // br):
+            if not mask[i].any():
+                mask[i, rng.integers(k // bc)] = True
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        a *= np.kron(mask, np.ones((br, bc), np.float32))
+        bsr = BsrMatrix.from_dense(a, br, bc)
+        mesh2 = make_mesh([("dcn", 2), ("ici", nd // 2)])
+        spmm2 = DistributedBsrSpmm2Level(bsr, ncols, mesh2)
+        x = rng.standard_normal((k, ncols)).astype(np.float32)
+        out = np.asarray(spmm2(x))
+        err = float(np.abs(out - a @ x).max())
+        assert err < 1e-2 * max(1.0, float(np.abs(a @ x).max())), err
+        xj = jax.device_put(x)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(10):
+                o = spmm2(xj)
+            jax.block_until_ready(o)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        print(f"2-level dcn=2 x ici={nd // 2}: nnz={bsr.nnz:9d}  "
+              f"{bsr.nnz / best / 1e9:7.3f} Gnnz/s")
+
     if jax.devices()[0].platform == "cpu":
         print("NOTE: virtual CPU devices share physical cores — efficiency "
               "here validates the harness, not the hardware; run on a real "
