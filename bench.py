@@ -298,7 +298,10 @@ def main():
     # fsspmdm / bcsc working sets fit VMEM, so within a chained launch the
     # runtime keeps them on-chip (same regime as the reference's
     # cache-resident benchmark loops) — their binding roofline is compute
-    # peak, not HBM bandwidth.
+    # peak, not HBM bandwidth. NB the brgemm shape's HBM roofline is only
+    # ~0.53 of bf16 peak (intensity 128 F/B x ~650 GB/s), so a peak
+    # fraction around 0.6 means the kernel runs AT/ABOVE streaming speed
+    # of light courtesy of VMEM residency.
     del brg_bytes, fss_bytes, bcsc_bytes
     brg_peak_frac = round(brg_rate / peak_bf16, 3)
     bcsc_peak_frac = round(2 * bcsc_nnz * bcsc_m / bcsc_case.best
