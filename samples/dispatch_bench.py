@@ -43,8 +43,8 @@ def main():
         kern = xt.dispatch_gemm(GemmShape(29, 29, 29 + i), GemmFlags.BETA_0)
         a = np.ones((29, 29 + i), np.float32)
         b = np.ones((29 + i, 29), np.float32)
-        import jax
-        jax.block_until_ready(kern(a, b))              # include compile
+        out = np.asarray(kern(a, b))                   # include compile,
+        del out                                        # host-fetch sync
     miss_ms = (time.perf_counter() - t0) / nmiss * 1e3
     print(f"dispatch (miss+compile):{miss_ms:10.2f} ms")
 
@@ -54,12 +54,12 @@ def main():
     import jax.numpy as jnp
     a = jnp.ones((23, 23), jnp.float32)
     out = kern(a, a)
-    jax.block_until_ready(out)
+    float(jnp.ravel(out)[0])       # host-fetch sync (see utils.timer)
     t0 = time.perf_counter()
     n = 200
     for _ in range(n):
         out = kern(out, a)                             # chained (no memo)
-    jax.block_until_ready(out)
+    float(jnp.ravel(out)[0])
     print(f"invoke (chained 23^3):  {(time.perf_counter()-t0)/n*1e6:10.1f} us")
 
     # native registry find
