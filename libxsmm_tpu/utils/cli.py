@@ -100,6 +100,41 @@ def _gen_eltwise(spec: dict, bench: bool) -> str:
     return f"eltwise {kern.name}"
 
 
+def _gen_spgemm(spec: dict, bench: bool) -> str:
+    """Sparse kernels from a .mtx file — the reference CLI's sparse modes
+    (bin/libxsmm_gemm_generator sparse/sparse_csr_reg consume .mtx,
+    documentation/libxsmm_be.md arg list)."""
+    import numpy as np
+
+    from .mtx import read_mtx
+
+    kind = spec.get("kind", "fsspmdm")
+    a = read_mtx(spec["mtx"]).astype(np.float32)
+    n = int(spec.get("n", 4800))
+    if kind == "fsspmdm":
+        from ..ops.fsspmdm import fsspmdm_create
+        h = fsspmdm_create(n, a, beta=int(spec.get("beta", 0)))
+        note = ""
+        if bench:
+            from .timer import bench_chain
+            import jax.numpy as jnp
+            b = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (a.shape[1], n)), jnp.float32)
+            per = bench_chain(h.kernel.fn, (b,), chain_idx=0, reps=50)
+            note = f"  {h.nnz * n / per / 1e9:.1f} Gnnz/s"
+        return (f"fsspmdm {a.shape[0]}x{n}x{a.shape[1]} nnz={h.nnz} "
+                f"[{h.kind}]{note}")
+    if kind == "csr_areg":
+        from ..ops.sparse import CsrMatrix, create_spgemm_csr_areg
+        from ..descriptor import GemmFlags, GemmShape
+        csr = CsrMatrix.from_dense(a)
+        kern = create_spgemm_csr_areg(
+            GemmShape(a.shape[0], n, a.shape[1]), GemmFlags.BETA_0,
+            row_ptr=csr.indptr, column_idx=csr.indices, values=csr.data)
+        return f"csr_areg {kern.name} nnz={csr.nnz}"
+    raise ValueError(f"unknown spgemm kind: {kind}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xsmm-gen", description=__doc__)
     p.add_argument("manifest", help="JSON kernel manifest")
@@ -116,6 +151,9 @@ def main(argv=None) -> int:
         count += 1
     for spec in manifest.get("eltwise", []):
         print(_gen_eltwise(spec, args.bench))
+        count += 1
+    for spec in manifest.get("spgemm", []):
+        print(_gen_spgemm(spec, args.bench))
         count += 1
     print(f"xsmm-gen: {count} kernels compiled")
     return 0

@@ -19,3 +19,28 @@ def test_cli_manifest(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "4 kernels compiled" in out
     assert "xsmm_gemm_f32f32f32_nn_8x8x8_beta0" in out
+
+
+def test_cli_spgemm_mtx(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from libxsmm_tpu.utils.cli import main
+    from libxsmm_tpu.utils.mtx import write_mtx
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((24, 16)).astype(np.float32)
+    a[rng.random((24, 16)) > 0.3] = 0.0
+    mtx = tmp_path / "op.mtx"
+    write_mtx(str(mtx), a)
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"spgemm": [
+        {"kind": "fsspmdm", "mtx": str(mtx), "n": 64},
+        {"kind": "csr_areg", "mtx": str(mtx), "n": 64},
+    ]}))
+    assert main([str(manifest)]) == 0
+    out = capsys.readouterr().out
+    assert "fsspmdm 24x64x16" in out
+    assert "csr_areg" in out
+    assert "2 kernels compiled" in out
