@@ -68,3 +68,26 @@ def release_kernel(kernel_or_descriptor):
     """libxsmm_release_kernel analogue."""
     desc = getattr(kernel_or_descriptor, "descriptor", kernel_or_descriptor)
     get_registry().release(desc)
+
+
+def xclear():
+    """libxsmm_xclear analogue: release every user key-value entry."""
+    reg = get_registry()
+    for key, _ in list(reg.items()):
+        reg.xrelease(key)
+
+
+def cpuid():
+    """libxsmm_cpuid analogue: the detected TPU generation name
+    (the arch-id role; see device.TpuGeometry for the per-arch knobs)."""
+    return get_geometry().name
+
+
+def get_target_arch() -> str:
+    """libxsmm_get_target_arch analogue."""
+    return get_geometry().name
+
+
+def set_target_arch(target) -> None:
+    """libxsmm_set_target_arch analogue (None restores auto-detect)."""
+    set_target(target)

@@ -91,3 +91,15 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
 
 def gflops(nflops: int, seconds: float) -> float:
     return nflops / max(seconds, 1e-12) / 1e9
+
+
+def tickint() -> int:
+    """libxsmm_timer_tickint analogue (integer nanosecond ticks)."""
+    return time.perf_counter_ns()
+
+
+def ncycles(t0: int, t1: int) -> int:
+    """libxsmm_timer_ncycles analogue: monotonic tick delta (ns units here;
+    the reference returns TSC cycles — there is no user-visible cycle
+    counter on the TPU host path)."""
+    return max(0, int(t1) - int(t0))

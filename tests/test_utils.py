@@ -58,3 +58,18 @@ def test_verbose_statistic(capsys):
     out = capsys.readouterr().out
     assert "1 kernels" in out
     assert "sml" in out     # 8x8x8 -> small bucket
+
+
+def test_aux_api_analogues():
+    import libxsmm_tpu as xt
+    from libxsmm_tpu.utils import timer
+
+    assert isinstance(xt.cpuid(), str)
+    assert xt.get_target_arch() == xt.cpuid()
+    xt.xregister(b"aux_k", 7)
+    assert xt.xdispatch(b"aux_k") == 7
+    xt.xclear()
+    assert xt.xdispatch(b"aux_k") is None
+    t0 = timer.tickint()
+    t1 = timer.tickint()
+    assert timer.ncycles(t0, t1) >= 0
