@@ -157,3 +157,94 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
         return run(rows_d, cols_d, vidx_d, first_d, a, values)
 
     return fn
+
+
+def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
+                          s_indices: np.ndarray) -> Optional[Callable]:
+    """128x128-supertile BCSC SpMM: fn(a, sup_values) -> C(m, n), beta=0.
+
+    Unlike build_bcsc_spmm, blocks here ARE 128 wide, so A is read and C
+    written DIRECTLY with (tm, 128) blocks — no create-per-call panel
+    transposes (those full-array relayouts cost more than the SpMM itself
+    at low occupancy). sup_values: (ns, 128, 128) in CSC supertile order.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SB = 128
+    m, n, k = shape.m, shape.n, shape.k
+    if m % 8 or k % SB or n % SB:
+        return None
+    if shape.a_in_type not in (Datatype.F32, Datatype.BF16):
+        return None
+    in_dt = to_jnp(shape.a_in_type)
+    out_dt = to_jnp(shape.out_type)
+    prec = (jax.lax.Precision.HIGHEST if shape.a_in_type == Datatype.F32
+            else jax.lax.Precision.DEFAULT)
+
+    ns_data = len(s_indices)
+    rows, cols, vidx = _pad_empty_columns(np.asarray(s_indptr),
+                                          np.asarray(s_indices), ns_data)
+    nsteps = len(rows)
+    tm = min(m, 256)
+    if m % tm:
+        return None
+    m_tiles = m // tm
+    first = np.ones(nsteps, np.int32)
+    first[1:] = (cols[1:] != cols[:-1]).astype(np.int32)
+
+    rows_d = jax.device_put(jnp.asarray(rows))
+    cols_d = jax.device_put(jnp.asarray(cols))
+    vidx_d = jax.device_put(jnp.asarray(vidx))
+    first_d = jax.device_put(jnp.asarray(first))
+
+    def kernel(rows_ref, cols_ref, vidx_ref, first_ref,
+               a_ref, v_ref, o_ref):
+        l = pl.program_id(1)
+
+        @pl.when(first_ref[l] == 1)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[...] += jax.lax.dot(
+            a_ref[...], v_ref[0],
+            preferred_element_type=o_ref.dtype, precision=prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(m_tiles, nsteps),
+        in_specs=[
+            pl.BlockSpec((tm, SB),
+                         lambda i, l, rows, cols, vidx, first:
+                         (i, rows[l])),
+            pl.BlockSpec((1, SB, SB),
+                         lambda i, l, rows, cols, vidx, first:
+                         (vidx[l], i - i, i - i)),
+        ],
+        out_specs=pl.BlockSpec((tm, SB),
+                               lambda i, l, rows, cols, vidx, first:
+                               (i, cols[l])),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
+        interpret=device.use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * tm * SB * SB * m_tiles,
+            bytes_accessed=nsteps * m_tiles * (tm * SB * 2 + SB * SB) * 2,
+            transcendentals=0),
+    )
+
+    @jax.jit
+    @jax.named_scope(f"xsmm_pallas_bcsc_super_{m}x{n}x{k}")
+    def run(rows, cols, vidx, first, a, sup):
+        spad = jnp.concatenate(
+            [sup.astype(in_dt), jnp.zeros((1, SB, SB), in_dt)], axis=0)
+        return call(rows, cols, vidx, first, a.astype(in_dt), spad)
+
+    def fn(a, sup_values):
+        return run(rows_d, cols_d, vidx_d, first_d, a, sup_values)
+
+    return fn

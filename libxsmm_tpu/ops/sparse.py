@@ -367,6 +367,82 @@ def create_tilecfg_packed_spgemm_bcsc(shape: GemmShape,
     return dispatch_tilecfg_gemm(shape, flags)
 
 
+def _build_bcsc_super(shape: GemmShape, flags: GemmFlags,
+                      config: SpgemmConfig, indptr: np.ndarray,
+                      indices: np.ndarray, desc, nblocks: int) -> Kernel:
+    """128x128-supertile BCSC lowering (strategy='super').
+
+    Host side (create time): map every (bk, bn) sub-block into its
+    (128, 128) supertile, build the supertile CSC pattern and a gather map
+    g (ns, 128/bk, 128/bn) of sub-block value indices (missing -> the
+    appended zero block). Device side (per call): one contiguous gather
+    assembles the occupied supertiles' dense values, then the Pallas
+    scalar-prefetch kernel (kernels/spmm_pallas.py) runs at MXU-native
+    128x128 granularity, visiting ONLY occupied supertiles.
+    """
+    from ..kernels import spmm_pallas
+
+    bk, bn = config.bk, config.bn
+    SB = 128
+    if SB % bk or SB % bn or shape.k % SB or shape.n % SB:
+        raise ValueError("strategy='super' needs bk|128, bn|128, and "
+                         f"128 | (k, n) (got bk={bk} bn={bn} "
+                         f"k={shape.k} n={shape.n})")
+    rk, rn = SB // bk, SB // bn
+    kb_s, nb_s = shape.k // SB, shape.n // SB
+    nb = shape.n // bn
+
+    # occupied supertiles in CSC (column-major) order + sub-block slots
+    slots: dict = {}
+    for j in range(nb):
+        sj, jj = divmod(j, rn)
+        for pos in range(int(indptr[j]), int(indptr[j + 1])):
+            r = int(indices[pos])
+            si, ii = divmod(r, rk)
+            key = (sj, si)
+            if key not in slots:
+                slots[key] = np.full((rk, rn), nblocks, np.int32)
+            slots[key][ii, jj] = pos
+    skeys = sorted(slots)                       # CSC order: by sj, then si
+    ns = len(skeys)
+    s_indptr = np.zeros(nb_s + 1, np.int32)
+    for sj, _si in skeys:
+        s_indptr[sj + 1] += 1
+    s_indptr = np.cumsum(s_indptr).astype(np.int32)
+    s_indices = np.asarray([si for _sj, si in skeys], np.int32)
+    gmap = (np.stack([slots[kq] for kq in skeys])
+            if ns else np.zeros((0, rk, rn), np.int32))    # (ns, rk, rn)
+    gmap_d = jax.device_put(jnp.asarray(gmap.reshape(-1)))
+
+    pfn = spmm_pallas.build_bcsc_spmm_super(shape, s_indptr, s_indices)
+    if pfn is None:
+        raise ValueError("descriptor unsupported by the Pallas supertile "
+                         "kernel (need m % 8 == 0, f32/bf16)")
+    in_dt = to_jnp(shape.a_in_type)
+
+    @jax.jit
+    def assemble(gm, values):
+        vpad = jnp.concatenate(
+            [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)], axis=0)
+        sup = jnp.take(vpad, gm, axis=0).reshape(ns, rk, rn, bk, bn)
+        # (ns, rk, rn, bk, bn) -> (ns, rk*bk, rn*bn) row-major supertiles
+        return sup.transpose(0, 1, 3, 2, 4).reshape(ns, SB, SB)
+
+    def fn(a, values, c=None):
+        out = pfn(a, assemble(gmap_d, values))
+        if c is not None:
+            out = out + c.astype(out.dtype)
+        return out
+
+    occupancy = ns / max(1, kb_s * nb_s)
+    info = KernelInfo(kind="pspgemm_bcsc",
+                      nflops=2 * nblocks * bk * bn * shape.m)
+    return Kernel(fn=fn, descriptor=desc, info=info,
+                  name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
+                       f"_super{ns}of{kb_s * nb_s}"
+                       f"_occ{int(occupancy * 100)}")
+
+
 def create_packed_spgemm_bcsc(shape: GemmShape,
                               flags: GemmFlags = GemmFlags.NONE,
                               config: SpgemmConfig = SpgemmConfig(),
@@ -377,14 +453,22 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
 
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
 
-    Two lowerings, picked by `strategy` ("auto" | "sparse" | "dense"):
+    Lowerings, picked by `strategy` ("auto"|"sparse"|"dense"|"pallas"|
+    "super"):
       * sparse: gather A panels per nonzero block -> one batched MXU matmul
         -> segment-sum per block-column. Traffic scales with
         nblocks*m*bk (A panel amplification) — wins only at low density.
-      * dense: scatter the blocks into a dense B (nnz-sized writes) and run
-        ONE dense MXU matmul. On TPU the MXU/bandwidth ratio makes this the
-        winner at moderate density — the hardware-scale form of the
-        reference's fsspmdm dense bias.
+      * dense: gather the blocks into a dense B and run ONE dense MXU
+        matmul. On TPU the MXU/bandwidth ratio makes this the winner at
+        moderate density — the hardware-scale form of the reference's
+        fsspmdm dense bias.
+      * pallas: scalar-prefetch pattern-driven block scheduling at the
+        native (bk, bn) granularity (kernels/spmm_pallas.py).
+      * super: re-block the pattern into 128x128 SUPERTILES at create time
+        and run the Pallas kernel at MXU-native granularity, skipping
+        empty supertiles. Beats dense when supertile occupancy
+        1-(1-d)^((128/bk)*(128/bn)) is well below 1 — i.e. very sparse
+        fine-grained patterns on large operands.
     """
     bk, bn = config.bk, config.bn
     indptr = np.asarray(column_ptr, np.int32)
@@ -405,6 +489,9 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
             strategy)
 
     def _build(_key):
+        if strategy == "super":
+            return _build_bcsc_super(shape, flags, config, indptr, indices,
+                                     desc, nblocks)
         if strategy == "pallas":
             from ..kernels import spmm_pallas
             pfn = spmm_pallas.build_bcsc_spmm(shape, config, indptr, indices)

@@ -397,3 +397,38 @@ def test_spgemm_areg_edge_matrix():
                                   csr.indptr, csr.indices, csr.data)
     b = RNG.standard_normal((35, 64)).astype(np.float32)
     check(a @ b, np.asarray(kern(b)), margin=1e-4)
+
+
+def test_pspgemm_bcsc_super_strategy():
+    # 128x128 supertile re-blocking matches the dense oracle
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    m, k, n, bk, bn = 64, 256, 256, 32, 32
+    bmat = rng.standard_normal((k, n)).astype(np.float32)
+    keep = rng.random((k // bk, n // bn)) < 0.15
+    bmat *= np.kron(keep, np.ones((bk, bn), np.float32))
+    bcsc = BcscMatrix.from_dense(bmat, bk, bn)
+    shape = GemmShape(m, n, k)
+    kern = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
+                                     SpgemmConfig(1, bk, bn),
+                                     column_ptr=bcsc.indptr,
+                                     row_idx=bcsc.indices,
+                                     strategy="super")
+    assert "_super" in kern.name
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    got = np.asarray(kern(a, jnp.asarray(bcsc.data)))
+    check(a @ bmat, got, margin=1e-4)
+    # beta=1 epilogue
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    got_c = np.asarray(kern(a, jnp.asarray(bcsc.data), c))
+    check(a @ bmat + c, got_c, margin=1e-4)
+
+
+def test_pspgemm_bcsc_super_rejects_bad_shapes():
+    import pytest
+    with pytest.raises(ValueError):
+        create_packed_spgemm_bcsc(
+            GemmShape(64, 192, 192), GemmFlags.BETA_0,
+            SpgemmConfig(1, 32, 32),
+            column_ptr=np.zeros(7, np.int32),
+            row_idx=np.zeros(0, np.int32), strategy="super")
