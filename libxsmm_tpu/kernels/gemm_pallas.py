@@ -38,7 +38,6 @@ Two kernels live here:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
