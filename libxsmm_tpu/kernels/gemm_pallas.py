@@ -8,32 +8,30 @@ single small matmul cannot fill the 128x128 MXU — the performance problem is
 reshaped into: stream MANY independent small GEMMs at HBM bandwidth with the
 MXU never the bottleneck.
 
-Kernel strategy: grid over batch chunks of GG problems; each step issues one
-batched dot_general (Mosaic lowers the batch dim to a sequence of MXU passes
-while the grid pipeline double-buffers the next chunk's HBM->VMEM DMA). The
-workload is bandwidth-bound (32^3 f32: 5.3 FLOP/byte => the roofline is HBM
-speed, BASELINE.md), so the job is keeping DMA saturated; the chunk size is
-picked to give each pipeline stage ~0.75 MB of traffic, which measured best
-on v5e-class hardware (30 TF/s f32 at 32^3, 1.4x over XLA's batched dot;
-see bench.py).
-
-Two kernels live here:
+The workload is bandwidth-bound (32^3 f32: 5.3 FLOP/byte => the roofline is
+HBM speed, BASELINE.md), so the job is keeping DMA saturated with full-width
+tiles. Three kernels live here:
 
 * build_batched_gemm — grid over batch chunks of (B,m,k)x(B,k,n) problems,
   one batched dot_general per step. Simple, works for any small shape, but
   pays lane padding: a 32-wide minor dim occupies a full 128-lane tile in
   HBM and in the MXU (measured 0.32 of copy bandwidth at 32^3 f32).
 
-* build_packed_batched_gemm — the speed-of-light path (measured 0.94 of
-  copy bandwidth at 32^3 f32): P = 128//n problems are packed side by side
-  along lanes, so every HBM tile is full. Per group the kernel builds a
-  block-diagonal (128,128) RHS in VMEM (tile the packed B rows P times,
-  zero off-diagonal blocks with an iota mask — pure VPU work, no HBM
-  cost) and issues ONE (m,128)x(128,128) MXU pass computing all P
-  products: [A0|..|A3] @ diag(B0..B3) = [A0B0|..|A3B3]. This is the TPU
-  analogue of the reference's packed/SOA GEMM layouts
+* build_packed_batched_gemm — the speed-of-light path (measured 0.93 of
+  the same-specs DMA passthrough at 32^3 f32): P = 128//n problems are
+  packed side by side along lanes (ops.gemm.pack_batched), so every HBM
+  tile is full. Per group the kernel builds a block-diagonal (128,128) RHS
+  in VMEM (tile the packed B rows P times, zero off-diagonal blocks with
+  an iota mask — pure VPU work, no HBM cost) and issues ONE
+  (m,128)x(128,128) MXU pass computing all P products:
+  [A0|..|A3] @ diag(B0..B3) = [A0B0|..|A3B3]. f32/bf16/int8. This is the
+  TPU analogue of the reference's packed/SOA GEMM layouts
   (/root/reference/src/generator_packed_gemm*.c): accept a packed storage
   format in exchange for full-width vector units.
+
+* build_packed_brgemm — batch-reduce on the packed layout: for k < 128 the
+  128-lane contraction computes Q=128//k products AND their sum in one MXU
+  pass (no mask; the reduction IS the contraction).
 """
 
 from __future__ import annotations
