@@ -203,6 +203,44 @@ def apply_unary_op(op: UnaryType, flags: UnaryFlags, x, **state):
     raise NotImplementedError(f"apply_unary_op: {op}")
 
 
+def vnni_factor(dtype: Datatype) -> int:
+    """VNNI interleave factor by storage width (reference: 2 for 16-bit,
+    4 for 8-bit, 8 for 4-bit operands; generator_gemm.c dtype gating)."""
+    from ..dtypes import bits
+    return max(2, 32 // max(bits(dtype), 4))
+
+
+def _unvnni(x, k: int):
+    """Undo VNNIk row-interleave on the trailing 2 dims: (..., m/k, n*k) ->
+    (..., m, n). Batch (BRGEMM) leading dims pass through."""
+    *lead, mk, nk = x.shape
+    n = nk // k
+    return (x.reshape(*lead, mk, n, k)
+            .swapaxes(-1, -2)
+            .reshape(*lead, mk * k, n))
+
+
+def apply_matmul_node(op, a, b, a_dtype: Datatype, comp=jnp.float32):
+    """MATMUL/BRGEMM binary/ternary ops incl. _A_TRANS/_B_TRANS/_A_VNNI
+    variants (reference enum include/libxsmm_typedefs.h:378-397,426-443),
+    shared by dispatch_meltw_binary/ternary and the equation evaluator.
+    Transposes act on the trailing 2 dims so BRGEMM batch dims are
+    preserved; A_VNNI un-interleaves the stored layout first."""
+    if "A_VNNI" in op.name:
+        a = _unvnni(a, vnni_factor(a_dtype))
+    # reference name order: A_VNNI_TRANS == trans(unvnni(A))
+    if "A_TRANS" in op.name or "A_VNNI_TRANS" in op.name:
+        a = jnp.swapaxes(a, -1, -2)
+    if "B_TRANS" in op.name:
+        b = jnp.swapaxes(b, -1, -2)
+    if op.name.startswith("BRGEMM"):
+        return jnp.einsum("bmk,bkn->mn", a, b,
+                          preferred_element_type=comp,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(a, b, preferred_element_type=comp,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def apply_binary_op(op: BinaryType, flags: BinaryFlags, a, b, c_prev=None):
     if op == BinaryType.ADD:
         return a + b
@@ -425,6 +463,11 @@ def _build_binary(desc: MeltwDescriptor) -> Kernel:
     comp = to_jnp(desc.comp_type)
 
     def base(in0, in1, c_prev=None):
+        if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
+            # contraction ops take natural (not broadcast) operand shapes
+            y = apply_matmul_node(op, in0.astype(comp), in1.astype(comp),
+                                  desc.in_type, comp)
+            return _out_cast(y, desc.out_type, in0.dtype)
         a = _bcast_in(in0, m, n, flags & BinaryFlags.BCAST_ROW_IN_0,
                       flags & BinaryFlags.BCAST_COL_IN_0,
                       flags & BinaryFlags.BCAST_SCALAR_IN_0)
@@ -456,6 +499,11 @@ def _build_ternary(desc: MeltwDescriptor) -> Kernel:
     comp = to_jnp(desc.comp_type)
 
     def base(in0, in1, in2):
+        if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
+            y = (apply_matmul_node(op, in0.astype(comp), in1.astype(comp),
+                                   desc.in_type, comp)
+                 + in2.astype(comp))
+            return _out_cast(y, desc.out_type, in0.dtype)
         a = _bcast_in(in0, m, n, flags & TernaryFlags.BCAST_ROW_IN_0,
                       flags & TernaryFlags.BCAST_COL_IN_0,
                       flags & TernaryFlags.BCAST_SCALAR_IN_0)

@@ -39,8 +39,8 @@ from ..descriptor import (BinaryFlags, BinaryType, TernaryFlags, TernaryType,
                           UnaryFlags, UnaryType)
 from ..dtypes import Datatype, to_jnp
 from ..registry import Kernel, KernelInfo, get_registry
-from .eltwise import (_bcast_unary, apply_binary_op, apply_ternary_op,
-                      apply_unary_op)
+from .eltwise import (_bcast_unary, apply_binary_op, apply_matmul_node,
+                      apply_ternary_op, apply_unary_op)
 
 _ARITY = {"unary": 1, "binary": 2, "ternary": 3}
 
@@ -189,52 +189,17 @@ def _eval(node: EqnNode, args: tuple, comp):
         op = node.op
         if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
             a, b = kids
-            return _eval_matmul_node(op, a, b, node.children[0], comp)
+            a_dt = getattr(node.children[0], "dtype", Datatype.BF16)
+            return apply_matmul_node(op, a, b, a_dt, comp)
         return apply_binary_op(op, BinaryFlags(node.flags), *kids)
     if node.kind == "ternary":
         op = node.op
         if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
             a, b, c = kids
-            return _eval_matmul_node(op, a, b, node.children[0], comp) + c
+            a_dt = getattr(node.children[0], "dtype", Datatype.BF16)
+            return apply_matmul_node(op, a, b, a_dt, comp) + c
         return apply_ternary_op(op, TernaryFlags(node.flags), *kids)
     raise ValueError(node.kind)
-
-
-def _vnni_factor(dtype: Datatype) -> int:
-    """VNNI interleave factor by storage width (reference: 2 for 16-bit,
-    4 for 8-bit, 8 for 4-bit operands; generator_gemm.c dtype gating)."""
-    from ..dtypes import bits
-    return max(2, 32 // max(bits(dtype), 4))
-
-
-def _unvnni(x, k: int):
-    """Undo VNNIk row-interleave on the trailing 2 dims: (..., m/k, n*k) ->
-    (..., m, n). Batch (BRGEMM) leading dims pass through."""
-    *lead, mk, nk = x.shape
-    n = nk // k
-    return (x.reshape(*lead, mk, n, k)
-            .swapaxes(-1, -2)
-            .reshape(*lead, mk * k, n))
-
-
-def _eval_matmul_node(op, a, b, a_node, comp):
-    """MATMUL/BRGEMM equation nodes incl. _A_TRANS/_B_TRANS/_A_VNNI variants
-    (reference enum include/libxsmm_typedefs.h:378-397,426-443). Transposes
-    act on the trailing 2 dims so BRGEMM batch dims are preserved; A_VNNI
-    un-interleaves the stored layout before the contraction."""
-    if "A_VNNI" in op.name:
-        a = _unvnni(a, _vnni_factor(getattr(a_node, "dtype", Datatype.BF16)))
-    # reference name order: A_VNNI_TRANS == trans(unvnni(A))
-    if "A_TRANS" in op.name or "A_VNNI_TRANS" in op.name:
-        a = jnp.swapaxes(a, -1, -2)
-    if "B_TRANS" in op.name:
-        b = jnp.swapaxes(b, -1, -2)
-    if op.name.startswith("BRGEMM"):
-        return jnp.einsum("bmk,bkn->mn", a, b,
-                          preferred_element_type=comp,
-                          precision=jax.lax.Precision.HIGHEST)
-    return jnp.dot(a, b, preferred_element_type=comp,
-                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _tree_signature(node: EqnNode):
