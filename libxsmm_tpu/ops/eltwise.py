@@ -434,10 +434,21 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
             h2f = _trunc_f32_to_bf16_f32(r1)
             h3 = (r1 - h2f).astype(jnp.bfloat16)
             return h1f.astype(jnp.bfloat16), h2f.astype(jnp.bfloat16), h3
-        if op == UnaryType.DUMP:
-            jax.debug.print("xsmm dump {}", x)
-            return x
         raise NotImplementedError(f"unary op {op}")
+
+    if op == UnaryType.DUMP:
+        # host-side print, NOT jitted: the axon backend has no host
+        # send/recv callbacks (jax.debug.print is UNIMPLEMENTED on TPU
+        # there), and the reference's DUMP writes from the host anyway
+        # (LIBXSMM_DUMP, src/libxsmm_main.c internal_dump :699)
+        def dump_fn(x, *args, **state):
+            import numpy as _np
+            print(f"xsmm dump {desc.name()}:\n{_np.asarray(x)}")
+            return x
+
+        info = KernelInfo(kind="meltw", nflops=0)
+        return Kernel(fn=dump_fn, descriptor=desc, info=info,
+                      name=desc.name())
 
     jitted = jax.jit(base)
     info = KernelInfo(kind="meltw", nflops=m * n)
