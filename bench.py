@@ -35,11 +35,10 @@ TARGET_LAUNCH_S = 0.2   # sized so ~13 ms worst-case launch cost is <7% noise
 
 def _sync(state):
     """True device sync: fetch one element to host (block_until_ready does
-    NOT flush this backend's async pipeline; see module docstring)."""
-    import jax
-    import jax.numpy as jnp
-    leaf = jax.tree_util.tree_leaves(state)[0]
-    return float(jnp.ravel(leaf)[0])
+    NOT flush this backend's async pipeline; see utils/timer.device_sync,
+    the single home of this workaround)."""
+    from libxsmm_tpu.utils.timer import device_sync
+    return device_sync(state)
 
 
 class ChainCase:
@@ -161,14 +160,17 @@ def make_smm_sol_case():
     a0 = jnp.asarray(rng.standard_normal((G, m, 128)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((G, m, 128)) * 0.1, jnp.float32)
 
+    from libxsmm_tpu import device
+
     def kern(a_ref, b_ref, o_ref):
         o_ref[...] = a_ref[...] + b_ref[...]
 
     call = pl.pallas_call(
         kern, grid=(-(-G // S),),
-        in_specs=[pl.BlockSpec((S, m, 128), lambda i: (i, 0, 0))] * 2,
-        out_specs=pl.BlockSpec((S, m, 128), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, m, 128), jnp.float32))
+        in_specs=[pl.BlockSpec((S, m, 128), lambda i: (i, i - i, i - i))] * 2,
+        out_specs=pl.BlockSpec((S, m, 128), lambda i: (i, i - i, i - i)),
+        out_shape=jax.ShapeDtypeStruct((G, m, 128), jnp.float32),
+        interpret=device.use_interpret())
     bytes_moved = B * 3 * m * 32 * 4
     return ChainCase(lambda a: call(a, b), a0), bytes_moved
 

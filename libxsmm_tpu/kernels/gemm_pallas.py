@@ -200,11 +200,17 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int):
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
         acc = o_ref[...]
+        base = pl.program_id(0) * gg
         for g in range(gg):
-            acc = acc + jax.lax.dot_general(
+            prod = jax.lax.dot_general(
                 a_ref[g], b_ref[g].reshape(q * k, n),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
+            # the shared accumulator must NOT absorb the trailing step's
+            # out-of-bounds padding groups (undefined data) — unlike the
+            # batched kernels, out-of-range results are not discarded here
+            acc = acc + jnp.where(base + g < groups, prod,
+                                  jnp.zeros((), jnp.float32))
         o_ref[...] = acc
 
     call = pl.pallas_call(

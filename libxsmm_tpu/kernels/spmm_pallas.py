@@ -130,6 +130,8 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
                                (cols[l], i, i - i)),
     )
 
+    isz = jnp.dtype(in_dt).itemsize
+    osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -137,7 +139,8 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
         interpret=device.use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * tm * bk * bn * m_tiles,
-            bytes_accessed=nsteps * (tm * bk + bk * bn) * 2,
+            bytes_accessed=(nsteps * m_tiles * (tm * bk + bk * bn) * isz
+                            + nb * m * bn * osz),
             transcendentals=0),
     )
 

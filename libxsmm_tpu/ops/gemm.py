@@ -235,6 +235,7 @@ def dispatch_brgemm(shape: GemmShape,
 def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
     base = desc.base
     shape = base.shape
+    _ensure_x64(shape)
     argops, postops = desc.argops, desc.postops
     beta0 = base.beta == 0
     br = base.br.br_type
@@ -408,6 +409,12 @@ def dispatch_gemm_batched(shape: GemmShape,
             return best_fn
 
         def fn(a, b, c=None):
+            if c is not None and d.beta == 0:
+                # keep Pallas and XLA candidates semantically identical:
+                # the Pallas kernel ignores c under BETA_0 while XLA's
+                # fallback would add it — reject instead of diverging
+                raise ValueError("c operand passed to a BETA_0 batched "
+                                 "GEMM (dispatch without BETA_0 for C+=)")
             bsz = a.shape[0]
             inner = chosen.get(bsz)
             if inner is None:
@@ -419,6 +426,11 @@ def dispatch_gemm_batched(shape: GemmShape,
             if c is None:
                 return inner(a, b)
             return inner(a, b, c)
+
+        if batch:
+            # pre-build for the announced batch size (dispatch-time work,
+            # reference two-phase contract: dispatch expensive, invoke hot)
+            chosen[batch] = _batched_kernel(d, batch, use_pallas=True)[0]
 
         info = KernelInfo(kind="gemm_batched",
                           nflops=d.shape.nflops())

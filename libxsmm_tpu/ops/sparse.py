@@ -237,21 +237,27 @@ def create_packed_spgemm_csr(shape: GemmShape,
         colj = jax.device_put(jnp.asarray(col.reshape(-1)))
         posj = jax.device_put(jnp.asarray(pos.reshape(-1)))
         maskj = jax.device_put(jnp.asarray(mask))
-        # dense-strategy scatter coordinates
-        rows_sc = jax.device_put(jnp.asarray(
-            np.repeat(np.arange(shape.m, dtype=np.int32),
-                      np.diff(csr.indptr))))
-        cols_sc = jax.device_put(jnp.asarray(csr.indices, jnp.int32))
+        # dense-strategy densify via a create-time GATHER map (a per-call
+        # element scatter is ~100x slower on TPU; same trick as the BCSC
+        # dense path): posmat[row, col] = value index, missing -> nnz
+        # (the appended zero slot)
+        posmat = np.full(shape.m * shape.k, csr.nnz, np.int32)
+        rows_np = np.repeat(np.arange(shape.m, dtype=np.int64),
+                            np.diff(csr.indptr))
+        posmat[rows_np * shape.k + csr.indices] = np.arange(csr.nnz,
+                                                            dtype=np.int32)
+        posd = jax.device_put(jnp.asarray(posmat))
         comp = to_jnp(shape.comp_type)
         out_dt = to_jnp(shape.out_type)
         prec = matmul_precision(shape)
 
         @jax.named_scope(f"xsmm_pspgemm_csr_{shape.m}x{shape.n}x{shape.k}"
                          f"_nnz{csr.nnz}_{strategy}")
-        def run(colv, posv, maskv, rsc, csc_, values, b, c=None):
+        def run(colv, posv, maskv, pmat, values, b, c=None):
             if strategy == "dense":
-                adense = jnp.zeros((shape.m, shape.k), values.dtype)
-                adense = adense.at[rsc, csc_].set(values)
+                vpad = jnp.concatenate(
+                    [values, jnp.zeros((1,), values.dtype)])
+                adense = jnp.take(vpad, pmat).reshape(shape.m, shape.k)
                 if b.ndim == 2:
                     acc = jax.lax.dot_general(
                         adense, b, (((1,), (0,)), ((), ())),
@@ -278,8 +284,8 @@ def create_packed_spgemm_csr(shape: GemmShape,
 
         def fn(values, b, c=None):
             if c is None:
-                return jitted(colj, posj, maskj, rows_sc, cols_sc, values, b)
-            return jitted(colj, posj, maskj, rows_sc, cols_sc, values, b, c)
+                return jitted(colj, posj, maskj, posd, values, b)
+            return jitted(colj, posj, maskj, posd, values, b, c)
 
         nflops = 2 * csr.nnz * shape.n * max(1, packed_width)
         info = KernelInfo(kind="pspgemm_csr", nflops=nflops)
@@ -420,19 +426,25 @@ def _build_bcsc_super(shape: GemmShape, flags: GemmFlags,
                          "kernel (need m % 8 == 0, f32/bf16)")
     in_dt = to_jnp(shape.a_in_type)
 
+    # ONE launch: assemble + spmm (+ c) fused in a single jit — separate
+    # launches would each pay the backend's 1.2-14 ms dispatch cost, which
+    # dwarfs a low-occupancy SpMM
     @jax.jit
-    def assemble(gm, values):
+    def whole(gm, a, values, c=None):
         vpad = jnp.concatenate(
             [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)], axis=0)
         sup = jnp.take(vpad, gm, axis=0).reshape(ns, rk, rn, bk, bn)
         # (ns, rk, rn, bk, bn) -> (ns, rk*bk, rn*bn) row-major supertiles
-        return sup.transpose(0, 1, 3, 2, 4).reshape(ns, SB, SB)
-
-    def fn(a, values, c=None):
-        out = pfn(a, assemble(gmap_d, values))
+        sup = sup.transpose(0, 1, 3, 2, 4).reshape(ns, SB, SB)
+        out = pfn(a, sup)
         if c is not None:
             out = out + c.astype(out.dtype)
         return out
+
+    def fn(a, values, c=None):
+        if c is None:
+            return whole(gmap_d, a, values)
+        return whole(gmap_d, a, values, c)
 
     occupancy = ns / max(1, kb_s * nb_s)
     info = KernelInfo(kind="pspgemm_bcsc",
@@ -530,11 +542,11 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
 
         @jax.named_scope(f"xsmm_pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
                          f"_b{bk}x{bn}_nb{nblocks}_{strategy}")
-        def run(rowj, segj, a, values, c=None):
+        def run(rowj, segj, gmapj, a, values, c=None):
             if strategy == "dense":
                 vpad = jnp.concatenate(
                     [values, jnp.zeros((1, bk, bn), values.dtype)], axis=0)
-                dense = jnp.take(vpad, gmapd, axis=0).reshape(
+                dense = jnp.take(vpad, gmapj, axis=0).reshape(
                     kb, nb, bk, bn)
                 bdense = dense.transpose(0, 2, 1, 3).reshape(shape.k,
                                                              shape.n)
@@ -557,9 +569,11 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         jitted = jax.jit(run)
 
         def fn(a, values, c=None):
+            # schedule/gather arrays ride as device-resident ARGUMENTS,
+            # not jit closure constants (constants re-upload per call)
             if c is None:
-                return jitted(rowd, segd, a, values)
-            return jitted(rowd, segd, a, values, c)
+                return jitted(rowd, segd, gmapd, a, values)
+            return jitted(rowd, segd, gmapd, a, values, c)
 
         nflops = 2 * nblocks * bk * bn * shape.m
         info = KernelInfo(kind="pspgemm_bcsc", nflops=nflops)

@@ -463,3 +463,27 @@ def test_gemm_batched_packed_int8():
     from libxsmm_tpu.descriptor import UnaryType
     with pytest.raises(ValueError):
         xt.dispatch_gemm_batched_packed(shape, cp_type=UnaryType.GELU)
+
+
+def test_brgemm_packed_nondivisible_groups():
+    # groups % gg != 0: the trailing grid step's Pallas padding must NOT be
+    # accumulated into the shared C (review finding: undefined-data sum)
+    import jax.numpy as jnp
+    m = n = 64
+    k, br = 64, 20            # q=2 -> groups=10, gg=8 -> steps=2, tail=6
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
+    got = np.asarray(kern(xt.pack_batched(a, 2), jnp.asarray(b)))
+    check(np.einsum("bmk,bkn->mn", a, b), got, margin=1e-4)
+
+
+def test_gemm_batched_beta0_rejects_c():
+    # BETA_0 + c would silently diverge between the Pallas and XLA
+    # candidates; the dispatcher must reject it instead
+    kern = xt.dispatch_gemm_batched(GemmShape(16, 16, 16), GemmFlags.BETA_0)
+    a = RNG.standard_normal((4, 16, 16)).astype(np.float32)
+    with pytest.raises(ValueError):
+        kern(a, a, a)
