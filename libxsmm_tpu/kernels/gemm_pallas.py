@@ -195,22 +195,26 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int):
     gg = min(gg, groups)
     steps = -(-groups // gg)
 
+    rem = groups % gg   # groups on the final (clamped) grid step
+
     def kernel(a_ref, b_ref, o_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
         acc = o_ref[...]
-        base = pl.program_id(0) * gg
         for g in range(gg):
             prod = jax.lax.dot_general(
                 a_ref[g], b_ref[g].reshape(q * k, n),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
-            # the shared accumulator must NOT absorb the trailing step's
-            # out-of-bounds padding groups (undefined data) — unlike the
-            # batched kernels, out-of-range results are not discarded here
-            acc = acc + jnp.where(base + g < groups, prod,
-                                  jnp.zeros((), jnp.float32))
+            if rem and g >= rem:
+                # the shared accumulator must NOT absorb the final step's
+                # out-of-bounds padding groups (undefined data). Guard only
+                # the tail group indices and only when a ragged step exists
+                # — an unconditional per-group select costs ~2x.
+                prod = jnp.where(pl.program_id(0) < steps - 1, prod,
+                                 jnp.zeros((), jnp.float32))
+            acc = acc + prod
         o_ref[...] = acc
 
     call = pl.pallas_call(
