@@ -552,18 +552,78 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
         raise ValueError(f"epilogue {cp} is float-only (int8 kernel)")
 
     def _build(d):
+        import dataclasses as _dc
+
         built = {}
+        p = 128 // d.shape.n
+        out_dt = to_jnp(d.shape.out_type)
+        # transcendental epilogues keep the raw (non-differentiable) path;
+        # NONE/IDENTITY get a custom VJP so the packed kernel is trainable
+        differentiable = cp in ("NONE", "IDENTITY")
+
+        def _per_item(x):          # (G, r, p*c) -> (G*p, r, c)
+            gg, r, pc = x.shape
+            return (x.reshape(gg, r, p, pc // p)
+                    .transpose(0, 2, 1, 3).reshape(gg * p, r, pc // p))
+
+        def _to_packed(x):         # inverse of _per_item
+            gp, r, c = x.shape
+            return (x.reshape(gp // p, p, r, c)
+                    .transpose(0, 2, 1, 3).reshape(gp // p, r, p * c))
+
+        def _make(g):
+            if not differentiable:
+                return jax.jit(
+                    gemm_pallas.build_packed_batched_gemm(d, g, cp))
+
+            # beta0 core kernel + custom VJP: the Pallas forward has no
+            # autodiff rule, so the backward runs in plain XLA on the
+            # per-item view (dA_i = dC_i B_i^T, dB_i = A_i^T dC_i); the
+            # beta=1 c-add happens OUTSIDE the kernel where JAX can
+            # differentiate it natively.
+            d0 = _dc.replace(d, flags=GemmFlags(d.flags)
+                             | GemmFlags.BETA_0)
+            core = jax.jit(gemm_pallas.build_packed_batched_gemm(d0, g, cp))
+
+            @jax.custom_vjp
+            def f(a, b):
+                return core(a, b)
+
+            def fwd(a, b):
+                return core(a, b), (a, b)
+
+            def bwd(res, dout):
+                a, b = res
+                ai = _per_item(a).astype(jnp.float32)
+                bi = _per_item(b).astype(jnp.float32)
+                di = _per_item(dout).astype(jnp.float32)
+                da = jnp.einsum("gmn,gkn->gmk", di, bi,
+                                precision=jax.lax.Precision.HIGHEST)
+                db = jnp.einsum("gmk,gmn->gkn", ai, di,
+                                precision=jax.lax.Precision.HIGHEST)
+                return (_to_packed(da).astype(a.dtype),
+                        _to_packed(db).astype(b.dtype))
+
+            f.defvjp(fwd, bwd)
+
+            def wrapper(a, b, c=None):
+                out = f(a, b)
+                if c is not None:
+                    out = (out.astype(jnp.float32)
+                           + c.astype(jnp.float32)).astype(out_dt)
+                return out
+
+            return wrapper
 
         def fn(a, b, c=None):
+            if c is not None and d.beta == 0:
+                raise ValueError("c operand passed to a BETA_0 packed SMM")
             g = a.shape[0]
             inner = built.get(g)
             if inner is None:
-                inner = jax.jit(
-                    gemm_pallas.build_packed_batched_gemm(d, g, cp))
-                built[g] = inner
+                built[g] = inner = _make(g)
             return inner(a, b) if c is None else inner(a, b, c)
 
-        p = 128 // d.shape.n
         info = KernelInfo(kind="gemm_batched_packed",
                           nflops=d.shape.nflops() * p)
         return Kernel(fn=fn, descriptor=d, info=info,

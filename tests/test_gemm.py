@@ -487,3 +487,27 @@ def test_gemm_batched_beta0_rejects_c():
     a = RNG.standard_normal((4, 16, 16)).astype(np.float32)
     with pytest.raises(ValueError):
         kern(a, a, a)
+
+
+def test_gemm_batched_packed_grad():
+    # packed SMM is differentiable via its custom VJP (XLA-math backward)
+    import jax
+    import jax.numpy as jnp
+    m = n = k = 32
+    batch, p = 8, 4
+    a = jnp.asarray(RNG.standard_normal((batch, m, k)), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal((batch, k, n)), jnp.float32)
+    kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
+                                           GemmFlags.BETA_0)
+    ap, bp = xt.pack_batched(a, p), xt.pack_batched(b, p)
+
+    def loss(ap_, bp_):
+        return jnp.sum(kern(ap_, bp_) ** 2)
+
+    da_p, db_p = jax.grad(loss, argnums=(0, 1))(ap, bp)
+    # oracle: d/dA sum((AB)^2) = 2 (AB) B^T ; d/dB = 2 A^T (AB)
+    ab = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
+    want_da = 2 * np.einsum("bmn,bkn->bmk", ab, np.asarray(b))
+    want_db = 2 * np.einsum("bmk,bmn->bkn", np.asarray(a), ab)
+    check(want_da, np.asarray(xt.unpack_batched(da_p, p)), margin=1e-3)
+    check(want_db, np.asarray(xt.unpack_batched(db_p, p)), margin=1e-3)
