@@ -471,18 +471,67 @@ def dispatch_brgemm_packed(shape: GemmShape,
                          "(need k|128, f32/bf16, no transposes)")
 
     def _build(d):
+        import dataclasses as _dc
+
         built = {}
+        q = 128 // d.shape.k
+        out_dt = to_jnp(d.shape.out_type)
+
+        def _make(br):
+            d0 = _dc.replace(d, flags=GemmFlags(d.flags)
+                             | GemmFlags.BETA_0)
+            raw = gemm_pallas.build_packed_brgemm(d0, br)
+            if raw is None:
+                raise ValueError(f"br={br} not divisible by pack factor "
+                                 f"{q}")
+            core = jax.jit(raw)
+
+            # custom VJP (Pallas forward has no autodiff rule): backward in
+            # XLA — dA_i = dC @ B_i^T, dB_i = A_i^T @ dC on the lane-packed
+            # A view (A_i recovered per item via unpack-style reshape)
+            @jax.custom_vjp
+            def f(a, b):
+                return core(a, b)
+
+            def fwd(a, b):
+                return core(a, b), (a, b)
+
+            def bwd(res, dout):
+                a, b = res
+                g = a.shape[0]
+                k, n = d.shape.k, d.shape.n
+                ai = (a.reshape(g, d.shape.m, q, k)
+                      .transpose(0, 2, 1, 3)
+                      .reshape(br, d.shape.m, k)).astype(jnp.float32)
+                d32 = dout.astype(jnp.float32)
+                da_i = jnp.einsum("mn,bkn->bmk", d32,
+                                  b.astype(jnp.float32),
+                                  precision=jax.lax.Precision.HIGHEST)
+                db = jnp.einsum("bmk,mn->bkn", ai, d32,
+                                precision=jax.lax.Precision.HIGHEST)
+                da = (da_i.reshape(g, q, d.shape.m, k)
+                      .transpose(0, 2, 1, 3).reshape(g, d.shape.m, q * k))
+                return da.astype(a.dtype), db.astype(b.dtype)
+
+            f.defvjp(fwd, bwd)
+
+            def wrapper(a, b, c=None):
+                out = f(a, b)
+                if c is not None:
+                    out = (out.astype(jnp.float32)
+                           + c.astype(jnp.float32)).astype(out_dt)
+                return out
+
+            return wrapper
 
         def fn(a, b, c=None):
+            if c is not None and d.beta == 0:
+                raise ValueError("c operand passed to a BETA_0 packed "
+                                 "BRGEMM")
             br = b.shape[0]
             inner = built.get(br)
             if inner is None:
-                raw = gemm_pallas.build_packed_brgemm(d, br)
-                if raw is None:
-                    raise ValueError(
-                        f"br={br} not divisible by pack factor "
-                        f"{128 // d.shape.k}")
-                built[br] = inner = jax.jit(raw)
+                built[br] = inner = _make(br)
             return inner(a, b) if c is None else inner(a, b, c)
 
         info = KernelInfo(kind="brgemm_packed", nflops=d.shape.nflops())

@@ -511,3 +511,25 @@ def test_gemm_batched_packed_grad():
     want_db = 2 * np.einsum("bmk,bmn->bkn", np.asarray(a), ab)
     check(want_da, np.asarray(xt.unpack_batched(da_p, p)), margin=1e-3)
     check(want_db, np.asarray(xt.unpack_batched(db_p, p)), margin=1e-3)
+
+
+def test_brgemm_packed_grad():
+    import jax
+    import jax.numpy as jnp
+    m, n, k, br, q = 16, 32, 64, 8, 2
+    a = jnp.asarray(RNG.standard_normal((br, m, k)), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal((br, k, n)), jnp.float32)
+    kern = xt.dispatch_brgemm_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
+    ap = xt.pack_batched(a, q)
+
+    def loss(ap_, b_):
+        return jnp.sum(kern(ap_, b_) ** 2)
+
+    da_p, db = jax.grad(loss, argnums=(0, 1))(ap, b)
+    cc = np.einsum("bmk,bkn->mn", np.asarray(a), np.asarray(b))
+    want_da = 2 * np.einsum("mn,bkn->bmk", cc, np.asarray(b))
+    want_db = 2 * np.einsum("bmk,mn->bkn", np.asarray(a), cc)
+    check(want_da, np.asarray(xt.unpack_batched(da_p, q)), margin=1e-3)
+    check(want_db, np.asarray(db), margin=1e-3)
