@@ -313,9 +313,11 @@ class DistributedBsrSpmm2Level:
                     perm=[(i, (i + 1) % ring) for i in range(ring)])
                 return x_seg, acc
 
-            acc0 = jax.lax.pvary(
-                jnp.zeros((mb_loc * br, n), jnp.float32),
-                (dcn_axis, axis))
+            acc0 = jnp.zeros((mb_loc * br, n), jnp.float32)
+            if hasattr(jax.lax, "pcast"):
+                acc0 = jax.lax.pcast(acc0, (dcn_axis, axis), to="varying")
+            else:
+                acc0 = jax.lax.pvary(acc0, (dcn_axis, axis))
             _, acc = jax.lax.fori_loop(0, ring, step, (x_local, acc0))
             return acc.astype(x_local.dtype)
 
