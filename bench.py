@@ -135,8 +135,19 @@ def make_smm_case():
         jnp.asarray(rng.standard_normal((B, m, k)), jnp.float32), p)
     b = xt.pack_batched(
         jnp.asarray(rng.standard_normal((B, k, n)) * 0.1, jnp.float32), p)
-    kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
-                                           GemmFlags.BETA_0)
+    # Mosaic's schedule varies run to run (measured 0.58-0.93 of SoL for
+    # the SAME source across processes): compile several step-size variants
+    # and keep the fastest this process drew (fsspmdm autotune pattern)
+    from libxsmm_tpu.utils.timer import bench_chain
+    best_kern, best_t = None, float("inf")
+    for sg in (24, 48, 96):
+        kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
+                                               GemmFlags.BETA_0,
+                                               step_groups=sg)
+        t = bench_chain(kern, (a0, b), chain_idx=0, reps=24, rounds=2)
+        if t < best_t:
+            best_kern, best_t = kern, t
+    kern = best_kern
     flops = 2 * B * m * n * k
     bytes_moved = B * (m * k + k * n + m * n) * 4   # packed layout = dense
     # out (G,m,p*n) == a's packed shape since m==k: chain directly
@@ -155,22 +166,35 @@ def make_smm_sol_case():
     from jax.experimental import pallas as pl
 
     B, m = 16384, 32
-    G, S = B // 4, 48   # S matches the packed kernel's ~2.25MB step sizing
+    G = B // 4
     rng = np.random.default_rng(3)
     a0 = jnp.asarray(rng.standard_normal((G, m, 128)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((G, m, 128)) * 0.1, jnp.float32)
 
     from libxsmm_tpu import device
+    from libxsmm_tpu.utils.timer import bench_chain
 
     def kern(a_ref, b_ref, o_ref):
         o_ref[...] = a_ref[...] + b_ref[...]
 
-    call = pl.pallas_call(
-        kern, grid=(-(-G // S),),
-        in_specs=[pl.BlockSpec((S, m, 128), lambda i: (i, i - i, i - i))] * 2,
-        out_specs=pl.BlockSpec((S, m, 128), lambda i: (i, i - i, i - i)),
-        out_shape=jax.ShapeDtypeStruct((G, m, 128), jnp.float32),
-        interpret=device.use_interpret())
+    def make(S):
+        return jax.jit(pl.pallas_call(
+            kern, grid=(-(-G // S),),
+            in_specs=[pl.BlockSpec((S, m, 128),
+                                   lambda i: (i, i - i, i - i))] * 2,
+            out_specs=pl.BlockSpec((S, m, 128), lambda i: (i, i - i, i - i)),
+            out_shape=jax.ShapeDtypeStruct((G, m, 128), jnp.float32),
+            interpret=device.use_interpret()))
+
+    # best-of over step-size variants, mirroring the smm case: the SoL side
+    # must win its own Mosaic compile lottery or the fraction reads >1
+    best_call, best_t = None, float("inf")
+    for S in (24, 48, 96):
+        call = make(S)
+        t = bench_chain(call, (a0, b), chain_idx=0, reps=24, rounds=2)
+        if t < best_t:
+            best_call, best_t = call, t
+    call = best_call
     bytes_moved = B * 3 * m * 32 * 4
     return ChainCase(lambda a: call(a, b), a0), bytes_moved
 

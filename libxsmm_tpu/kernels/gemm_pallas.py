@@ -278,7 +278,9 @@ _EPILOGUES = {
 
 def build_packed_batched_gemm(desc: GemmDescriptor,
                               groups: int,
-                              cp_type: str = "NONE") -> Optional[Callable]:
+                              cp_type: str = "NONE",
+                              step_groups: Optional[int] = None
+                              ) -> Optional[Callable]:
     """Lane-packed batched SMM: P = 128//n problems per lane group.
 
     fn(a, b[, c]) with PACKED operands (see ops.gemm.pack_batched):
@@ -318,6 +320,8 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
     # reaches DMA-passthrough parity; 0.5 MB steps lose ~15% to per-step
     # overhead). Double-buffered x 3 operands ~ 14 MB VMEM at the cap.
     gg = max(1, min(96, (2304 * 1024) // max(per_group, 1)))
+    if step_groups:
+        gg = max(1, int(step_groups))
     gg = min(gg, groups)
     steps = max(1, -(-groups // gg))
 

@@ -572,8 +572,8 @@ def unpack_batched(x, p: int):
 
 def dispatch_gemm_batched_packed(shape: GemmShape,
                                  flags: GemmFlags = GemmFlags.NONE,
-                                 cp_type: UnaryType = UnaryType.NONE
-                                 ) -> Kernel:
+                                 cp_type: UnaryType = UnaryType.NONE,
+                                 step_groups: int = None) -> Kernel:
     """Batched independent small GEMMs on the lane-packed layout.
 
     The speed-of-light SMM path (bench.py headline): operands stay in the
@@ -623,7 +623,8 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
         def _make(g):
             if not differentiable:
                 return jax.jit(
-                    gemm_pallas.build_packed_batched_gemm(d, g, cp))
+                    gemm_pallas.build_packed_batched_gemm(d, g, cp,
+                                          step_groups))
 
             # beta0 core kernel + custom VJP: the Pallas forward has no
             # autodiff rule, so the backward runs in plain XLA on the
@@ -632,7 +633,8 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
             # differentiate it natively.
             d0 = _dc.replace(d, flags=GemmFlags(d.flags)
                              | GemmFlags.BETA_0)
-            core = jax.jit(gemm_pallas.build_packed_batched_gemm(d0, g, cp))
+            core = jax.jit(gemm_pallas.build_packed_batched_gemm(
+                d0, g, cp, step_groups))
 
             @jax.custom_vjp
             def f(a, b):
@@ -679,7 +681,7 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
                       name=d.name() + f"_packed{p}"
                       + ("" if cp == "NONE" else f"_{cp.lower()}"))
 
-    key = ("batched_packed", desc, cp)
+    key = ("batched_packed", desc, cp, step_groups)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 
