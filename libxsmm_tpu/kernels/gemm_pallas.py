@@ -155,7 +155,8 @@ def packed_brgemm_supported(desc: GemmDescriptor) -> bool:
     return s.m <= 1024 and s.n <= 1024
 
 
-def build_packed_brgemm(desc: GemmDescriptor, br: int):
+def build_packed_brgemm(desc: GemmDescriptor, br: int,
+                        step_groups: Optional[int] = None):
     """Lane-packed batch-reduce GEMM: C = sum_i A_i @ B_i (+ C0).
 
     Q = 128//k batch items are packed side by side along A's lanes
@@ -192,6 +193,8 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int):
     isz = jnp.dtype(in_dt).itemsize
     per_group = (m + n) * 128 * isz
     gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
+    if step_groups:
+        gg = max(1, int(step_groups))
     gg = min(gg, groups)
     steps = -(-groups // gg)
 

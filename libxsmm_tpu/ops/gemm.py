@@ -451,7 +451,8 @@ def brgemm_pack_factor(shape: GemmShape) -> int:
 
 def dispatch_brgemm_packed(shape: GemmShape,
                            flags: GemmFlags = GemmFlags.NONE,
-                           br_config: BatchReduceConfig = None) -> Kernel:
+                           br_config: BatchReduceConfig = None,
+                           step_groups: int = None) -> Kernel:
     """Batch-reduce GEMM on the lane-packed A layout.
 
     C = sum_i A_i @ B_i with A in pack_batched(a, Q) layout (Q = 128//k):
@@ -480,7 +481,7 @@ def dispatch_brgemm_packed(shape: GemmShape,
         def _make(br):
             d0 = _dc.replace(d, flags=GemmFlags(d.flags)
                              | GemmFlags.BETA_0)
-            raw = gemm_pallas.build_packed_brgemm(d0, br)
+            raw = gemm_pallas.build_packed_brgemm(d0, br, step_groups)
             if raw is None:
                 raise ValueError(f"br={br} not divisible by pack factor "
                                  f"{q}")
@@ -538,7 +539,7 @@ def dispatch_brgemm_packed(shape: GemmShape,
         return Kernel(fn=fn, descriptor=d, info=info,
                       name=d.name() + "_brpacked")
 
-    key = ("brgemm_packed", desc)
+    key = ("brgemm_packed", desc, step_groups)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 
