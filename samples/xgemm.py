@@ -98,12 +98,9 @@ def run_case(rng, bench=False):
              f"beta={0 if flags & GemmFlags.BETA_0 else 1}")
     gflops = ""
     if bench:
-        reps = 20
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = kern(*args)
-        jax.block_until_ready(out)
-        per = (time.perf_counter() - t0) / reps
+        # chained-in-one-launch + host-fetch sync (see utils.timer)
+        from libxsmm_tpu.utils.timer import bench_chain
+        per = bench_chain(kern, args, chain_idx=0, reps=50)
         gflops = f"  {xt.get_kernel_info(kern).nflops / per / 1e9:8.1f} GF/s"
     print(f"{'OK  ' if ok else 'FAIL'} {label:48s} "
           f"normf_rel={info.normf_rel:.2e}{gflops}")
