@@ -574,7 +574,8 @@ def unpack_batched(x, p: int):
 def dispatch_gemm_batched_packed(shape: GemmShape,
                                  flags: GemmFlags = GemmFlags.NONE,
                                  cp_type: UnaryType = UnaryType.NONE,
-                                 step_groups: int = None) -> Kernel:
+                                 step_groups: int = None,
+                                 tune: bool = False) -> Kernel:
     """Batched independent small GEMMs on the lane-packed layout.
 
     The speed-of-light SMM path (bench.py headline): operands stay in the
@@ -587,7 +588,39 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
 
     cp_type fuses a unary epilogue (RELU/GELU/TANH/SIGMOID/X2) onto the
     accumulator inside the kernel — the BRGEMM-ext cp_type analogue.
+
+    tune=True compiles several step-size (step_groups) variants on first
+    invocation per batch size and keeps the fastest: Mosaic draws a
+    different schedule per compile (measured 0.58-0.93x of speed of light
+    for identical source), so latency-critical users should let the
+    dispatch win the compile lottery for them.
     """
+    if tune and step_groups is None:
+        def _tuned_fn(a, b, c=None, _picked={}):
+            g = a.shape[0]
+            kern = _picked.get(g)
+            if kern is None:
+                from ..utils.timer import bench_chain
+                best_t = float("inf")
+                for sg in (24, 48, 96):
+                    cand = dispatch_gemm_batched_packed(
+                        shape, flags, cp_type, step_groups=min(sg, g))
+                    args = (a, b) if c is None else (a, b, c)
+                    t = bench_chain(cand, args, chain_idx=0, reps=12)
+                    if t < best_t:
+                        kern, best_t = cand, t
+                _picked[g] = kern
+            return kern(a, b) if c is None else kern(a, b, c)
+
+        p = 128 // shape.n
+        info = KernelInfo(kind="gemm_batched_packed",
+                          nflops=shape.nflops() * p)
+        base = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
+        return get_registry().dispatch(
+            ("batched_packed_tuned", base, UnaryType(cp_type).name),
+            lambda _k: Kernel(fn=_tuned_fn, descriptor=base, info=info,
+                              name=base.name() + f"_packed{p}_tuned"))
+
     desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
     from ..kernels import gemm_pallas
     if not gemm_pallas.packed_smm_supported(desc):

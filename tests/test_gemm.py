@@ -533,3 +533,14 @@ def test_brgemm_packed_grad():
     want_db = 2 * np.einsum("bmk,mn->bkn", np.asarray(a), cc)
     check(want_da, np.asarray(xt.unpack_batched(da_p, q)), margin=1e-3)
     check(want_db, np.asarray(db), margin=1e-3)
+
+
+def test_gemm_batched_packed_tuned():
+    # tune=True: compile-variant autotune picks a step size and stays correct
+    a = RNG.standard_normal((16, 32, 32)).astype(np.float32)
+    b = RNG.standard_normal((16, 32, 32)).astype(np.float32)
+    kern = xt.dispatch_gemm_batched_packed(GemmShape(32, 32, 32),
+                                           GemmFlags.BETA_0, tune=True)
+    out = xt.unpack_batched(kern(xt.pack_batched(a, 4),
+                                 xt.pack_batched(b, 4)), 4)
+    check(np.einsum("bmk,bkn->bmn", a, b), np.asarray(out), margin=1e-5)
