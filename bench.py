@@ -294,7 +294,22 @@ def make_bcsc_case():
 
 
 def main():
+    import jax
+
     from libxsmm_tpu.device import get_geometry, on_tpu
+
+    # persistent executable cache: ~30 compiles per run at 10-200 s cold
+    # vs <1 s warm; also freezes known-good Mosaic schedule draws (the
+    # variant autotunes then pick among cached candidates deterministically)
+    cache_dir = os.environ.get("XSMM_TPU_COMPILATION_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   ".xla_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
 
     geom = get_geometry()
     copy_case, copy_bytes = make_copy_case()
