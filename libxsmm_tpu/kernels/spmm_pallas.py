@@ -229,6 +229,8 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
                                (i, cols[l])),
     )
 
+    isz = jnp.dtype(in_dt).itemsize
+    osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -236,7 +238,8 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
         interpret=device.use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * tm * SB * SB * m_tiles,
-            bytes_accessed=nsteps * m_tiles * (tm * SB * 2 + SB * SB) * 2,
+            bytes_accessed=(nsteps * m_tiles * (tm * SB + SB * SB) * isz
+                            + m * n * osz),
             transcendentals=0),
     )
 

@@ -171,8 +171,8 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
     # re-read the env at create time like the reference (getenv inside
     # libxsmm_fsspmdm_create, src/libxsmm_fsspmdm.c:35-36) — CONFIG only
     # snapshots import-time values
-    hint = int(os.environ.get("XSMM_TPU_FSSPMDM_HINT",
-                              CONFIG.fsspmdm_hint))
+    from ..config import _env_int
+    hint = _env_int("XSMM_TPU_FSSPMDM_HINT", CONFIG.fsspmdm_hint)
     tuned = {}
     if hint == 2 or sparse_kernel is None:
         pick, kind = dense_kernel, "dense"

@@ -427,9 +427,11 @@ def dispatch_gemm_batched(shape: GemmShape,
                 return inner(a, b)
             return inner(a, b, c)
 
-        if batch:
+        if batch and not tune:
             # pre-build for the announced batch size (dispatch-time work,
-            # reference two-phase contract: dispatch expensive, invoke hot)
+            # reference two-phase contract: dispatch expensive, invoke hot).
+            # Under tune=True the pick stays with pick() at first invocation
+            # so the documented Pallas-vs-XLA microbenchmark actually runs.
             chosen[batch] = _batched_kernel(d, batch, use_pallas=True)[0]
 
         info = KernelInfo(kind="gemm_batched",
@@ -595,6 +597,22 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
     for identical source), so latency-critical users should let the
     dispatch win the compile lottery for them.
     """
+    # validate BEFORE the tune early-return so both paths fail at dispatch
+    # time (an unsupported shape must not dispatch successfully and only
+    # raise on first invocation)
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
+    from ..kernels import gemm_pallas
+    if not gemm_pallas.packed_smm_supported(desc):
+        raise ValueError(f"unsupported for packed SMM: {desc.name()} "
+                         "(need k==n, n|128, f32/bf16, no transposes)")
+    cp = UnaryType(cp_type).name
+    if cp not in gemm_pallas._EPILOGUES:
+        raise ValueError(f"unsupported packed-SMM epilogue: {cp} "
+                         f"(supported: {sorted(gemm_pallas._EPILOGUES)})")
+    if (shape.a_in_type == Datatype.I8
+            and cp not in ("NONE", "IDENTITY", "RELU", "X2")):
+        raise ValueError(f"epilogue {cp} is float-only (int8 kernel)")
+
     if tune and step_groups is None:
         def _tuned_fn(a, b, c=None, _picked={}):
             g = a.shape[0]
@@ -620,19 +638,6 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
             ("batched_packed_tuned", base, UnaryType(cp_type).name),
             lambda _k: Kernel(fn=_tuned_fn, descriptor=base, info=info,
                               name=base.name() + f"_packed{p}_tuned"))
-
-    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
-    from ..kernels import gemm_pallas
-    if not gemm_pallas.packed_smm_supported(desc):
-        raise ValueError(f"unsupported for packed SMM: {desc.name()} "
-                         "(need k==n, n|128, f32/bf16, no transposes)")
-    cp = UnaryType(cp_type).name
-    if cp not in gemm_pallas._EPILOGUES:
-        raise ValueError(f"unsupported packed-SMM epilogue: {cp} "
-                         f"(supported: {sorted(gemm_pallas._EPILOGUES)})")
-    if (shape.a_in_type == Datatype.I8
-            and cp not in ("NONE", "IDENTITY", "RELU", "X2")):
-        raise ValueError(f"epilogue {cp} is float-only (int8 kernel)")
 
     def _build(d):
         import dataclasses as _dc

@@ -71,8 +71,13 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
         call = [x if i == chain_idx else a for i, a in enumerate(args)]
         out = fn(*call)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        zero = (jnp.ravel(leaf)[0] * 0).astype(x.dtype)
-        return x + zero
+        # thread the carry THROUGH an optimization barrier together with the
+        # kernel output: an arithmetic chain (`x + leaf[0]*0`) is
+        # algebraically foldable for integer dtypes (XLA folds int mul-by-0
+        # to a constant and DCEs the kernel), whereas the barrier's carry
+        # output cannot be separated from its kernel-output operand
+        x, _ = jax.lax.optimization_barrier((x, leaf))
+        return x
 
     looped = jax.jit(lambda s: jax.lax.fori_loop(
         0, reps, lambda i, ss: step(ss), s))
