@@ -30,8 +30,9 @@ from .ops.gemm import (brgemm_pack_factor, dgemm, dispatch_brgemm,
                        dispatch_gemm_batched_packed, dispatch_tilecfg_gemm,
                        gemm, pack_batched, sgemm, smm_pack_factor,
                        unpack_batched)
-from .ops.eltwise import (dispatch_meltw_binary, dispatch_meltw_ternary,
-                          dispatch_meltw_unary)
+from .ops.eltwise import (bitmask_ld, dispatch_meltw_binary,
+                          dispatch_meltw_ternary, dispatch_meltw_unary,
+                          pack_bitmask, unpack_bitmask)
 from .ops.equation import (dispatch_meqn, meqn_create, meqn_destroy,
                            meqn_push_back_arg, meqn_push_back_binary_op,
                            meqn_push_back_ternary_op, meqn_push_back_unary_op,

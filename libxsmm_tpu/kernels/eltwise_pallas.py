@@ -136,9 +136,20 @@ def dropout(x, seed, p: float):
 
 
 def dropout_inv(g, mask, p: float):
-    """UNARY_DROPOUT_INV: apply saved keep-mask to the gradient."""
+    """UNARY_DROPOUT_INV: apply the saved keep-mask to the gradient,
+    rescaled by 1/(1-p) (generator_mateltwise_reference_impl.c:2408-2424).
+
+    `mask` is the PACKED bitmask the forward emitted (reference
+    param->in.secondary bit layout); a same-shaped per-element mask is also
+    accepted for convenience."""
+    from ..ops.eltwise import unpack_bitmask
+    m, n = g.shape
+    if mask.shape == g.shape:
+        bits = mask != 0
+    else:
+        bits = unpack_bitmask(mask, m, n)
     scale = 1.0 / (1.0 - p)
-    return jnp.where(mask != 0, g.astype(jnp.float32) * scale, 0.0).astype(g.dtype)
+    return jnp.where(bits, g.astype(jnp.float32) * scale, 0.0).astype(g.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -154,13 +165,21 @@ _INT_RANGE = {
 }
 
 
-def quant(x, scale, out_dtype, *, stochastic: bool = False, seed: int = 0):
-    """UNARY_QUANT (typedefs.h op 42): q = sat(round(x * scale)).
+def quant(x, scale, out_dtype, *, stochastic: bool = False, seed: int = 0,
+          sign_sat: bool = False, skip_scf: bool = False):
+    """UNARY_QUANT (typedefs.h op 42): q = round(x * scale), stored per the
+    reference's flag semantics (generator_mateltwise_reference_impl.c:
+    2197-2258):
+
+      * skip_scf (NO_SCF_QUANT): ignore the scale operand, scf = 1.0;
+      * sign_sat (SIGN_SAT_QUANT): saturate to the target's signed range;
+      * default: C-truncation wraparound — `(char)(0xff & (int)rintf(...))`
+        keeps the LOW BYTES of the rounded integer, it does not clamp.
 
     `scale` may be a scalar or a per-column/row vector (the reference's
-    USE_COL_VEC_SCF pattern). Mirrors libxsmm_lpflt_quant.c rint semantics.
+    USE_COL_VEC_SCF pattern). Rounding is rint (round-half-even).
     """
-    xs = x.astype(jnp.float32) * scale
+    xs = x.astype(jnp.float32) * (1.0 if skip_scf else scale)
     if stochastic:
         key = jax.random.PRNGKey(seed)
         xs = xs + jax.random.uniform(key, xs.shape, jnp.float32) - 0.5
@@ -168,8 +187,14 @@ def quant(x, scale, out_dtype, *, stochastic: bool = False, seed: int = 0):
     else:
         q = jnp.round(xs)  # round-half-even, matching rint()
     import numpy as _np
-    lo, hi = _INT_RANGE[_np.dtype(out_dtype).name]
-    return jnp.clip(q, lo, hi).astype(out_dtype)
+    name = _np.dtype(out_dtype).name
+    if sign_sat or name in ("int32", "uint8", "uint16"):
+        # i32 has no narrower intermediate to wrap through; unsigned
+        # targets keep the legacy clip behavior (no reference path exists)
+        lo, hi = _INT_RANGE[name]
+        return jnp.clip(q, lo, hi).astype(out_dtype)
+    # wraparound: rounded f32 -> i32 -> low bytes (modular astype)
+    return q.astype(jnp.int32).astype(out_dtype)
 
 
 def dequant(q, scale, out_dtype=jnp.float32):
@@ -193,21 +218,45 @@ def run_stateful_unary(desc: MeltwDescriptor, x, *args, **state):
         seed = state.get("seed", 0)
         out, mask = dropout(x, seed, p)
         if desc.flags & UnaryFlags.BITMASK_2BYTEMULT:
-            return out, mask
+            # reference contract: the side output is a PACKED bit matrix
+            # with UPDIV(ldo,16)*16-bit row stride (:2363, :2383-2387)
+            from ..ops.eltwise import pack_bitmask
+            return out, pack_bitmask(mask != 0, two_byte_mult=True)
         return out
     if op == UnaryType.DROPOUT_INV:
         p = state.get("p", desc.extra[0] if desc.extra else 0.5)
         (mask,) = args
         return dropout_inv(x, mask, p)
     if op == UnaryType.QUANT:
-        (scale,) = args if args else (state.get("scale", 1.0),)
+        # MX output dtypes: block-quantized (payload, scales) pairs via the
+        # reference-exact block converters (impl.c:2260-2322 routing)
+        if desc.out_type in (Datatype.MXFP4X2, Datatype.NVFP4X2,
+                             Datatype.MXBF8):
+            from .. import quant as q_
+            f = {Datatype.MXFP4X2: q_.mxfp4_quantize_blocks,
+                 Datatype.NVFP4X2: q_.nvfp4_quantize_blocks,
+                 Datatype.MXBF8: q_.mxbf8_quantize_blocks}[desc.out_type]
+            return f(x.astype(jnp.float32))
+        scale = args[0] if args else state.get("scale", 1.0)
         odt = to_jnp(desc.out_type if desc.out_type != Datatype.IMPLICIT
                      else Datatype.I8)
         return quant(x, scale, odt,
                      stochastic=bool(desc.flags & UnaryFlags.STOCHASTIC_ROUND),
-                     seed=state.get("seed", 0))
+                     seed=state.get("seed", 0),
+                     sign_sat=bool(desc.flags & UnaryFlags.SIGN_SAT_QUANT),
+                     skip_scf=bool(desc.flags & UnaryFlags.NO_SCF_QUANT))
     if op == UnaryType.DEQUANT:
-        (scale,) = args if args else (state.get("scale", 1.0),)
+        if desc.in_type in (Datatype.MXFP4X2, Datatype.NVFP4X2,
+                            Datatype.MXBF8):
+            from .. import quant as q_
+            f = {Datatype.MXFP4X2: q_.mxfp4_dequantize_blocks,
+                 Datatype.NVFP4X2: q_.nvfp4_dequantize_blocks,
+                 Datatype.MXBF8: q_.mxbf8_dequantize_blocks}[desc.in_type]
+            (scales,) = args
+            return f(x, scales)
+        scale = args[0] if args else state.get("scale", 1.0)
+        if desc.flags & UnaryFlags.NO_SCF_QUANT:
+            scale = 1.0
         odt = to_jnp(desc.out_type if desc.out_type != Datatype.IMPLICIT
                      else Datatype.F32)
         return dequant(x, scale, odt)

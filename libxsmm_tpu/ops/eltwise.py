@@ -62,8 +62,12 @@ _UNARY_MATH = {
     UnaryType.X2: lambda x: x * x,
     UnaryType.SQRT: jnp.sqrt,
     UnaryType.RELU: lambda x: jnp.maximum(x, 0),
-    UnaryType.RELU_INV: lambda x: (x > 0).astype(x.dtype),
     UnaryType.TANH: jnp.tanh,
+    # the *_INV entries here are pure input-derivative functions, exactly
+    # like the reference's libxsmm_fp32_unary_compute
+    # (generator_mateltwise_reference_impl.c:92-97: tanh_inv(x)=1-tanh^2(x));
+    # RELU_INV/LEAKY_RELU_INV/ELU_INV are NOT of this kind — they are
+    # gradient kernels taking (grad, saved state) and live in _build_unary
     UnaryType.TANH_INV: lambda x: 1.0 - jnp.tanh(x) ** 2,
     UnaryType.SIGMOID: jax.nn.sigmoid,
     UnaryType.SIGMOID_INV: lambda x: jax.nn.sigmoid(x) * (1 - jax.nn.sigmoid(x)),
@@ -75,12 +79,52 @@ _UNARY_MATH = {
     UnaryType.RECIPROCAL_SQRT: jax.lax.rsqrt,
     UnaryType.EXP: jnp.exp,
     UnaryType.LEAKY_RELU: lambda x, alpha=0.01: jnp.where(x > 0, x, alpha * x),
-    UnaryType.LEAKY_RELU_INV: lambda x, alpha=0.01: jnp.where(
-        x > 0, jnp.ones_like(x), jnp.full_like(x, alpha)),
     UnaryType.ELU: lambda x, alpha=1.0: jnp.where(x > 0, x, alpha * jnp.expm1(x)),
-    UnaryType.ELU_INV: lambda x, alpha=1.0: jnp.where(
-        x > 0, jnp.ones_like(x), alpha * jnp.exp(x)),
 }
+
+# ---------------------------------------------------------------------------
+# packed bitmask layout (reference BITMASK_2BYTEMULT data contract)
+# ---------------------------------------------------------------------------
+
+# Reference relu/dropout masks are packed BIT arrays: bit for element (i,j)
+# lives at byte[j//8 + i*(ld_bits//8)], bit position j%8, where the row
+# stride ld_bits = UPDIV(n,16)*16 under LIBXSMM_MELTW_FLAG_UNARY_BITMASK_
+# 2BYTEMULT, else n (generator_mateltwise_reference_impl.c:151-175 set/
+# extract_bit, :2140-2166 mask_ld; reference is column-major M×N with the
+# bits along contiguous M — this row-major library packs along contiguous n,
+# which is the identical memory layout). CPU-prepared mask buffers
+# round-trip bit-exactly.
+
+
+def bitmask_ld(n: int, two_byte_mult: bool = True) -> int:
+    """Mask row stride in BITS (reference mask_ld,
+    generator_mateltwise_reference_impl.c:2142,2173)."""
+    if two_byte_mult:
+        return ((n + 15) // 16) * 16
+    if n % 8:
+        raise ValueError(f"bitmask without BITMASK_2BYTEMULT needs the row "
+                         f"width to be a byte multiple (n={n}); the "
+                         f"reference's byte addressing assumes ld%8==0")
+    return n
+
+
+def pack_bitmask(mask, two_byte_mult: bool = True):
+    """(m, n) boolean -> (m, bitmask_ld(n)//8) uint8, reference bit layout."""
+    m, n = mask.shape
+    ld = bitmask_ld(n, two_byte_mult)
+    mb = jnp.pad(mask.astype(jnp.uint8), ((0, 0), (0, ld - n)))
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
+    packed = (mb.reshape(m, ld // 8, 8).astype(jnp.uint32) * w).sum(axis=-1)
+    return packed.astype(jnp.uint8)
+
+
+def unpack_bitmask(packed, m: int, n: int):
+    """(m, nbytes) uint8 -> (m, n) bool; stride inferred from the packed
+    width (accepts both the 2BYTEMULT-padded and tight layouts)."""
+    nbytes = packed.shape[-1]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed.reshape(m, nbytes, 1) >> shifts) & jnp.uint8(1)
+    return bits.reshape(m, nbytes * 8)[:, :n] != 0
 
 def _trunc_f32_to_bf16_f32(x):
     """f32 value truncated to a bf16-representable value, kept in f32 —
@@ -178,10 +222,14 @@ def _bcast_in(x, m, n, row, col, scalar):
 
 
 def apply_unary_op(op: UnaryType, flags: UnaryFlags, x, **state):
-    """Apply a unary TPP to an array (traced context OK)."""
+    """Apply a unary TPP to an array (traced context OK). `alpha` in state
+    feeds LEAKY_RELU/ELU (the reference's runtime op.primary param)."""
     if op in _UNARY_MATH:
         f32 = x.astype(jnp.float32) if x.dtype in (jnp.bfloat16, jnp.float16) else x
-        y = _UNARY_MATH[op](f32)
+        if op in (UnaryType.LEAKY_RELU, UnaryType.ELU) and "alpha" in state:
+            y = _UNARY_MATH[op](f32, state["alpha"])
+        else:
+            y = _UNARY_MATH[op](f32)
         return y.astype(x.dtype)
     if op in _REDUCE_OPS:
         kind, squared = _REDUCE_OPS[op]
@@ -307,6 +355,51 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
 
     def base(x, *args, **state):
         xb = _bcast_unary(x, flags, m, n)
+        two_byte = bool(flags & UnaryFlags.BITMASK_2BYTEMULT)
+
+        # activation forwards with runtime alpha + optional packed bitmask
+        # side output (generator_mateltwise_reference_impl.c:2140-2166:
+        # alpha = *(float*)param->op.primary, mask bit = in > 0)
+        if op in (UnaryType.RELU, UnaryType.LEAKY_RELU, UnaryType.ELU):
+            alpha = state.get(
+                "alpha", args[0] if args
+                else (0.01 if op == UnaryType.LEAKY_RELU else 1.0))
+            y = apply_unary_op(op, flags, xb.astype(comp), alpha=alpha)
+            out = _out_cast(y, desc.out_type, x.dtype)
+            if two_byte:
+                return out, pack_bitmask(xb > 0, two_byte_mult=True)
+            return out
+
+        # gradient kernels: kernel(grad, saved_state[, alpha])
+        # (generator_mateltwise_reference_impl.c:2168-2195)
+        if op in (UnaryType.RELU_INV, UnaryType.LEAKY_RELU_INV):
+            # saved forward bitmask from param->in.secondary; grad passes
+            # where the bit is set, else 0 (relu) / alpha*grad (leaky)
+            if not args:
+                raise ValueError(f"{op.name} needs the saved relu bitmask: "
+                                 "kernel(grad, mask[, alpha])")
+            mask = args[0]
+            bits = unpack_bitmask(mask, m, n)
+            g = xb.astype(comp)
+            if op == UnaryType.RELU_INV:
+                y = jnp.where(bits, g, jnp.zeros_like(g))
+            else:
+                alpha = state.get("alpha",
+                                  args[1] if len(args) > 1 else 0.01)
+                y = jnp.where(bits, g, alpha * g)
+            return _out_cast(y, desc.out_type, x.dtype)
+        if op == UnaryType.ELU_INV:
+            # saved forward OUTPUT from param->in.secondary:
+            # out = out_fwd > 0 ? grad : grad * (out_fwd + alpha)
+            if not args:
+                raise ValueError("ELU_INV needs the saved forward output: "
+                                 "kernel(grad, out_fwd[, alpha])")
+            out_fwd = args[0].astype(comp)
+            alpha = state.get("alpha", args[1] if len(args) > 1 else 1.0)
+            g = xb.astype(comp)
+            y = jnp.where(out_fwd > 0, g, g * (out_fwd + alpha))
+            return _out_cast(y, desc.out_type, x.dtype)
+
         if op in _UNARY_MATH or op in _REDUCE_OPS or op in (
                 UnaryType.REDUCE_TO_SCALAR_OP_ADD,):
             y = apply_unary_op(op, flags, xb.astype(comp))

@@ -53,15 +53,114 @@ from .eltwise import apply_binary_op, apply_unary_op
 _INT_IN = (Datatype.I8, Datatype.U8, Datatype.I16, Datatype.U16,
            Datatype.I32, Datatype.U32)
 
+# packed GEMM storage dtypes (typedefs.h:218-246 gating,
+# generator_gemm.c:41-57, 272-296): MX microscaling floats arrive as
+# (payload, scales) pairs; sub-byte ints as packed uint8 payloads
+_MX_FLOAT = (Datatype.MXFP4X2, Datatype.NVFP4X2, Datatype.MXBF8,
+             Datatype.MXBF6, Datatype.MXHF6)
+_INT_SUB = (Datatype.I4X2, Datatype.U4X2, Datatype.I2X4, Datatype.I1X8)
+
 
 def _comp_dtype(shape: GemmShape):
     if shape.comp_type == Datatype.F64:
         return jnp.float64
-    if shape.a_in_type in _INT_IN and shape.out_type in _INT_IN:
+    if ((shape.a_in_type in _INT_IN or shape.a_in_type in _INT_SUB)
+            and shape.out_type in _INT_IN):
         # integer GEMM accumulates in i32 on the MXU (the reference's
         # i8->i32 contract, generator_gemm.c dtype gating)
         return jnp.int32
     return jnp.float32
+
+
+def _mx_decode(dt: Datatype, payload, scales):
+    """Decode an MX (payload, scales) pair along the LAST axis -> f32."""
+    from .. import quant as q_
+    if dt == Datatype.MXFP4X2:
+        return q_.mxfp4_dequantize_blocks(payload, scales)
+    if dt == Datatype.NVFP4X2:
+        return q_.nvfp4_dequantize_blocks(payload, scales)
+    if dt == Datatype.MXBF8:
+        return q_.mxbf8_dequantize_blocks(payload, scales)
+    if dt == Datatype.MXBF6:
+        return q_.mxfp6_dequantize_blocks(payload, scales, "e3m2")
+    if dt == Datatype.MXHF6:
+        return q_.mxfp6_dequantize_blocks(payload, scales, "e2m3")
+    raise ValueError(dt)
+
+
+def _validate_packed_combo(shape: GemmShape, flags: GemmFlags) -> None:
+    """Dtype gating for MX/sub-byte GEMMs, mirroring the reference's
+    generator_gemm.c:272-296 (MX x MX -> F32 comp) and :41-57, 472-488
+    (sub-byte A with I8/U8 or F16 B). Transposes are rejected: packed
+    payloads are k-contiguous by contract (the reference requires VNNI_A
+    for these dtypes for the same reason; the flag is accepted and means
+    'packed along k', which is this library's canonical layout)."""
+    a, b, o = shape.a_in_type, shape.b_in_type, shape.out_type
+    if flags & (GemmFlags.TRANS_A | GemmFlags.TRANS_B):
+        raise ValueError("transposes are unsupported for packed MX/sub-byte "
+                         "GEMM operands (k-contiguous payload contract)")
+    if a in _MX_FLOAT or b in _MX_FLOAT:
+        if b not in _MX_FLOAT + (Datatype.BF16, Datatype.F16, Datatype.F32):
+            raise ValueError(f"MX GEMM needs an MX or native-float B "
+                             f"operand (got {b})")
+        if a not in _MX_FLOAT + (Datatype.BF16, Datatype.F16, Datatype.F32):
+            raise ValueError(f"MX GEMM needs an MX or native-float A "
+                             f"operand (got {a})")
+        if o not in (Datatype.F32, Datatype.BF16, Datatype.F16):
+            raise ValueError(f"MX GEMM output must be F32/BF16/F16 (got {o};"
+                             " requantize via UNARY_QUANT if MX storage is"
+                             " needed)")
+        return
+    if a in _INT_SUB:
+        if a in (Datatype.I4X2, Datatype.U4X2) and b == Datatype.F16:
+            if o not in (Datatype.F16, Datatype.F32):
+                raise ValueError("i4 x f16 GEMM outputs F16/F32")
+            return
+        ok_b = ((Datatype.I8, Datatype.U8) if a != Datatype.I1X8
+                else (Datatype.I8,))
+        if b not in ok_b:
+            raise ValueError(f"{a} GEMM needs B in {ok_b} (got {b}); "
+                             "reference gating generator_gemm.c:472-488")
+        if o not in (Datatype.I32,):
+            raise ValueError(f"{a} x {b} GEMM accumulates to I32 (got {o})")
+        return
+    raise ValueError(f"unsupported packed combo a={a} b={b}")
+
+
+def _packed_operand_decoders(shape: GemmShape):
+    """Return (decode_a, decode_b) callables (identity for native dtypes).
+
+    Payload layouts (row-major; packing always along k):
+      A: payload (..., m, k/pack) [+ scales (..., m, k/32) for MX]
+      B: payload (..., k/pack, n) [+ scales (..., k/32, n) for MX]
+    MX values decode exactly into bf16 (grid x power-of-two scale carries
+    <= 8 significand bits), so the matmul runs at native bf16 MXU speed —
+    the TPU-native reading of the reference's dequant-in-microkernel MX
+    paths (generator_gemm_reference_impl.c:200-240)."""
+    from .. import quant as q_
+
+    def _decode(dt, operand, is_b):
+        if dt in _MX_FLOAT:
+            payload, scales = operand
+            if is_b:
+                payload = jnp.swapaxes(payload, -1, -2)
+                scales = jnp.swapaxes(scales, -1, -2)
+            dec = _mx_decode(dt, payload, scales).astype(jnp.bfloat16)
+            return jnp.swapaxes(dec, -1, -2) if is_b else dec
+        if dt in _INT_SUB:
+            p = jnp.swapaxes(operand, -1, -2) if is_b else operand
+            dec = q_.unpack_subbyte_gemm(dt, p)
+            if shape.b_in_type == Datatype.F16:
+                dec = dec.astype(jnp.float16)
+            return jnp.swapaxes(dec, -1, -2) if is_b else dec
+        return operand
+
+    a_dt, b_dt = shape.a_in_type, shape.b_in_type
+    decode_a = ((lambda a: _decode(a_dt, a, False))
+                if a_dt in _MX_FLOAT + _INT_SUB else (lambda a: a))
+    decode_b = ((lambda b: _decode(b_dt, b, True))
+                if b_dt in _MX_FLOAT + _INT_SUB else (lambda b: b))
+    return decode_a, decode_b
 
 
 def matmul_precision(shape: GemmShape):
@@ -130,10 +229,14 @@ def _gemm_core(desc: GemmDescriptor, a, b, c=None,
     # VNNI_A/VNNI_B are functional layout contracts (not no-ops): the
     # operand arrives packed as TRANSFORM_NORM_TO_VNNIk produced it, and is
     # unpacked to NORM before the contraction (applied before transposes,
-    # matching the reference's "VNNI then trans" ordering).
-    if desc.flags & GemmFlags.VNNI_A:
+    # matching the reference's "VNNI then trans" ordering). For MX/sub-byte
+    # storage the flag means "packed along k" (the reference mandates
+    # VNNI_A there) — operands were already decoded to NORM upstream.
+    if desc.flags & GemmFlags.VNNI_A and shape.a_in_type not in (
+            _MX_FLOAT + _INT_SUB):
         a = _undo_vnni(a, shape.a_in_type)
-    if desc.flags & GemmFlags.VNNI_B:
+    if desc.flags & GemmFlags.VNNI_B and shape.b_in_type not in (
+            _MX_FLOAT + _INT_SUB):
         b = _undo_vnni(b, shape.b_in_type)
 
     if br_type == BatchReduceType.NONE:
@@ -177,8 +280,15 @@ def _ensure_x64(shape: GemmShape) -> None:
 
 def _build_gemm(desc: GemmDescriptor) -> Kernel:
     shape = desc.shape
-    for dt in (shape.a_in_type, shape.b_in_type, shape.out_type):
-        to_jnp(dt)  # raises for unsupported storage types
+    packed = (shape.a_in_type in _MX_FLOAT + _INT_SUB
+              or shape.b_in_type in _MX_FLOAT + _INT_SUB)
+    if packed:
+        _validate_packed_combo(shape, desc.flags)
+        decode_a, decode_b = _packed_operand_decoders(shape)
+    else:
+        for dt in (shape.a_in_type, shape.b_in_type, shape.out_type):
+            to_jnp(dt)  # raises for unsupported storage types
+        decode_a = decode_b = lambda x: x
     _ensure_x64(shape)
 
     beta0 = desc.beta == 0
@@ -187,7 +297,7 @@ def _build_gemm(desc: GemmDescriptor) -> Kernel:
 
     @jax.named_scope(desc.name())
     def run(a, b, c=None, a_idx=None, b_idx=None):
-        acc = _gemm_core(desc, a, b, c, a_idx, b_idx)
+        acc = _gemm_core(desc, decode_a(a), decode_b(b), c, a_idx, b_idx)
         return _finalize_out(acc, shape, desc.flags)
 
     if beta0:
@@ -276,9 +386,11 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
             return out
         if argops.cp_type != UnaryType.NONE:
             if argops.cp_type == UnaryType.RELU and cp_bitmask:
-                # relu with bitmask output: the mask is an extra result
-                # (the reference writes a packed bitmask side buffer)
-                extra["cp_bitmask"] = (acc > 0)
+                # relu with bitmask output: the mask is an extra result in
+                # the reference's PACKED bit layout (UPDIV(ld,16)*16-bit
+                # row stride), consumable by RELU_INV
+                from .eltwise import pack_bitmask
+                extra["cp_bitmask"] = pack_bitmask(acc > 0)
             acc = apply_unary_op(argops.cp_type, argops.cp_flags, acc)
         out = _finalize_out(acc, shape, base.flags)
         if extra:

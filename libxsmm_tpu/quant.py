@@ -179,6 +179,287 @@ def mx_dequantize(q, scales_e, block: int = MX_BLOCK):
 
 
 # ---------------------------------------------------------------------------
+# reference-exact MX block quantizers (UNARY_QUANT MX output dtypes):
+# bit-faithful ports of libxsmm_ref_fp32_to_{mxfp4,nvfp4,mxfp8}_block
+# (/root/reference/src/generator_mateltwise_reference_impl.c:1896-2076),
+# blocked along the LAST axis. Payload/scale layouts match the reference's
+# storage contract (MXFP4X2/NVFP4X2: two 4-bit codes per byte; E8M0 or HF8
+# scale byte per block).
+# ---------------------------------------------------------------------------
+
+# E2M1 magnitude grid (code 0..7)
+_E2M1_GRID = np.asarray([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
+
+
+def encode_e2m1(absval):
+    """libxsmm_ref_encode_e2m1_abs: RNE onto the E2M1 grid with the
+    reference's exact tie directions (impl.c:1870-1882); NaN -> 0x7."""
+    a = jnp.asarray(absval, jnp.float32)
+    code = ((a > 0.25).astype(jnp.int32) + (a >= 0.75) + (a > 1.25)
+            + (a >= 1.75) + (a > 2.5) + (a >= 3.5) + (a > 5.0))
+    return jnp.where(jnp.isnan(a), 7, code).astype(jnp.int32)
+
+
+def _pack_codes_pairwise(code):
+    """4-bit codes -> bytes, even element in the LOW nibble (:1941)."""
+    lo = code[..., 0::2]
+    hi = code[..., 1::2]
+    return ((hi << 4) | lo).astype(jnp.uint8)
+
+
+def _e8m0_shared_scale(x_blocks, elem_emax: int):
+    """Shared E8M0 exponent per block: biased exponent of amax minus the
+    element format's emax, clamped to [0, 254] (:1906-1925). Returns
+    (scale_f32, scale_code_u8); Inf/NaN amax handling is the caller's."""
+    amax = jnp.max(jnp.abs(x_blocks), axis=-1, keepdims=True)
+    bits = jax.lax.bitcast_convert_type(amax, jnp.uint32)
+    shared = ((bits >> 23) & 0xFF).astype(jnp.int32) - elem_emax
+    shared = jnp.clip(shared, 0, 254)
+    mant = jnp.where(shared == 0, jnp.uint32(1 << 22), jnp.uint32(0))
+    scale = jax.lax.bitcast_convert_type(
+        (shared.astype(jnp.uint32) << 23) | mant, jnp.float32)
+    return scale, shared.astype(jnp.uint8)
+
+
+def mxfp4_quantize_blocks(x):
+    """f32 -> MXFP4X2: (payload u8 (..., n/2), scales_e8m0 u8 (..., n/32)).
+
+    Port of libxsmm_ref_fp32_to_mxfp4_block (impl.c:1898-1946): E2M1
+    elements, blocksize 32, E8M0 scale offset by elem_emax=2; the sign
+    nibble bit comes from the INPUT's sign bit (preserves -0)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if n % MX_BLOCK:
+        raise ValueError(f"last dim {n} not divisible by {MX_BLOCK}")
+    xb = x.reshape(*x.shape[:-1], n // MX_BLOCK, MX_BLOCK)
+    scale, scode = _e8m0_shared_scale(xb, elem_emax=2)
+    sign = ((jax.lax.bitcast_convert_type(xb, jnp.uint32) >> 31)
+            .astype(jnp.int32) << 3)
+    code = sign | encode_e2m1(jnp.abs(xb / scale))
+    packed = _pack_codes_pairwise(code).reshape(*x.shape[:-1], n // 2)
+    return packed, scode.squeeze(-1).reshape(*x.shape[:-1], n // MX_BLOCK)
+
+
+def mxfp4_dequantize_blocks(packed, scales):
+    """Inverse storage transform of mxfp4_quantize_blocks -> f32."""
+    p = jnp.asarray(packed, jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    code = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
+                                                p.shape[-1] * 2)
+    mag = jnp.asarray(_E2M1_GRID)[code & 0x7]
+    val = jnp.where((code >> 3) & 1 == 1, -mag, mag)
+    n = val.shape[-1]
+    vb = val.reshape(*val.shape[:-1], n // MX_BLOCK, MX_BLOCK)
+    e = scales.astype(jnp.int32)
+    scale = jnp.where(e == 0, jnp.float32(2.0) ** -127,
+                      jnp.exp2((e - 127).astype(jnp.float32)))
+    return (vb * scale[..., None]).reshape(val.shape)
+
+
+NVFP4_BLOCK = 16
+
+
+def nvfp4_quantize_blocks(x):
+    """f32 -> NVFP4X2: (payload u8 (..., n/2), scales_hf8 u8 (..., n/16)).
+
+    Port of libxsmm_ref_fp32_to_nvfp4_block (impl.c:1951-2012): E2M1
+    elements, blocksize 16, E4M3 (HF8) scale = hf8(bf16(bf16(amax)/6));
+    elements scaled by the BF16 reciprocal of the decoded scale."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if n % NVFP4_BLOCK:
+        raise ValueError(f"last dim {n} not divisible by {NVFP4_BLOCK}")
+    xb = x.reshape(*x.shape[:-1], n // NVFP4_BLOCK, NVFP4_BLOCK)
+    amax = jnp.max(jnp.abs(xb), axis=-1, keepdims=True)
+    rcp6 = jax.lax.bitcast_convert_type(jnp.uint32(0x3E2A0000),
+                                        jnp.float32)  # bf16(1/6)
+    raw = (amax.astype(jnp.bfloat16).astype(jnp.float32)
+           * rcp6).astype(jnp.bfloat16).astype(jnp.float32)
+    scale_hf8 = raw.astype(jnp.float8_e4m3fn)
+    scale_f = scale_hf8.astype(jnp.float32)
+    scale_code = jax.lax.bitcast_convert_type(scale_hf8, jnp.uint8)
+    scale_code = jnp.where(amax == 0.0, jnp.uint8(0), scale_code)
+    rcp = (1.0 / jnp.where(scale_f == 0.0, 1.0,
+                           scale_f.astype(jnp.bfloat16).astype(jnp.float32)))
+    rcp = rcp.astype(jnp.bfloat16).astype(jnp.float32)
+    v = (xb * rcp).astype(jnp.bfloat16).astype(jnp.float32)
+    sign = ((jax.lax.bitcast_convert_type(xb, jnp.uint32) >> 31)
+            .astype(jnp.int32) << 3)
+    code = sign | encode_e2m1(jnp.abs(v))
+    code = jnp.where(scale_f == 0.0, 0, code)
+    packed = _pack_codes_pairwise(code).reshape(*x.shape[:-1], n // 2)
+    return packed, scale_code.squeeze(-1).reshape(*x.shape[:-1],
+                                                  n // NVFP4_BLOCK)
+
+
+def nvfp4_dequantize_blocks(packed, scales):
+    p = jnp.asarray(packed, jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    code = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
+                                                p.shape[-1] * 2)
+    mag = jnp.asarray(_E2M1_GRID)[code & 0x7]
+    val = jnp.where((code >> 3) & 1 == 1, -mag, mag)
+    n = val.shape[-1]
+    vb = val.reshape(*val.shape[:-1], n // NVFP4_BLOCK, NVFP4_BLOCK)
+    scale = jax.lax.bitcast_convert_type(
+        scales.astype(jnp.uint8), jnp.float8_e4m3fn).astype(jnp.float32)
+    return (vb * scale[..., None]).reshape(val.shape)
+
+
+def mxbf8_quantize_blocks(x):
+    """f32 -> MXBF8: (payload bf8 (..., n), scales_e8m0 u8 (..., n/32)).
+
+    Port of libxsmm_ref_fp32_to_mxfp8_block (impl.c:2017-2076): E5M2 (BF8)
+    elements via the reference's RNE f32->bf8, blocksize 32, E8M0 scale
+    offset by elem_emax=15."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if n % MX_BLOCK:
+        raise ValueError(f"last dim {n} not divisible by {MX_BLOCK}")
+    xb = x.reshape(*x.shape[:-1], n // MX_BLOCK, MX_BLOCK)
+    scale, scode = _e8m0_shared_scale(xb, elem_emax=15)
+    q = rne_convert_fp32_bf8(xb / scale).reshape(x.shape)
+    return q, scode.squeeze(-1).reshape(*x.shape[:-1], n // MX_BLOCK)
+
+
+_FP6_PARAMS = {
+    # (exp_bits, mant_bits); bias = 2^(e-1)-1. Naming follows the
+    # reference's BF (exponent-heavy) / HF (mantissa-heavy) convention:
+    # BF6 = E3M2, HF6 = E2M3 (LUT converters
+    # generator_gemm_reference_impl.c:73-97 fp6_e2m3/e3m2 -> hf8).
+    "e2m3": (2, 3),
+    "e3m2": (3, 2),
+}
+
+
+def fp6_decode(codes, fmt: str = "e3m2"):
+    """6-bit code (sign<<5 | exp<<m | mant, one code per byte) -> f32."""
+    e_bits, m_bits = _FP6_PARAMS[fmt]
+    bias = 2 ** (e_bits - 1) - 1
+    c = jnp.asarray(codes, jnp.int32)
+    e = (c >> m_bits) & (2 ** e_bits - 1)
+    m = c & (2 ** m_bits - 1)
+    frac = m.astype(jnp.float32) / (2 ** m_bits)
+    mag = jnp.where(e == 0,
+                    frac * 2.0 ** (1 - bias),
+                    (1.0 + frac) * jnp.exp2((e - bias).astype(jnp.float32)))
+    return jnp.where((c >> (e_bits + m_bits)) & 1 == 1, -mag, mag)
+
+
+def fp6_encode(x, fmt: str = "e3m2"):
+    """f32 -> nearest 6-bit code (RNE onto the format grid, one per byte)."""
+    e_bits, m_bits = _FP6_PARAMS[fmt]
+    grid = _format_grid("mxfp6_" + fmt)
+    g = jnp.asarray(grid, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    mag = jnp.clip(jnp.abs(x), 0.0, float(grid[-1]))
+    idx = jnp.argmin(jnp.abs(mag[..., None] - g[None]), axis=-1)
+    # grid index -> (e, m) code: index i of the sorted unique grid equals
+    # the natural code order for these formats (subnormals then normals)
+    code = idx.astype(jnp.int32)
+    sign = (jax.lax.bitcast_convert_type(x, jnp.uint32) >> 31).astype(
+        jnp.int32) << (e_bits + m_bits)
+    return (sign | code).astype(jnp.uint8)
+
+
+_FP6_EMAX = {"e2m3": 2, "e3m2": 4}   # floor(log2(grid max)): 7.5 / 28
+
+
+def mxfp6_quantize_blocks(x, fmt: str = "e3m2"):
+    """f32 -> MXBF6/MXHF6: (codes u8 (..., n), scales_e8m0 u8 (..., n/32)).
+
+    E8M0 shared scale per 32-block in the mxfp4/mxfp8 pattern
+    (generator_mateltwise_reference_impl.c:1906-1925) with the format's
+    elem_emax; elements stored one 6-bit code per byte (the reference's
+    3-bytes-per-4-values bit packing is an ISA storage detail that does
+    not port — XLA owns layout; documented in docs/PARITY.md)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    if n % MX_BLOCK:
+        raise ValueError(f"last dim {n} not divisible by {MX_BLOCK}")
+    xb = x.reshape(*x.shape[:-1], n // MX_BLOCK, MX_BLOCK)
+    scale, scode = _e8m0_shared_scale(xb, elem_emax=_FP6_EMAX[fmt])
+    codes = fp6_encode(xb / scale, fmt).reshape(x.shape)
+    return codes, scode.squeeze(-1).reshape(*x.shape[:-1], n // MX_BLOCK)
+
+
+def mxfp6_dequantize_blocks(codes, scales, fmt: str = "e3m2"):
+    v = fp6_decode(codes, fmt)
+    n = v.shape[-1]
+    vb = v.reshape(*v.shape[:-1], n // MX_BLOCK, MX_BLOCK)
+    e = scales.astype(jnp.int32)
+    scale = jnp.where(e == 0, jnp.float32(2.0) ** -127,
+                      jnp.exp2((e - 127).astype(jnp.float32)))
+    return (vb * scale[..., None]).reshape(v.shape)
+
+
+def unpack_subbyte_gemm(dt, packed):
+    """Decode a packed sub-byte integer GEMM operand along the LAST axis.
+
+    Value semantics follow the reference GEMM impl exactly:
+      * I4X2: two sign-extended nibbles per byte, low nibble first
+        (generator_gemm_reference_impl.c Ai4 paths);
+      * U4X2: unsigned nibbles;
+      * I2X4: four 2-bit TERNARY codes {0:0, 1:+1, 2:-1, 3:-1}
+        (unpack2bit, impl.c:19-56);
+      * I1X8: eight 1-bit BINARY codes {0:+1, 1:-1} (impl.c:1199-1223).
+    Returns int8 with last dim expanded by the pack factor."""
+    from .dtypes import Datatype
+    p = jnp.asarray(packed, jnp.int32) & 0xFF
+    if dt in (Datatype.I4X2, Datatype.U4X2):
+        lo = p & 0xF
+        hi = (p >> 4) & 0xF
+        if dt == Datatype.I4X2:
+            lo = jnp.where(lo >= 8, lo - 16, lo)
+            hi = jnp.where(hi >= 8, hi - 16, hi)
+        out = jnp.stack([lo, hi], axis=-1)
+    elif dt == Datatype.I2X4:
+        codes = jnp.stack([(p >> (2 * i)) & 0x3 for i in range(4)], axis=-1)
+        lut = jnp.asarray([0, 1, -1, -1], jnp.int32)
+        out = lut[codes]
+    elif dt == Datatype.I1X8:
+        bits = jnp.stack([(p >> i) & 1 for i in range(8)], axis=-1)
+        out = jnp.where(bits == 0, 1, -1)
+    else:
+        raise ValueError(f"not a packed sub-byte integer type: {dt}")
+    return out.reshape(*packed.shape[:-1], -1).astype(jnp.int8)
+
+
+def pack_subbyte_gemm(dt, values):
+    """Inverse of unpack_subbyte_gemm for building operands (I4X2/U4X2
+    exact; I2X4/I1X8 encode by value match: 0/±1 for I2X4, ±1 for I1X8)."""
+    from .dtypes import Datatype
+    v = jnp.asarray(values, jnp.int32)
+    if dt in (Datatype.I4X2, Datatype.U4X2):
+        pairs = v.reshape(*v.shape[:-1], v.shape[-1] // 2, 2) & 0xF
+        return ((pairs[..., 1] << 4) | pairs[..., 0]).astype(jnp.uint8)
+    if dt == Datatype.I2X4:
+        code = jnp.where(v == 0, 0, jnp.where(v > 0, 1, 2))
+        quads = code.reshape(*v.shape[:-1], v.shape[-1] // 4, 4)
+        out = (quads[..., 0] | (quads[..., 1] << 2) | (quads[..., 2] << 4)
+               | (quads[..., 3] << 6))
+        return out.astype(jnp.uint8)
+    if dt == Datatype.I1X8:
+        bit = jnp.where(v > 0, 0, 1)
+        octs = bit.reshape(*v.shape[:-1], v.shape[-1] // 8, 8)
+        out = sum((octs[..., i] << i) for i in range(8))
+        return out.astype(jnp.uint8)
+    raise ValueError(f"not a packed sub-byte integer type: {dt}")
+
+
+def mxbf8_dequantize_blocks(payload, scales):
+    v = jnp.asarray(payload).astype(jnp.float32)
+    n = v.shape[-1]
+    vb = v.reshape(*v.shape[:-1], n // MX_BLOCK, MX_BLOCK)
+    e = scales.astype(jnp.int32)
+    scale = jnp.where(e == 0, jnp.float32(2.0) ** -127,
+                      jnp.exp2((e - 127).astype(jnp.float32)))
+    return (vb * scale[..., None]).reshape(v.shape)
+
+
+# ---------------------------------------------------------------------------
 # sub-byte packing (I4X2 / MXFP4X2 storage parity, typedefs.h:236-241)
 # ---------------------------------------------------------------------------
 

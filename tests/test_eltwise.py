@@ -191,24 +191,221 @@ def test_unzip_zip_roundtrip():
     check(x, np.asarray(z(lo, hi)))
 
 
+def _np_pack_bitmask(mask, two_byte_mult=True):
+    """Independent NumPy oracle of the reference bit layout
+    (generator_mateltwise_reference_impl.c:151-175 set/extract_bit with
+    mask_ld = UPDIV(ld,16)*16): bit (i,j) -> byte[j//8 + i*ld/8], 1<<(j%8)."""
+    m, n = mask.shape
+    ld = ((n + 15) // 16) * 16 if two_byte_mult else n
+    out = np.zeros((m, ld // 8), np.uint8)
+    for i in range(m):
+        for j in range(n):
+            if mask[i, j]:
+                out[i, j // 8] |= np.uint8(1 << (j % 8))
+    return out
+
+
 def test_dropout_and_inv():
     m, n = 64, 64
     x = np.abs(_rand((m, n))) + 1.0
     p = 0.3
     kern = xt.dispatch_meltw_unary(UnaryType.DROPOUT, m, n,
                                    UnaryFlags.BITMASK_2BYTEMULT, extra=(p,))
-    out, mask = kern(x, seed=3)
-    out, mask = np.asarray(out), np.asarray(mask)
+    out, pmask = kern(x, seed=3)
+    out, pmask = np.asarray(out), np.asarray(pmask)
+    # side output is the PACKED reference bit layout
+    assert pmask.shape == (m, ((n + 15) // 16) * 16 // 8)
+    mask = np.asarray(xt.unpack_bitmask(pmask, m, n))
+    np.testing.assert_array_equal(_np_pack_bitmask(mask), pmask)
     frac = mask.mean()
     assert 0.6 < frac < 0.8          # keep-rate ~ 1-p
-    np.testing.assert_allclose(out[mask != 0],
-                               x[mask != 0] / (1 - p), rtol=1e-6)
-    assert np.all(out[mask == 0] == 0)
-    inv = xt.dispatch_meltw_unary(UnaryType.DROPOUT_INV, m, n, extra=(p,))
+    np.testing.assert_allclose(out[mask], x[mask] / (1 - p), rtol=1e-6)
+    assert np.all(out[~mask] == 0)
+    inv = xt.dispatch_meltw_unary(UnaryType.DROPOUT_INV, m, n,
+                                  UnaryFlags.BITMASK_2BYTEMULT, extra=(p,))
     g = _rand((m, n))
-    giv = np.asarray(inv(g, mask))
-    np.testing.assert_allclose(giv[mask != 0], g[mask != 0] / (1 - p),
-                               rtol=1e-6)
+    giv = np.asarray(inv(g, pmask))
+    np.testing.assert_allclose(giv[mask], g[mask] / (1 - p), rtol=1e-6)
+    assert np.all(giv[~mask] == 0)
+
+
+def test_relu_bitmask_roundtrip():
+    """RELU fwd emits the packed mask; RELU_INV consumes it
+    (generator_mateltwise_reference_impl.c:2140-2195)."""
+    m, n = 24, 40                     # n not a multiple of 16: pad to 48 bits
+    x = _rand((m, n))
+    fwd = xt.dispatch_meltw_unary(UnaryType.RELU, m, n,
+                                  UnaryFlags.BITMASK_2BYTEMULT)
+    out, pmask = fwd(x)
+    out, pmask = np.asarray(out), np.asarray(pmask)
+    np.testing.assert_allclose(out, np.maximum(x, 0), rtol=1e-6)
+    np.testing.assert_array_equal(_np_pack_bitmask(x > 0), pmask)
+    g = _rand((m, n))
+    inv = xt.dispatch_meltw_unary(UnaryType.RELU_INV, m, n,
+                                  UnaryFlags.BITMASK_2BYTEMULT)
+    giv = np.asarray(inv(g, pmask))
+    np.testing.assert_allclose(giv, np.where(x > 0, g, 0.0), rtol=1e-6)
+
+
+def test_leaky_relu_runtime_alpha():
+    m, n = 16, 32
+    x = _rand((m, n))
+    for alpha in (0.01, 0.2, 0.7):
+        fwd = xt.dispatch_meltw_unary(UnaryType.LEAKY_RELU, m, n,
+                                      UnaryFlags.BITMASK_2BYTEMULT)
+        out, pmask = fwd(x, alpha=alpha)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.where(x > 0, x, alpha * x), rtol=1e-5)
+        inv = xt.dispatch_meltw_unary(UnaryType.LEAKY_RELU_INV, m, n,
+                                      UnaryFlags.BITMASK_2BYTEMULT)
+        g = _rand((m, n))
+        giv = np.asarray(inv(g, np.asarray(pmask), alpha=alpha))
+        np.testing.assert_allclose(giv, np.where(x > 0, g, alpha * g),
+                                   rtol=1e-5)
+
+
+def test_elu_inv_reference_semantics():
+    """ELU_INV takes (grad, saved forward OUTPUT, alpha): out = out_fwd > 0
+    ? grad : grad * (out_fwd + alpha) (impl.c:2186-2189)."""
+    m, n = 16, 32
+    x = _rand((m, n))
+    alpha = 1.3
+    fwd = xt.dispatch_meltw_unary(UnaryType.ELU, m, n)
+    out_fwd = np.asarray(fwd(x, alpha=alpha))
+    np.testing.assert_allclose(out_fwd,
+                               np.where(x > 0, x, alpha * np.expm1(x)),
+                               rtol=1e-5)
+    inv = xt.dispatch_meltw_unary(UnaryType.ELU_INV, m, n)
+    g = _rand((m, n))
+    giv = np.asarray(inv(g, out_fwd, alpha=alpha))
+    want = np.where(out_fwd > 0, g, g * (out_fwd + alpha))
+    np.testing.assert_allclose(giv, want, rtol=1e-5)
+    # and the identity that makes it the elu gradient: out_fwd + alpha
+    # == alpha*exp(x) for x <= 0
+    np.testing.assert_allclose(giv[x <= 0], (g * alpha * np.exp(x))[x <= 0],
+                               rtol=1e-4)
+
+
+def test_quant_flag_parity():
+    """NO_SCF_QUANT / SIGN_SAT_QUANT / wraparound semantics
+    (impl.c:2197-2258)."""
+    m, n = 8, 16
+    x = (_rand((m, n)) * 300.0).astype(np.float32)   # overflows i8
+    scale = 1.0
+    rint = np.round(x * scale)
+    # default: wraparound low byte, (char)(0xff & (int)rint)
+    q = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n, out_type=Datatype.I8)
+    np.testing.assert_array_equal(np.asarray(q(x, scale)),
+                                  rint.astype(np.int32).astype(np.int8))
+    # SIGN_SAT: clamp [-128, 127]
+    qs = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n,
+                                 UnaryFlags.SIGN_SAT_QUANT,
+                                 out_type=Datatype.I8)
+    np.testing.assert_array_equal(
+        np.asarray(qs(x, scale)),
+        np.clip(rint, -128, 127).astype(np.int8))
+    # NO_SCF: the scale operand is ignored (scf = 1)
+    qn = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n,
+                                 UnaryFlags.NO_SCF_QUANT
+                                 | UnaryFlags.SIGN_SAT_QUANT,
+                                 out_type=Datatype.I8)
+    np.testing.assert_array_equal(np.asarray(qn(x, 1000.0)),
+                                  np.clip(np.round(x), -128, 127)
+                                  .astype(np.int8))
+
+
+def _np_encode_e2m1(a):
+    """NumPy port of libxsmm_ref_encode_e2m1_abs (impl.c:1870-1882)."""
+    code = ((a > 0.25).astype(np.int32) + (a >= 0.75) + (a > 1.25)
+            + (a >= 1.75) + (a > 2.5) + (a >= 3.5) + (a > 5.0))
+    return np.where(np.isnan(a), 7, code)
+
+
+def _np_e8m0_scale(amax, elem_emax):
+    shared = ((amax.astype(np.float32).view(np.uint32) >> 23) & 0xFF
+              ).astype(np.int32) - elem_emax
+    shared = np.clip(shared, 0, 254)
+    scale = np.where(shared == 0, np.float32(2.0) ** -127,
+                     np.exp2((shared - 127).astype(np.float64))
+                     ).astype(np.float32)
+    return scale, shared.astype(np.uint8)
+
+
+def _np_mxfp4_blocks(x):
+    """Independent port of libxsmm_ref_fp32_to_mxfp4_block."""
+    m, n = x.shape
+    xb = x.reshape(m, n // 32, 32)
+    scale, scode = _np_e8m0_scale(np.abs(xb).max(-1, keepdims=True), 2)
+    sign = ((xb.view(np.uint32) >> 31) << 3).astype(np.int32)
+    code = sign | _np_encode_e2m1(np.abs(xb / scale))
+    code = code.reshape(m, n)
+    return ((code[:, 1::2] << 4) | code[:, 0::2]).astype(np.uint8), \
+        scode.reshape(m, n // 32)
+
+
+def _np_mxbf8_blocks(x):
+    import ml_dtypes
+    m, n = x.shape
+    xb = x.reshape(m, n // 32, 32)
+    scale, scode = _np_e8m0_scale(np.abs(xb).max(-1, keepdims=True), 15)
+    q = (xb / scale).astype(np.float16).astype(ml_dtypes.float8_e5m2)
+    return q.reshape(m, n).view(np.uint8), scode.reshape(m, n // 32)
+
+
+def _np_nvfp4_blocks(x):
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    m, n = x.shape
+    xb = x.reshape(m, n // 16, 16)
+    amax = np.abs(xb).max(-1, keepdims=True)
+    rcp6 = np.uint32(0x3E2A0000).view(np.float32)        # bf16(1/6)
+    raw = ((amax.astype(bf16).astype(np.float32) * rcp6)
+           .astype(bf16).astype(np.float32))
+    scale_hf8 = raw.astype(ml_dtypes.float8_e4m3fn)
+    scale_f = scale_hf8.astype(np.float32)
+    scode = np.where(amax == 0.0, np.uint8(0), scale_hf8.view(np.uint8))
+    rcp = (1.0 / np.where(scale_f == 0.0, 1.0,
+                          scale_f.astype(bf16).astype(np.float32)))
+    rcp = rcp.astype(bf16).astype(np.float32)
+    v = (xb * rcp).astype(bf16).astype(np.float32)
+    sign = ((xb.view(np.uint32) >> 31) << 3).astype(np.int32)
+    code = sign | _np_encode_e2m1(np.abs(v))
+    code = np.where(scale_f == 0.0, 0, code).reshape(m, n)
+    return ((code[:, 1::2] << 4) | code[:, 0::2]).astype(np.uint8), \
+        scode.reshape(m, n // 16)
+
+
+def test_quant_mx_outputs():
+    """UNARY_QUANT with MX output dtypes emits (payload, scales) pairs
+    byte-exact with the reference block converters (impl.c:1896-2076,
+    dispatch :2260-2322), verified against independent NumPy ports."""
+    from libxsmm_tpu import quant as q_
+    m, n = 4, 64
+    x = (_rand((m, n)) * 5.0).astype(np.float32)
+    oracles = {Datatype.MXFP4X2: (_np_mxfp4_blocks,
+                                  q_.mxfp4_dequantize_blocks, 32),
+               Datatype.NVFP4X2: (_np_nvfp4_blocks,
+                                  q_.nvfp4_dequantize_blocks, 16),
+               Datatype.MXBF8: (_np_mxbf8_blocks,
+                                q_.mxbf8_dequantize_blocks, 32)}
+    for dt, (oracle, deq, sblk) in oracles.items():
+        kern = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n, out_type=dt)
+        payload, scales = kern(x)
+        payload, scales = np.asarray(payload), np.asarray(scales)
+        want_payload, want_scales = oracle(x)
+        np.testing.assert_array_equal(payload.view(np.uint8), want_payload)
+        np.testing.assert_array_equal(scales, want_scales)
+        # round-trip sanity on finite entries (bf8 payloads can be inf
+        # exactly where the reference overflows e5m2 near block amax)
+        back = np.asarray(deq(payload, scales))
+        finite = np.isfinite(back)
+        amax = np.repeat(np.abs(x).reshape(m, n // sblk, sblk).max(-1),
+                         sblk).reshape(m, n)
+        tol = 0.6 if dt != Datatype.MXBF8 else 0.25
+        assert np.all(np.abs(back - x)[finite] <= (tol * amax + 1e-6)[finite])
+        # DEQUANT through the dispatcher agrees with the quant-module decode
+        dq = xt.dispatch_meltw_unary(UnaryType.DEQUANT, m, n, in_type=dt)
+        np.testing.assert_array_equal(np.asarray(dq(payload, scales)), back)
 
 
 def test_stochastic_round_bf16():

@@ -274,7 +274,9 @@ def test_brgemm_ext_relu_bitmask():
     out, extra = kern(a, b)
     ref = np.einsum("bmk,bkn->mn", a, b)
     check(np.maximum(ref, 0), np.asarray(out), margin=1e-4)
-    np.testing.assert_array_equal(np.asarray(extra["cp_bitmask"]), ref > 0)
+    # the bitmask extra is in the reference PACKED bit layout
+    np.testing.assert_array_equal(
+        np.asarray(xt.unpack_bitmask(extra["cp_bitmask"], m, n)), ref > 0)
 
 
 def test_brgemm_ext_stochastic_round_store():
@@ -544,3 +546,160 @@ def test_gemm_batched_packed_tuned():
     out = xt.unpack_batched(kern(xt.pack_batched(a, 4),
                                  xt.pack_batched(b, 4)), 4)
     check(np.einsum("bmk,bkn->bmn", a, b), np.asarray(out), margin=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MX microscaling + sub-byte GEMM dtypes (reference gating
+# include/libxsmm_typedefs.h:218-246, generator_gemm.c:41-57, 272-296)
+# ---------------------------------------------------------------------------
+
+from libxsmm_tpu import quant as q_
+
+
+def _mx_pair_a(m, k, fmt):
+    a = (RNG.standard_normal((m, k)) * 3).astype(np.float32)
+    # normalize each 32-block's amax to a power of two so the e5m2 payload
+    # cannot overflow to inf (the reference's MXBF8 quant overflows for
+    # block mantissas > 1.875 — faithful, but it would poison the matmul
+    # comparison with inf-inf)
+    ab = a.reshape(m, k // 32, 32).astype(np.float64)
+    amax = np.abs(ab).max(-1, keepdims=True)
+    # float64 throughout: f32 log2 rounds values like 3.9999998 up to
+    # exactly 2.0, which would leave the block un-normalized
+    a = (ab * (np.exp2(np.floor(np.log2(amax))) / amax)
+         ).reshape(m, k).astype(np.float32)
+    quantize = {Datatype.MXFP4X2: q_.mxfp4_quantize_blocks,
+                Datatype.NVFP4X2: q_.nvfp4_quantize_blocks,
+                Datatype.MXBF8: q_.mxbf8_quantize_blocks,
+                Datatype.MXBF6: lambda x: q_.mxfp6_quantize_blocks(x, "e3m2"),
+                Datatype.MXHF6: lambda x: q_.mxfp6_quantize_blocks(x, "e2m3"),
+                }[fmt]
+    dequantize = {Datatype.MXFP4X2: q_.mxfp4_dequantize_blocks,
+                  Datatype.NVFP4X2: q_.nvfp4_dequantize_blocks,
+                  Datatype.MXBF8: q_.mxbf8_dequantize_blocks,
+                  Datatype.MXBF6: lambda p, s: q_.mxfp6_dequantize_blocks(
+                      p, s, "e3m2"),
+                  Datatype.MXHF6: lambda p, s: q_.mxfp6_dequantize_blocks(
+                      p, s, "e2m3"),
+                  }[fmt]
+    payload, scales = quantize(a)
+    adec = np.asarray(dequantize(payload, scales))
+    return (payload, scales), adec
+
+
+@pytest.mark.parametrize("fmt", [Datatype.MXFP4X2, Datatype.NVFP4X2,
+                                 Datatype.MXBF8, Datatype.MXBF6,
+                                 Datatype.MXHF6],
+                         ids=lambda d: d.value)
+def test_gemm_mx_a(fmt):
+    """MX A operand as a (payload, scales) pair; result must equal the
+    decoded-operand matmul exactly (decode is exact in bf16)."""
+    m, n, k = 16, 64, 64
+    pair, adec = _mx_pair_a(m, k, fmt)
+    b = (RNG.standard_normal((k, n))).astype(np.float32)
+    kern = xt.dispatch_gemm(
+        GemmShape(m, n, k, a_in_type=fmt, b_in_type=Datatype.BF16,
+                  out_type=Datatype.F32),
+        GemmFlags.BETA_0 | GemmFlags.VNNI_A)
+    import jax.numpy as jnp
+    got = np.asarray(kern(pair, jnp.asarray(b, jnp.bfloat16)))
+    want = adec.astype(np.float32) @ np.asarray(
+        jnp.asarray(b, jnp.bfloat16), np.float32)
+    check(want, got, margin=2e-2 * max(1.0, np.abs(want).max()))
+
+
+def test_gemm_mx_a_and_b():
+    """MXFP4 x MXFP4 (reference combo generator_gemm.c:276-277)."""
+    m, n, k = 16, 32, 64
+    pair_a, adec = _mx_pair_a(m, k, Datatype.MXFP4X2)
+    bt = (RNG.standard_normal((n, k)) * 2).astype(np.float32)
+    pb, sb = q_.mxfp4_quantize_blocks(bt)       # quantized along k
+    bdec = np.asarray(q_.mxfp4_dequantize_blocks(pb, sb)).T   # (k, n)
+    pair_b = (np.asarray(pb).T, np.asarray(sb).T)  # payload (k/2,n), scales (k/32,n)
+    kern = xt.dispatch_gemm(
+        GemmShape(m, n, k, a_in_type=Datatype.MXFP4X2,
+                  b_in_type=Datatype.MXFP4X2, out_type=Datatype.F32),
+        GemmFlags.BETA_0)
+    got = np.asarray(kern(pair_a, pair_b))
+    want = adec.astype(np.float32) @ bdec.astype(np.float32)
+    check(want, got, margin=1e-3 * max(1.0, np.abs(want).max()))
+
+
+def test_brgemm_mx_a_stride():
+    m, n, k, br = 8, 32, 64, 4
+    a = (RNG.standard_normal((br, m, k)) * 2).astype(np.float32)
+    payload, scales = q_.mxfp4_quantize_blocks(a)
+    adec = np.asarray(q_.mxfp4_dequantize_blocks(payload, scales))
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    import jax.numpy as jnp
+    bb = jnp.asarray(b, jnp.bfloat16)
+    kern = xt.dispatch_brgemm(
+        GemmShape(m, n, k, a_in_type=Datatype.MXFP4X2,
+                  b_in_type=Datatype.BF16, out_type=Datatype.F32),
+        GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br))
+    got = np.asarray(kern((payload, scales), bb))
+    want = np.einsum("bmk,bkn->mn", adec.astype(np.float32),
+                     np.asarray(bb, np.float32))
+    check(want, got, margin=5e-2 * max(1.0, np.abs(want).max()))
+
+
+@pytest.mark.parametrize("a_dt", [Datatype.I4X2, Datatype.U4X2,
+                                  Datatype.I2X4, Datatype.I1X8],
+                         ids=lambda d: d.value)
+def test_gemm_subbyte_int(a_dt):
+    """Sub-byte integer A x I8 B -> exact I32 (value semantics from
+    generator_gemm_reference_impl.c: sign-extended nibbles / ternary 2-bit
+    LUT / +-1 bits)."""
+    m, n, k = 16, 32, 64
+    if a_dt in (Datatype.I4X2, Datatype.U4X2):
+        lo, hi = (0, 15) if a_dt == Datatype.U4X2 else (-8, 7)
+        vals = RNG.integers(lo, hi + 1, (m, k)).astype(np.int32)
+    elif a_dt == Datatype.I2X4:
+        vals = RNG.integers(-1, 2, (m, k)).astype(np.int32)
+    else:
+        vals = RNG.choice([-1, 1], (m, k)).astype(np.int32)
+    packed = np.asarray(q_.pack_subbyte_gemm(a_dt, vals))
+    bsigned = RNG.integers(-128, 128, (k, n)).astype(np.int8)
+    kern = xt.dispatch_gemm(
+        GemmShape(m, n, k, a_in_type=a_dt, b_in_type=Datatype.I8,
+                  out_type=Datatype.I32),
+        GemmFlags.BETA_0 | GemmFlags.VNNI_A)
+    got = np.asarray(kern(packed, bsigned))
+    want = vals.astype(np.int64) @ bsigned.astype(np.int64)
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+    # round-trip of the packer itself
+    np.testing.assert_array_equal(
+        np.asarray(q_.unpack_subbyte_gemm(a_dt, packed)), vals)
+
+
+def test_gemm_i4_f16():
+    """I4X2 x F16 dequant GEMM (generator_gemm.c:52-57)."""
+    m, n, k = 8, 32, 32
+    vals = RNG.integers(-8, 8, (m, k)).astype(np.int32)
+    packed = np.asarray(q_.pack_subbyte_gemm(Datatype.I4X2, vals))
+    b = (RNG.standard_normal((k, n))).astype(np.float16)
+    kern = xt.dispatch_gemm(
+        GemmShape(m, n, k, a_in_type=Datatype.I4X2, b_in_type=Datatype.F16,
+                  out_type=Datatype.F32),
+        GemmFlags.BETA_0 | GemmFlags.VNNI_A)
+    got = np.asarray(kern(packed, b))
+    want = vals.astype(np.float32) @ b.astype(np.float32)
+    check(want, got, margin=1e-1 * max(1.0, np.abs(want).max()))
+
+
+def test_gemm_packed_combo_rejection():
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm(GemmShape(8, 8, 64, a_in_type=Datatype.I2X4,
+                                   b_in_type=Datatype.F32,
+                                   out_type=Datatype.F32), GemmFlags.BETA_0)
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm(GemmShape(8, 8, 64, a_in_type=Datatype.MXFP4X2,
+                                   b_in_type=Datatype.BF16,
+                                   out_type=Datatype.F32),
+                         GemmFlags.BETA_0 | GemmFlags.TRANS_B)
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm(GemmShape(8, 8, 64, a_in_type=Datatype.MXFP4X2,
+                                   b_in_type=Datatype.BF16,
+                                   out_type=Datatype.MXFP4X2),
+                         GemmFlags.BETA_0)

@@ -50,9 +50,27 @@ def test_unary_enum_complete(op):
         assert np.asarray(leaf).shape == (M, N)
         return
     if op == UnaryType.DROPOUT_INV:
-        mask = (RNG.random((M, N)) < 0.5).astype(np.uint8)
+        mask = (RNG.random((M, N)) < 0.5)
+        pmask = np.asarray(xt.pack_bitmask(mask))
+        kern = xt.dispatch_meltw_unary(op, M, N, UnaryFlags.BITMASK_2BYTEMULT)
+        out = np.asarray(kern(x, pmask, p=0.5))
+        np.testing.assert_allclose(out, np.where(mask, x / 0.5, 0.0),
+                                   rtol=1e-6)
+        return
+    if op in (UnaryType.RELU_INV, UnaryType.LEAKY_RELU_INV):
+        mask = (RNG.random((M, N)) < 0.5)
+        pmask = np.asarray(xt.pack_bitmask(mask))
+        kern = xt.dispatch_meltw_unary(op, M, N, UnaryFlags.BITMASK_2BYTEMULT)
+        out = np.asarray(kern(x, pmask, alpha=0.25))
+        want = np.where(mask, x, 0.0 if op == UnaryType.RELU_INV else 0.25 * x)
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+        return
+    if op == UnaryType.ELU_INV:
+        out_fwd = _x() - 1.5          # mixed-sign saved forward output
         kern = xt.dispatch_meltw_unary(op, M, N)
-        assert np.asarray(kern(x, mask, p=0.5)).shape == (M, N)
+        out = np.asarray(kern(x, out_fwd, alpha=1.0))
+        want = np.where(out_fwd > 0, x, x * (out_fwd + 1.0))
+        np.testing.assert_allclose(out, want, rtol=1e-5)
         return
     if op.name.startswith("DECOMPRESS_SPARSE"):
         mask = (RNG.random((M, N)) < 0.5).astype(np.uint8)
