@@ -25,7 +25,8 @@ from .matdiff import MatdiffInfo, matdiff, matdiff_reduce
 from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
                        get_registry, init)
 from .ops.gemm import (brgemm_pack_factor, dgemm, dispatch_brgemm,
-                       dispatch_brgemm_ext, dispatch_brgemm_packed,
+                       dispatch_brgemm_ext, dispatch_brgemm_ext_packed,
+                       dispatch_brgemm_packed,
                        dispatch_gemm, dispatch_gemm_batched,
                        dispatch_gemm_batched_packed, dispatch_tilecfg_gemm,
                        gemm, pack_batched, sgemm, smm_pack_factor,

@@ -62,6 +62,9 @@ class Config:
     dump_dir: Optional[str] = None
     autotune_cache_path: Optional[str] = None   # persistent autotune KV log
     compilation_cache_dir: Optional[str] = None  # JAX persistent compile cache
+    registry_capacity: int = 131072   # LIBXSMM_CAPACITY_REGISTRY analogue
+    registry_evict: bool = False      # LRU eviction at capacity (opt-in; the
+                                      # reference warns-and-keeps, main.c:2902)
 
     @staticmethod
     def from_env() -> "Config":
@@ -79,6 +82,8 @@ class Config:
             or None,
             compilation_cache_dir=os.environ.get(
                 "XSMM_TPU_COMPILATION_CACHE") or None,
+            registry_capacity=_env_int("XSMM_TPU_REGISTRY_CAPACITY", 131072),
+            registry_evict=_env_int("XSMM_TPU_REGISTRY_EVICT", 0) != 0,
         )
 
 

@@ -156,8 +156,10 @@ def packed_brgemm_supported(desc: GemmDescriptor) -> bool:
 
 
 def build_packed_brgemm(desc: GemmDescriptor, br: int,
-                        step_groups: Optional[int] = None):
-    """Lane-packed batch-reduce GEMM: C = sum_i A_i @ B_i (+ C0).
+                        step_groups: Optional[int] = None,
+                        cp_type: str = "NONE",
+                        with_bias: bool = False):
+    """Lane-packed batch-reduce GEMM: C = epi(sum_i A_i @ B_i + C0 + D).
 
     Q = 128//k batch items are packed side by side along A's lanes
     (ops.gemm.pack_batched), so the MXU contraction over 128 lanes
@@ -166,12 +168,22 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
 
         [A_0 | A_1] @ [B_0 ; B_1] = A_0 B_0 + A_1 B_1
 
-    fn(a, b[, c]) with a: (br/Q, m, Q*k) packed, b: (br/Q, Q, k, n)
-    natural-grouped, c: (m, n) -> (m, n). Measured +20% over XLA's single
-    (br,k) contraction at br=1024 m=n=256 k=64 bf16 (full-width lanes for
-    the k=64 operand; the reference gets the same effect from VNNI-layout
-    BRGEMM operands, generator_gemm_amx.c)."""
+    fn(a, b[, c][, d]) with a: (br/Q, m, Q*k) packed, b: (br/Q, Q, k, n)
+    natural-grouped, c/d: (m, n) -> (m, n). Measured +20% over XLA's
+    single (br,k) contraction at br=1024 m=n=256 k=64 bf16 (full-width
+    lanes for the k=64 operand; the reference gets the same effect from
+    VNNI-layout BRGEMM operands, generator_gemm_amx.c).
+
+    BRGEMM-ext fusion (the reference's fused AMX microkernel epilogues,
+    generator_gemm_amx_microkernel.c): `cp_type` applies a unary from
+    _EPILOGUES and `with_bias` adds a binary ADD postop operand D — both
+    run on the LAST grid step against the VMEM-resident accumulator, so
+    the fusion costs no extra HBM traffic. beta=1's C0 seeds the
+    accumulator on the FIRST step (reference ordering: postops see the
+    full accumulation)."""
     if not packed_brgemm_supported(desc) or br <= 0:
+        return None
+    if cp_type not in _EPILOGUES:
         return None
 
     from jax.experimental import pallas as pl
@@ -189,6 +201,8 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
                  else jax.lax.Precision.DEFAULT)
     beta0 = desc.beta == 0
     interpret = device.use_interpret()
+    epilogue = _EPILOGUES[cp_type]
+    fused_tail = cp_type not in ("NONE", "IDENTITY") or with_bias
 
     isz = jnp.dtype(in_dt).itemsize
     per_group = (m + n) * 128 * isz
@@ -200,10 +214,19 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
 
     rem = groups % gg   # groups on the final (clamped) grid step
 
-    def kernel(a_ref, b_ref, o_ref):
+    def kernel(a_ref, b_ref, *rest):
+        rest = list(rest)
+        o_ref = rest.pop()
+        c_ref = rest.pop(0) if not beta0 else None
+        d_ref = rest.pop(0) if with_bias else None
+
         @pl.when(pl.program_id(0) == 0)
         def _():
-            o_ref[...] = jnp.zeros_like(o_ref)
+            if c_ref is None:
+                o_ref[...] = jnp.zeros_like(o_ref)
+            else:
+                o_ref[...] = c_ref[...].astype(jnp.float32)
+
         acc = o_ref[...]
         for g in range(gg):
             prod = jax.lax.dot_general(
@@ -220,27 +243,61 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
             acc = acc + prod
         o_ref[...] = acc
 
+        if fused_tail:
+            @pl.when(pl.program_id(0) == steps - 1)
+            def _():
+                tail = o_ref[...]
+                if d_ref is not None:
+                    tail = tail + d_ref[...].astype(jnp.float32)
+                o_ref[...] = epilogue(tail)
+
+    in_specs = [pl.BlockSpec((gg, m, q * k), lambda i: (i, i - i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gg, q, k, n), lambda i: (i, i - i, i - i, i - i),
+                             memory_space=pltpu.VMEM)]
+    extra_ops = 0
+    if not beta0:
+        in_specs.append(pl.BlockSpec((m, n), lambda i: (i - i, i - i),
+                                     memory_space=pltpu.VMEM))
+        extra_ops += 1
+    if with_bias:
+        in_specs.append(pl.BlockSpec((m, n), lambda i: (i - i, i - i),
+                                     memory_space=pltpu.VMEM))
+        extra_ops += 1
+
     call = pl.pallas_call(
         kernel,
         grid=(steps,),
-        in_specs=[pl.BlockSpec((gg, m, q * k), lambda i: (i, i - i, i - i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((gg, q, k, n), lambda i: (i, i - i, i - i, i - i),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, n), lambda i: (i - i, i - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k * q * gg * steps,
-            bytes_accessed=per_group * gg * steps + m * n * 4,
+            bytes_accessed=(per_group * gg * steps
+                            + (1 + extra_ops) * m * n * 4),
             transcendentals=0),
         interpret=interpret,
     )
 
-    @jax.named_scope(desc.name() + "_packed_brgemm")
-    def fn(a, b, c=None):
-        out = call(a, b.reshape(groups, q, k, n))
-        if c is not None:
+    @jax.named_scope(desc.name() + "_packed_brgemm"
+                     + ("" if cp_type == "NONE" else f"_{cp_type.lower()}")
+                     + ("_bias" if with_bias else ""))
+    def fn(a, b, c=None, d=None):
+        args = [a, b.reshape(groups, q, k, n)]
+        if not beta0:
+            if c is None:
+                raise ValueError("beta=1 packed BRGEMM needs the C operand")
+            args.append(c)
+        if with_bias:
+            if d is None:
+                raise ValueError("bias-fused packed BRGEMM needs the D "
+                                 "operand")
+            args.append(d)
+        out = call(*args)
+        if beta0 and c is not None:
+            # legacy convenience: non-fused beta-0 callers may still pass
+            # c for an outside add (dispatch_brgemm_packed wrapper)
             out = out + c.astype(out.dtype)
         return out.astype(out_dt)
 
@@ -268,6 +325,19 @@ def packed_smm_supported(desc: GemmDescriptor) -> bool:
 # (python scalar literals here are WEAK-typed so they follow x's f32 dtype
 # even under jax_enable_x64; jnp.sqrt(2.0) would be a concrete f64 — see
 # the x64 note in build_packed_batched_gemm)
+def _erf_approx(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf lowering, and exp IS lowerable. The reference's JIT gelu is also an
+    on-chip approximation (minimax/LUT, generator_common_x86.c gelu
+    tables), so an approximate-in-kernel erf matches its design."""
+    sign = jnp.where(x < 0, -jnp.ones((), x.dtype), jnp.ones((), x.dtype))
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 _EPILOGUES = {
     "NONE": lambda x: x,
     "IDENTITY": lambda x: x,
@@ -275,7 +345,7 @@ _EPILOGUES = {
     "X2": lambda x: x * x,
     "TANH": jnp.tanh,
     "SIGMOID": lambda x: 1.0 / (1.0 + jnp.exp(-x)),
-    "GELU": lambda x: 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476)),
+    "GELU": lambda x: 0.5 * x * (1.0 + _erf_approx(x * 0.7071067811865476)),
 }
 
 

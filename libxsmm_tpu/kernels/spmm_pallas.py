@@ -162,6 +162,144 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
     return fn
 
 
+def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
+                          indptr: np.ndarray, indices: np.ndarray
+                          ) -> Optional[Callable]:
+    """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
+
+    The sparse lowering designed to beat densify at MODERATE block density
+    (where per-block scheduling loses to the MXU and supertile occupancy
+    saturates): output is processed in 128-lane COLUMN GROUPS; for each
+    group the union of block-rows its columns touch is compacted along k at
+    create time. Per grid step the kernel assembles the group's compacted
+    A-panel stack (U*bk, tm) in VMEM from a RESIDENT transposed A — A is
+    DMA'd from HBM once per m-tile, not per block — and runs ONE full-depth,
+    full-lane MXU contraction against the group's compacted+densified
+    values (U*bk, 128). Compute is union-density * dense (vs 1.0 for
+    densify), all of it on 128-wide tiles.
+
+    The create-time compaction plays the role of the reference's
+    JIT-time block sequencing (generator_packed_spgemm_bcsc_bsparse_
+    avx_avx2_avx512_amx.c); the union grouping is the TPU-native answer to
+    its AMX tile loops.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bk, bn = config.bk, config.bn
+    m, n, k = shape.m, shape.n, shape.k
+    if 128 % bn or n % 128 or k % bk:
+        return None
+    if shape.a_in_type not in (Datatype.F32, Datatype.BF16):
+        return None
+    in_dt = to_jnp(shape.a_in_type)
+    out_dt = to_jnp(shape.out_type)
+    sub = 8 if in_dt == jnp.float32 else 16
+    if bk % sub or m % sub:
+        return None
+    prec = (jax.lax.Precision.HIGHEST if shape.a_in_type == Datatype.F32
+            else jax.lax.Precision.DEFAULT)
+
+    W = 128 // bn                   # block-columns per 128-lane group
+    nb = n // bn
+    nsg = n // 128
+    nblocks = len(indices)
+
+    # per-group union of block-rows + value-gather map (host, create time)
+    unions = []
+    for g in range(nsg):
+        rows = set()
+        for j in range(g * W, (g + 1) * W):
+            rows.update(int(r) for r in
+                        indices[int(indptr[j]):int(indptr[j + 1])])
+        unions.append(sorted(rows))
+    U = max(1, max(len(u) for u in unions))
+    if U * bk > k:
+        U = k // bk                 # fully dense union: still correct
+    krows = np.zeros((nsg, U), np.int32)
+    gmap = np.full((nsg, U, W), nblocks, np.int32)   # -> appended zero block
+    for g, rows in enumerate(unions):
+        rows = rows[:U]
+        krows[g, :len(rows)] = rows
+        rpos = {r: u for u, r in enumerate(rows)}
+        for wj in range(W):
+            j = g * W + wj
+            for pos in range(int(indptr[j]), int(indptr[j + 1])):
+                r = int(indices[pos])
+                if r in rpos:
+                    gmap[g, rpos[r], wj] = pos
+    krows_d = jax.device_put(jnp.asarray(krows.reshape(-1)))
+    gmap_d = jax.device_put(jnp.asarray(gmap.reshape(-1)))
+
+    # m-tile: keep resident A^T (k, tm) + scratch (U*bk, tm) + buffers
+    # within ~half of VMEM
+    budget = device.get_geometry().vmem_bytes // 2
+    isz = jnp.dtype(in_dt).itemsize
+    tm = m
+    while tm > sub and (k + U * bk) * tm * isz > budget:
+        tm //= 2
+    if m % tm:
+        return None
+    m_tiles = m // tm
+
+    def kernel(krows_ref, at_ref, rhs_ref, o_ref, scratch):
+        g = pl.program_id(1)
+        for u in range(U):          # static unroll: U is a create-time const
+            idx = krows_ref[g * U + u]
+            scratch[u * bk:(u + 1) * bk, :] = at_ref[
+                pl.ds(idx * bk, bk), :]
+        o_ref[...] = jax.lax.dot_general(
+            scratch[...], rhs_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=o_ref.dtype, precision=prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_tiles, nsg),
+        in_specs=[
+            # A^T block (k, tm): index varies only with the OUTER grid dim,
+            # so it stays VMEM-resident across all nsg inner steps — one
+            # HBM read of A per m-tile instead of one per block
+            pl.BlockSpec((k, tm), lambda i, g, krows: (i - i, i)),
+            # the group's compacted+densified values
+            pl.BlockSpec((1, U * bk, 128),
+                         lambda i, g, krows: (g, i - i, i - i)),
+        ],
+        out_specs=pl.BlockSpec((tm, 128), lambda i, g, krows: (i, g)),
+        scratch_shapes=[pltpu.VMEM((U * bk, tm), in_dt)],
+    )
+
+    osz = jnp.dtype(out_dt).itemsize
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
+        interpret=device.use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsg * U * bk * 128 * m,
+            bytes_accessed=(m_tiles * k * tm * isz
+                            + nsg * U * bk * 128 * isz + m * n * osz),
+            transcendentals=0),
+    )
+
+    @jax.jit
+    @jax.named_scope(f"xsmm_pallas_bcsc_union_{m}x{n}x{k}_U{U}")
+    def run(krows_j, gmap_j, a, values):
+        vpad = jnp.concatenate(
+            [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)], axis=0)
+        rhs = jnp.take(vpad, gmap_j, axis=0).reshape(nsg, U, W, bk, bn)
+        rhs = rhs.transpose(0, 1, 3, 2, 4).reshape(nsg, U * bk, 128)
+        at = a.astype(in_dt).T
+        return call(krows_j, at, rhs)
+
+    def fn(a, values):
+        return run(krows_d, gmap_d, a, values)
+
+    fn.union_panels = U            # introspection for tests/autotune logs
+    return fn
+
+
 def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
                           s_indices: np.ndarray) -> Optional[Callable]:
     """128x128-supertile BCSC SpMM: fn(a, sup_values) -> C(m, n), beta=0.

@@ -43,8 +43,8 @@ import jax.numpy as jnp
 from .. import device
 from ..config import CONFIG
 from ..descriptor import (BatchReduceConfig, BatchReduceType, BinaryPostops,
-                          GemmDescriptor, GemmExtDescriptor, GemmFlags,
-                          GemmShape, UnaryArgops, UnaryType)
+                          BinaryType, GemmDescriptor, GemmExtDescriptor,
+                          GemmFlags, GemmShape, UnaryArgops, UnaryType)
 from ..dtypes import Datatype, to_jnp
 from ..registry import Kernel, KernelInfo, get_registry
 from .eltwise import apply_binary_op, apply_unary_op
@@ -654,6 +654,89 @@ def dispatch_brgemm_packed(shape: GemmShape,
                       name=d.name() + "_brpacked")
 
     key = ("brgemm_packed", desc, step_groups)
+    return get_registry().dispatch(key, lambda _k: _build(desc))
+
+
+def dispatch_brgemm_ext_packed(shape: GemmShape,
+                               flags: GemmFlags = GemmFlags.NONE,
+                               br_config: BatchReduceConfig = None,
+                               argops: UnaryArgops = UnaryArgops(),
+                               postops: BinaryPostops = BinaryPostops(),
+                               step_groups: int = None) -> Kernel:
+    """BRGEMM-ext on the lane-packed fast path: the fused-epilogue kernel.
+
+    The packed BRGEMM Pallas kernel (kernels/gemm_pallas.build_packed_
+    brgemm) with the cp-unary epilogue and the binary ADD postop fused
+    into the final grid step against the VMEM-resident accumulator — the
+    TPU reading of the reference's fused AMX microkernel epilogues
+    (generator_gemm_amx_microkernel.c): the fusion costs no extra HBM
+    traffic, so fused throughput == unfused throughput (bench extra
+    `brgemm_fused_frac`).
+
+    Supported ext subset (others route to dispatch_brgemm_ext's XLA path):
+    cp_type in the elementwise epilogue set (no bitmask/SR store), no
+    a/b argops, postop NONE or ADD with a (m, n)/broadcastable D.
+    Invoke: kernel(a_packed, b[, c][, d]) with a packed via pack_batched
+    (Q = 128//k), b (br, k, n), c/d (m, n).
+    """
+    if br_config is None:
+        br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
+    from ..kernels import gemm_pallas
+
+    desc = GemmExtDescriptor(
+        base=GemmDescriptor(shape=shape, flags=GemmFlags(flags),
+                            br=br_config),
+        argops=argops, postops=postops)
+    if argops.ap_type != UnaryType.NONE or argops.bp_type != UnaryType.NONE:
+        raise ValueError("packed BRGEMM-ext fuses cp/postops only; a/b "
+                         "argops need dispatch_brgemm_ext")
+    if argops.store_ap or argops.store_bp or argops.store_cp:
+        raise ValueError("store_* argops are not supported on the packed "
+                         "fast path")
+    cp = UnaryType(argops.cp_type).name
+    if cp not in gemm_pallas._EPILOGUES:
+        raise ValueError(f"unsupported packed epilogue {cp} "
+                         f"(supported: {sorted(gemm_pallas._EPILOGUES)})")
+    with_bias = postops.d_type != BinaryType.NONE
+    if with_bias and postops.d_type != BinaryType.ADD:
+        raise ValueError("packed BRGEMM-ext supports the ADD binary postop "
+                         "only (bias)")
+    if not gemm_pallas.packed_brgemm_supported(desc.base):
+        raise ValueError(f"unsupported for packed BRGEMM: "
+                         f"{desc.base.name()} (need k|128, f32/bf16, "
+                         "no transposes)")
+
+    def _build(d):
+        built = {}
+        q = 128 // shape.k
+        m, n = shape.m, shape.n
+
+        def fn(a, b, c=None, d_op=None):
+            br = b.shape[0]
+            inner = built.get(br)
+            if inner is None:
+                raw = gemm_pallas.build_packed_brgemm(
+                    desc.base, br, step_groups, cp_type=cp,
+                    with_bias=with_bias)
+                if raw is None:
+                    raise ValueError(f"br={br} not divisible by pack "
+                                     f"factor {q}")
+                built[br] = inner = jax.jit(raw)
+            if desc.base.beta == 1 and c is None:
+                raise ValueError("beta=1 requires the C operand")
+            d_full = None
+            if with_bias:
+                if d_op is None:
+                    raise ValueError("ADD postop requires the D operand")
+                d_full = jnp.broadcast_to(jnp.asarray(d_op), (m, n))
+            return inner(a, b, c, d_full)
+
+        info = KernelInfo(kind="brgemm_ext_packed", nflops=shape.nflops())
+        return Kernel(fn=fn, descriptor=d, info=info,
+                      name=desc.base.name() + f"_extpacked_{cp.lower()}"
+                      + ("_bias" if with_bias else ""))
+
+    key = ("brgemm_ext_packed", desc, step_groups)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 

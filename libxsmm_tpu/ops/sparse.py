@@ -455,6 +455,68 @@ def _build_bcsc_super(shape: GemmShape, flags: GemmFlags,
                        f"_occ{int(occupancy * 100)}")
 
 
+def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
+                   indptr: np.ndarray, indices: np.ndarray,
+                   bcsc: "BcscMatrix") -> str:
+    """Create-time strategy selection for BCSC SpMM.
+
+    On TPU: build EVERY candidate lowering and microbenchmark them on
+    device with the chained-timing discipline, exactly the reference's
+    fsspmdm autotune-then-select pattern (libxsmm_fsspmdm.c:285-382)
+    applied to the BCSC component; the pick is persisted in the autotune
+    KV log keyed by the pattern fingerprint. On CPU backends (test
+    harness) fall back to the roofline heuristic — interpret-mode timings
+    would be meaningless.
+    """
+    from .. import device
+
+    nblocks = bcsc.nblocks
+    bk, bn = config.bk, config.bn
+    if not device.on_tpu():
+        sparse_bytes = nblocks * shape.m * bk * itemsize(shape.a_in_type)
+        return ("dense" if _dense_beats_sparse(shape, sparse_bytes)
+                else "sparse")
+
+    from ..config import CONFIG
+    from ..ops.fsspmdm import _autotune_cache   # lazy: avoids import cycle
+    cache = _autotune_cache()
+    key = (f"bcsc:{shape.m}:{shape.n}:{shape.k}:{bk}:{bn}:"
+           f"{shape.a_in_type.value}:{bcsc.fingerprint():x}").encode()
+    if cache is not None:
+        raw = cache.get(key)
+        if raw:
+            return raw.decode()
+
+    import jax.numpy as jnp
+    from ..utils.timer import bench_chain
+    rng = np.random.default_rng(0)
+    in_dt = to_jnp(shape.a_in_type)
+    a = jnp.asarray(rng.standard_normal((shape.m, shape.k)), in_dt)
+    v = jnp.asarray(rng.standard_normal((nblocks, bk, bn)), in_dt)
+    tuned = {}
+    for s in ("dense", "union", "super", "sparse", "pallas"):
+        try:
+            kern = create_packed_spgemm_bcsc(shape, flags, config,
+                                             indptr, indices, strategy=s)
+        except Exception:
+            continue
+        try:
+            tuned[s] = bench_chain(kern, (a, v), chain_idx=0, reps=12,
+                                   rounds=2)
+        except Exception:
+            continue
+    if not tuned:
+        return "dense"
+    pick = min(tuned, key=tuned.get)
+    if CONFIG.verbose >= 2:
+        us = {s: round(t * 1e6, 1) for s, t in tuned.items()}
+        print(f"libxsmm_tpu: bcsc {shape.m}x{shape.n}x{shape.k} "
+              f"b{bk}x{bn} nblk={nblocks} -> {pick} ({us})")
+    if cache is not None:
+        cache.put(key, pick.encode())
+    return pick
+
+
 def create_packed_spgemm_bcsc(shape: GemmShape,
                               flags: GemmFlags = GemmFlags.NONE,
                               config: SpgemmConfig = SpgemmConfig(),
@@ -466,14 +528,15 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
 
     Lowerings, picked by `strategy` ("auto"|"sparse"|"dense"|"pallas"|
-    "super"):
+    "super"|"union"); "auto" microbenchmarks ALL of them on device at
+    create time and keeps the winner (_bcsc_autotune, the fsspmdm
+    pattern):
       * sparse: gather A panels per nonzero block -> one batched MXU matmul
         -> segment-sum per block-column. Traffic scales with
         nblocks*m*bk (A panel amplification) — wins only at low density.
       * dense: gather the blocks into a dense B and run ONE dense MXU
-        matmul. On TPU the MXU/bandwidth ratio makes this the winner at
-        moderate density — the hardware-scale form of the reference's
-        fsspmdm dense bias.
+        matmul. The hardware-scale form of the reference's fsspmdm dense
+        bias; the one to beat at moderate density.
       * pallas: scalar-prefetch pattern-driven block scheduling at the
         native (bk, bn) granularity (kernels/spmm_pallas.py).
       * super: re-block the pattern into 128x128 SUPERTILES at create time
@@ -481,6 +544,11 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         empty supertiles. Beats dense when supertile occupancy
         1-(1-d)^((128/bk)*(128/bn)) is well below 1 — i.e. very sparse
         fine-grained patterns on large operands.
+      * union: compact each 128-lane output column group's k-union at
+        create time and contract it in ONE full-depth full-lane MXU pass
+        against VMEM-resident A^T (kernels/spmm_pallas.py
+        build_bcsc_spmm_union). Compute scales with union density instead
+        of 1.0 — the moderate-density winner.
     """
     bk, bn = config.bk, config.bn
     indptr = np.asarray(column_ptr, np.int32)
@@ -490,10 +558,8 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     bcsc = BcscMatrix((shape.k, shape.n), bk, bn, indptr, indices)
     nblocks = bcsc.nblocks
     if strategy == "auto":
-        sparse_bytes = (nblocks * shape.m * bk
-                        * itemsize(shape.a_in_type))
-        strategy = ("dense" if _dense_beats_sparse(shape, sparse_bytes)
-                    else "sparse")
+        strategy = _bcsc_autotune(shape, flags, config, indptr, indices,
+                                  bcsc)
     pattern = SparsePattern(format="bcsc", rows=shape.k, cols=shape.n,
                             nnz=nblocks * bk * bn,
                             fingerprint=bcsc.fingerprint(), block=(bk, bn))
@@ -504,6 +570,26 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         if strategy == "super":
             return _build_bcsc_super(shape, flags, config, indptr, indices,
                                      desc, nblocks)
+        if strategy == "union":
+            from ..kernels import spmm_pallas
+            pfn = spmm_pallas.build_bcsc_spmm_union(shape, config, indptr,
+                                                    indices)
+            if pfn is None:
+                raise ValueError("descriptor unsupported by the k-union "
+                                 "BCSC kernel (need bn|128, 128|n, bk|k, "
+                                 "f32/bf16, sublane-aligned bk/m)")
+
+            def ufn(a, values, c=None):
+                out = pfn(a, values)
+                if c is not None:
+                    out = out + c.astype(out.dtype)
+                return out
+
+            info = KernelInfo(kind="pspgemm_bcsc",
+                              nflops=2 * nblocks * bk * bn * shape.m)
+            return Kernel(fn=ufn, descriptor=desc, info=info,
+                          name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
+                               f"_union{pfn.union_panels}")
         if strategy == "pallas":
             from ..kernels import spmm_pallas
             pfn = spmm_pallas.build_bcsc_spmm(shape, config, indptr, indices)

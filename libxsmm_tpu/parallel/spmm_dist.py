@@ -213,6 +213,7 @@ class DistributedBsrSpmm:
             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
                       P(axis, None)),
             out_specs=P(axis, None))
+        self._shmapped = shmapped
         jitted = jax.jit(shmapped)
 
         def run(x):
@@ -236,6 +237,7 @@ class DistributedBsrSpmm:
             local_fn, mesh=self.mesh,
             in_specs=(P(axis, None), P(axis, None)),
             out_specs=P(axis, None))
+        self._shmapped = shmapped
         jitted = jax.jit(shmapped)
 
         def run(x):
@@ -243,6 +245,33 @@ class DistributedBsrSpmm:
             return jitted(self.a_dense, x)
 
         return run
+
+    def comm_bytes_per_device(self) -> int:
+        """Analytic per-device communication volume per call.
+
+        ring: the local X segment (k/P, n) is ppermuted on every one of the
+        P loop steps -> P * (k/P) * n * itemsize sent per device (the final
+        rotation restores ownership; P-1 carry payload).
+        allgather: each device receives the other P-1 segments ->
+        (P-1) * (k/P) * n * itemsize. Same asymptotic volume — the ring
+        trades peak memory (one segment resident vs full X) and gains
+        per-step overlap; the crossover is measured in dryrun_multichip.
+        """
+        isz = jnp.dtype(self.dtype).itemsize
+        seg = (self.k // self.num_devices) * self.n * isz
+        if self.comm == "ring":
+            return self.num_devices * seg
+        return (self.num_devices - 1) * seg
+
+    def lowered_text(self, x) -> str:
+        """StableHLO of the collective program (for tests/inspection)."""
+        x = jax.device_put(jnp.asarray(x, self.dtype), self.x_sharding)
+        if self.comm == "ring":
+            args = (self.rows, self.cols, self.vidx, self.mask,
+                    self.vals, x)
+        else:
+            args = (self.a_dense, x)
+        return jax.jit(self._shmapped).lower(*args).as_text()
 
     def __call__(self, x):
         return self._fn(x)

@@ -98,18 +98,29 @@ class _Stats:
 
 
 class Registry:
-    """Process-wide kernel cache + user key-value registry."""
+    """Process-wide kernel cache + user key-value registry.
 
-    # Soft capacity mirroring LIBXSMM_CAPACITY_REGISTRY
-    # (src/libxsmm_main.h:17-18); a dict has no fixed slots, so this only
-    # drives the exhaustion warning.
-    CAPACITY = 131072
+    Capacity mirrors LIBXSMM_CAPACITY_REGISTRY (src/libxsmm_main.h:17-18;
+    override via XSMM_TPU_REGISTRY_CAPACITY). At capacity the default
+    matches the reference — warn and keep growing (main.c:2902-2907 counts
+    a collision; a dict has no fixed slots) — while long-running processes
+    can opt into LRU eviction (XSMM_TPU_REGISTRY_EVICT=1): the kernel
+    dict is insertion-ordered and hits refresh recency, so eviction drops
+    the least-recently-dispatched kernel. Evicted kernels keep working for
+    holders of the Kernel object; only the cache entry is dropped (a
+    re-dispatch rebuilds, with XLA's persistent compile cache absorbing
+    the recompile)."""
 
     def __init__(self):
         self._lock = threading.RLock()
         self._kernels: Dict[Any, Kernel] = {}
         self._user: Dict[bytes, Any] = {}
         self._stats = _Stats()
+        self.evictions = 0
+
+    @property
+    def CAPACITY(self) -> int:
+        return CONFIG.registry_capacity
 
     # -- kernel dispatch ---------------------------------------------------
 
@@ -126,6 +137,10 @@ class Registry:
                 hit = self._kernels.get(descriptor)
                 if hit is not None:
                     self._stats.hits += 1
+                    if CONFIG.registry_evict:
+                        # refresh recency (dicts are insertion-ordered)
+                        self._kernels.pop(descriptor)
+                        self._kernels[descriptor] = hit
                     return hit
         kernel = builder(descriptor)
         with self._lock:
@@ -135,9 +150,16 @@ class Registry:
             if existing is not None and CONFIG.cache_enabled:
                 return existing
             if CONFIG.cache_enabled:
-                if len(self._kernels) >= self.CAPACITY and CONFIG.verbose:
-                    print("libxsmm_tpu: registry capacity exceeded "
-                          f"({self.CAPACITY}); kernels keep accumulating")
+                if len(self._kernels) >= self.CAPACITY:
+                    if CONFIG.registry_evict:
+                        oldest = next(iter(self._kernels))
+                        self._kernels.pop(oldest)
+                        self.evictions += 1
+                    elif CONFIG.verbose:
+                        print("libxsmm_tpu: registry capacity exceeded "
+                              f"({self.CAPACITY}); kernels keep "
+                              "accumulating (XSMM_TPU_REGISTRY_EVICT=1 "
+                              "enables LRU eviction)")
                 self._kernels[descriptor] = kernel
             self._stats.builds += 1
             if kernel.info.is_reference_kernel:
@@ -195,6 +217,7 @@ class Registry:
                 "hits": self._stats.hits,
                 "builds": self._stats.builds,
                 "fallbacks": self._stats.fallbacks,
+                "evictions": self.evictions,
             }
 
     def print_statistic(self) -> None:

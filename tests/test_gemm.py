@@ -703,3 +703,76 @@ def test_gemm_packed_combo_rejection():
                                    b_in_type=Datatype.BF16,
                                    out_type=Datatype.MXFP4X2),
                          GemmFlags.BETA_0)
+
+
+def test_brgemm_ext_packed_fused():
+    """Fused relu+bias BRGEMM on the lane-packed Pallas path matches the
+    XLA ext path (reference fused AMX epilogue analogue)."""
+    from libxsmm_tpu.descriptor import BinaryPostops, BinaryType
+    m, n, k, br, q = 16, 32, 64, 8, 2
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    bias = RNG.standard_normal((1, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_ext_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br),
+        argops=UnaryArgops(cp_type=UnaryType.RELU),
+        postops=BinaryPostops(d_type=BinaryType.ADD))
+    ap = xt.pack_batched(a, q)
+    got = np.asarray(kern(ap, b, d_op=bias))
+    want = np.maximum(np.einsum("bmk,bkn->mn", a, b) + bias, 0.0)
+    check(want, got, margin=1e-3)
+
+
+def test_brgemm_ext_packed_beta1_gelu():
+    from libxsmm_tpu.descriptor import BinaryPostops, BinaryType
+    import scipy.special
+    m, n, k, br, q = 16, 32, 64, 8, 2
+    a = (RNG.standard_normal((br, m, k)) * 0.2).astype(np.float32)
+    b = (RNG.standard_normal((br, k, n)) * 0.2).astype(np.float32)
+    c = RNG.standard_normal((m, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_ext_packed(
+        GemmShape(m, n, k), GemmFlags.NONE,
+        BatchReduceConfig(BatchReduceType.STRIDE, br),
+        argops=UnaryArgops(cp_type=UnaryType.GELU))
+    ap = xt.pack_batched(a, q)
+    got = np.asarray(kern(ap, b, c))
+    acc = np.einsum("bmk,bkn->mn", a, b) + c
+    want = 0.5 * acc * (1 + scipy.special.erf(acc / np.sqrt(2)))
+    check(want, got, margin=1e-3)
+
+
+def test_brgemm_ext_packed_rejects():
+    from libxsmm_tpu.descriptor import BinaryPostops, BinaryType
+    with pytest.raises(ValueError):
+        xt.dispatch_brgemm_ext_packed(
+            GemmShape(16, 32, 64), GemmFlags.BETA_0,
+            argops=UnaryArgops(cp_type=UnaryType.SQRT))
+    with pytest.raises(ValueError):
+        xt.dispatch_brgemm_ext_packed(
+            GemmShape(16, 32, 64), GemmFlags.BETA_0,
+            postops=BinaryPostops(d_type=BinaryType.MUL))
+    with pytest.raises(ValueError):
+        xt.dispatch_brgemm_ext_packed(
+            GemmShape(16, 32, 63), GemmFlags.BETA_0)
+
+
+def test_bcsc_union_strategy():
+    from libxsmm_tpu.descriptor import SpgemmConfig
+    from libxsmm_tpu.ops.sparse import BcscMatrix, create_packed_spgemm_bcsc
+    rng = np.random.default_rng(5)
+    m, k, n, bk, bn = 64, 256, 256, 32, 32
+    bmat = rng.standard_normal((k, n)).astype(np.float32)
+    keep = rng.random((k // bk, n // bn)) < 0.25
+    bmat *= np.kron(keep, np.ones((bk, bn), np.float32))
+    bcsc = BcscMatrix.from_dense(bmat, bk, bn)
+    kern = create_packed_spgemm_bcsc(
+        GemmShape(m, n, k), GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        bcsc.indptr, bcsc.indices, strategy="union")
+    assert "union" in kern.name
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    got = np.asarray(kern(a, bcsc.data))
+    check(a @ bmat, got, margin=1e-4)
+    # beta=1 path
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    check(a @ bmat + c, np.asarray(kern(a, bcsc.data, c)), margin=1e-4)

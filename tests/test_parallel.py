@@ -126,3 +126,37 @@ def test_dist_spmm_two_level():
     x = RNG.standard_normal((k, n)).astype(np.float32)
     check(a @ x, np.asarray(spmm(x)), margin=1e-4)
     assert spmm.ring_size == ici
+
+
+def test_ring_comm_volume_model():
+    """The ring's communication volume scales as P segments of (k/P, n):
+    analytic model matches, and the lowered program really contains the
+    expected collective (ppermute for ring, all-gather for allgather)."""
+    import jax
+    from libxsmm_tpu.ops.sparse import BsrMatrix
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    from libxsmm_tpu.parallel.spmm_dist import DistributedBsrSpmm
+
+    rng = np.random.default_rng(0)
+    k = 256
+    n = 32
+    blk = 16
+    for nd in (2, 4, 8):
+        m = 32 * nd
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        a[rng.random((m, k)) > 0.3] = 0.0
+        a += np.eye(m, k, dtype=np.float32)
+        bsr = BsrMatrix.from_dense(a, blk, blk)
+        mesh = make_mesh([("x", nd)])
+        x = rng.standard_normal((k, n)).astype(np.float32)
+
+        ring = DistributedBsrSpmm(bsr, n, mesh)
+        assert ring.comm_bytes_per_device() == nd * (k // nd) * n * 4
+        txt = ring.lowered_text(x)
+        assert ("collective_permute" in txt or "collective-permute" in txt)
+        # the permuted payload is one X segment: (k/P, n) f32
+        assert f"tensor<{k // nd}x{n}xf32>" in txt
+
+        agh = DistributedBsrSpmm(bsr, n, mesh, comm="allgather")
+        assert agh.comm_bytes_per_device() == (nd - 1) * (k // nd) * n * 4
+        assert "all_gather" in agh.lowered_text(x).replace("-", "_")

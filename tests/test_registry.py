@@ -73,3 +73,35 @@ def test_global_api():
     xt.xrelease(b"gk")
     info = xt.get_registry_info()
     assert info["capacity"] == 131072
+
+
+def test_registry_lru_eviction():
+    """Opt-in LRU eviction at capacity (XSMM_TPU_REGISTRY_EVICT):
+    least-recently-dispatched kernels are evicted first, and hits refresh
+    recency."""
+    from libxsmm_tpu.config import CONFIG
+    from libxsmm_tpu.registry import Kernel, KernelInfo, Registry
+
+    old_cap, old_evict = CONFIG.registry_capacity, CONFIG.registry_evict
+    CONFIG.registry_capacity, CONFIG.registry_evict = 3, True
+    try:
+        reg = Registry()
+
+        def build(key):
+            return Kernel(fn=lambda: key, descriptor=key,
+                          info=KernelInfo(kind="test"), name=str(key))
+
+        for key in ("a", "b", "c"):
+            reg.dispatch(key, build)
+        reg.dispatch("a", build)            # refresh 'a'
+        reg.dispatch("d", build)            # evicts 'b' (LRU), not 'a'
+        info = reg.get_registry_info()
+        assert info["evictions"] == 1 and info["nkernels"] == 3
+        hits0 = info["hits"]
+        reg.dispatch("a", build)            # still cached
+        reg.dispatch("c", build)
+        assert reg.get_registry_info()["hits"] == hits0 + 2
+        reg.dispatch("b", build)            # rebuilt (was evicted)
+        assert reg.get_registry_info()["evictions"] == 2
+    finally:
+        CONFIG.registry_capacity, CONFIG.registry_evict = old_cap, old_evict
