@@ -281,15 +281,25 @@ def make_brgemm_fused_case():
 
 
 def make_fsspmdm_case():
-    """PyFR-class operator (m=125,k=75 p3 hex, N=4800 streaming)."""
+    """PyFR operator, N=4800 streaming (reference TEST_N default): the
+    REAL p4/hex m0 interp matrix (150x125, nnz=750) from the reference's
+    bundled operator set when present, else a synthetic stand-in."""
     from libxsmm_tpu.ops.fsspmdm import fsspmdm_create
+    from libxsmm_tpu.utils.testmats import (have_reference_pyfr_mats,
+                                            reference_pyfr_operators)
 
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
-    m, k, n = 125, 75, 4800
-    a = rng.standard_normal((m, k)).astype(np.float32)
-    a[rng.random((m, k)) > 0.3] = 0.0
+    n = 4800
+    if have_reference_pyfr_mats():
+        ops = dict(reference_pyfr_operators(orders=("p4",), elems=("hex",)))
+        a = np.asarray(ops["p4/hex/m0-sp"], np.float32)
+        m, k = a.shape
+    else:
+        m, k = 125, 75
+        a = rng.standard_normal((m, k)).astype(np.float32)
+        a[rng.random((m, k)) > 0.3] = 0.0
     h = fsspmdm_create(n, a)
 
     def step(b):
@@ -303,6 +313,11 @@ def make_fsspmdm_case():
 
 
 def make_bcsc_case():
+    """BCSC SpMM at 20% block density: the densify baseline AND the
+    k-union-compacted sparse kernel run as SEPARATE interleaved cases, so
+    each gets its own best time-share window — a single create-time
+    autotune pick would inherit whatever window it measured in (the device
+    swings ~100x between minutes)."""
     import jax.numpy as jnp
 
     from libxsmm_tpu.descriptor import GemmFlags, GemmShape, SpgemmConfig
@@ -317,22 +332,27 @@ def make_bcsc_case():
     bcsc = BcscMatrix.from_dense(bmat, bk, bn)
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
-    kern = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
-                                     SpgemmConfig(1, bk, bn),
-                                     column_ptr=bcsc.indptr,
-                                     row_idx=bcsc.indices)
+    kerns = {}
+    for s in ("dense", "union"):
+        kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
+                                             SpgemmConfig(1, bk, bn),
+                                             column_ptr=bcsc.indptr,
+                                             row_idx=bcsc.indices,
+                                             strategy=s)
     v = jnp.asarray(bcsc.data, jnp.bfloat16)
-
-    def step(a):
-        out = kern(a, v)
-        # slice chain (see brgemm case)
-        return a.at[:, :128].add((out[:, :128] * 1e-6).astype(jnp.bfloat16))
-
     a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-    case = ChainCase(step, a0)
+
+    def make_step(kern):
+        def step(a):
+            out = kern(a, v)
+            # slice chain (see brgemm case)
+            return a.at[:, :128].add((out[:, :128] * 1e-6)
+                                     .astype(jnp.bfloat16))
+        return step
+
+    cases = {s: ChainCase(make_step(kern), a0) for s, kern in kerns.items()}
     nnz = bcsc.nblocks * bk * bn
-    bytes_moved = m * k * 2 + nnz * 2 + m * n * 4
-    return case, (nnz, m, kern.name.split("_")[-1], bytes_moved)
+    return cases, (nnz, m)
 
 
 def main():
@@ -362,11 +382,10 @@ def main():
     brg_case, (brg_flops, brg_bytes) = make_brgemm_case()
     brgf_case, brgf_flops = make_brgemm_fused_case()
     fss_case, (fss_nnzn, fss_kind, fss_bytes) = make_fsspmdm_case()
-    bcsc_case, (bcsc_nnz, bcsc_m, bcsc_strategy,
-                bcsc_bytes) = make_bcsc_case()
+    bcsc_cases, (bcsc_nnz, bcsc_m) = make_bcsc_case()
 
     cases = [copy_case, pf32_case, pbf16_case, smm_case, sol_case,
-             brg_case, brgf_case, fss_case, bcsc_case]
+             brg_case, brgf_case, fss_case] + list(bcsc_cases.values())
     # Interleave over time windows (the device is time-shared with >10x
     # minute-scale swings, including WITHIN a round — a per-round ratio is
     # noisy in both directions). Run all cases for ROUNDS windows, then
@@ -389,7 +408,9 @@ def main():
     smm_rate = smm_flops / smm_case.best
     brg_rate = brg_flops / brg_case.best
     fss_rate = fss_nnzn / fss_case.best
-    bcsc_rate = bcsc_nnz * bcsc_m * 2 / bcsc_case.best
+    bcsc_strategy = min(bcsc_cases, key=lambda s: bcsc_cases[s].best)
+    bcsc_best = bcsc_cases[bcsc_strategy].best
+    bcsc_rate = bcsc_nnz * bcsc_m * 2 / bcsc_best
 
     # per-kernel speed-of-light accounting (BASELINE.md). The brgemm /
     # fsspmdm / bcsc working sets fit VMEM, so within a chained launch the
@@ -399,10 +420,12 @@ def main():
     # ~0.53 of bf16 peak (intensity 128 F/B x ~650 GB/s), so a peak
     # fraction around 0.6 means the kernel runs AT/ABOVE streaming speed
     # of light courtesy of VMEM residency.
-    del brg_bytes, fss_bytes, bcsc_bytes
+    del brg_bytes, fss_bytes
     brg_peak_frac = round(brg_rate / peak_bf16, 3)
-    bcsc_peak_frac = round(2 * bcsc_nnz * bcsc_m / bcsc_case.best
+    bcsc_peak_frac = round(2 * bcsc_nnz * bcsc_m / bcsc_best
                            / peak_bf16, 4)
+    bcsc_frac_by = {s: round(2 * bcsc_nnz * bcsc_m / c.best / peak_bf16, 4)
+                    for s, c in bcsc_cases.items()}
 
     # dispatch-overhead extra (the reference publishes its dispatch-cost
     # methodology, documentation/libxsmm_samples.md:500-505): cache-hit
@@ -441,10 +464,10 @@ def main():
             "fsspmdm_gnnz_per_s": round(fss_rate / 1e9, 3),
             "fsspmdm_kind": fss_kind,
             "bcsc_spmm_bf16_gflops": round(bcsc_rate / 1e9, 1),
-            "bcsc_spmm_gnnz_per_s": round(bcsc_nnz / bcsc_case.best / 1e9,
-                                          3),
+            "bcsc_spmm_gnnz_per_s": round(bcsc_nnz / bcsc_best / 1e9, 3),
             "bcsc_strategy": bcsc_strategy,
             "bcsc_useful_peak_fraction": bcsc_peak_frac,
+            "bcsc_useful_peak_by_strategy": bcsc_frac_by,
             "dispatch_us": round(dispatch_us, 3),
         },
     }

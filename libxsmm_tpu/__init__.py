@@ -44,8 +44,17 @@ from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
                          create_packed_spgemm_bcsc, create_packed_spgemm_csc,
                          create_tilecfg_packed_spgemm_bcsc,
                          create_packed_spgemm_csr, create_spgemm_csr_areg)
+from .ops.packed import (create_packed_gemm, create_packed_gemm_ac_rm,
+                         create_packed_gemm_bc_rm)
+from .ops.equation import meqn_rpn_print
 
 __version__ = "0.1.0"
+
+
+def get_verbosity() -> int:
+    """libxsmm_get_verbosity analogue."""
+    from .config import CONFIG
+    return CONFIG.verbose
 
 
 def get_registry_info():

@@ -90,3 +90,65 @@ def edge_fluxmatrix(m: int = 20, k: int = 35, seed: int = 0,
         cols = rng.choice(k, max(1, int(density * k)), replace=False)
         a[i, cols] = values[rng.integers(0, len(values), len(cols))]
     return a
+
+
+# ---------------------------------------------------------------------------
+# REAL reference sample matrices (when the reference snapshot is present):
+# the PyFR/GiMMiK spectral-element operator sets the reference validates on
+# (/root/reference/samples/xgemm_sparse_Ainregs/mats/p*/{hex,pri,quad,tet,
+# tri}/m*-{sp,de}.mtx) and the EDGE seismic matrices
+# (/root/reference/samples/xgemm_norm_packed/mats/tet4_*_{csr,csc}.mtx).
+# These are DATA inputs read in place — nothing is copied into this repo.
+# ---------------------------------------------------------------------------
+
+PYFR_MATS_DIR = "/root/reference/samples/xgemm_sparse_Ainregs/mats"
+EDGE_MATS_DIR = "/root/reference/samples/xgemm_norm_packed/mats"
+
+
+def have_reference_pyfr_mats() -> bool:
+    import os
+    return os.path.isdir(PYFR_MATS_DIR)
+
+
+def have_reference_edge_mats() -> bool:
+    import os
+    return os.path.isdir(EDGE_MATS_DIR)
+
+
+def reference_pyfr_operators(orders=("p2", "p3", "p4"),
+                             elems=("hex", "tet"),
+                             kinds=("sp",)):
+    """Load the real PyFR operator matrices: [(label, dense ndarray)].
+
+    kinds: 'sp' = the sparse operators the reference's fsspmdm test sweeps
+    (tests/fsspmdm.sh), 'de' = their dense counterparts."""
+    import glob
+    import os
+
+    from .mtx import read_mtx
+
+    out = []
+    for p in orders:
+        for elem in elems:
+            d = os.path.join(PYFR_MATS_DIR, p, elem)
+            if not os.path.isdir(d):
+                continue
+            for path in sorted(glob.glob(os.path.join(d, "m*.mtx"))):
+                base = os.path.basename(path)[:-4]       # mN-sp / mN-de
+                if base.rsplit("-", 1)[1] not in kinds:
+                    continue
+                out.append((f"{p}/{elem}/{base}", read_mtx(path)))
+    return out
+
+
+def reference_edge_operators(fmt="csr", limit=None):
+    """Load the real EDGE (seismic ADER-DG) matrices: [(label, dense)]."""
+    import glob
+    import os
+
+    from .mtx import read_mtx
+
+    paths = sorted(glob.glob(os.path.join(EDGE_MATS_DIR, f"*_{fmt}.mtx")))
+    if limit:
+        paths = paths[:limit]
+    return [(os.path.basename(p)[:-4], read_mtx(p)) for p in paths]

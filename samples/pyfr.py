@@ -1,19 +1,19 @@
 """pyfr — fixed-sparsity SpMM driver on spectral-element operators.
 
 TPU rendition of /root/reference/samples/xgemm_sparse_Ainregs
-(pyfr_driver_asp_reg.c + performance.sh): sweep the PyFR-class operator
-set (derivative + face-interp operators at orders p1..p4, hex elements),
+(pyfr_driver_asp_reg.c + performance.sh): sweep the PyFR operator set,
 create an fsspmdm handle per operator (create-time autotune, dense vs
 pattern-baked), validate against the NumPy oracle, and report Gnnz/s and
 effective GFLOP/s per operator for the streaming N=4800 case (reference
 TEST_N default, test.sh:16).
 
-The reference downloads real .mtx operators (pyfr_download_mats.sh); this
-environment has no network, so utils/testmats.py synthesizes operators of
-the same class (kron-structured derivative ops ~1/(p+1) density,
-tall-skinny face-interp ops).
+Operators: the REAL PyFR/GiMMiK .mtx matrices bundled with the reference
+snapshot (samples/xgemm_sparse_Ainregs/mats/p*/{hex,tet,...}/m*-sp.mtx)
+are read in place when present; otherwise utils/testmats.py synthesizes
+operators of the same class (kron-structured derivative ops, tall-skinny
+face-interp ops).
 
-Usage: python samples/pyfr.py [N]      (default 4800)
+Usage: python samples/pyfr.py [N] [--synthetic]      (default N=4800)
 """
 
 import sys
@@ -24,19 +24,28 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
-def main(n=4800):
+def main(n=4800, synthetic=False):
     import jax
     import jax.numpy as jnp
 
     from libxsmm_tpu.ops.fsspmdm import fsspmdm_create
     from libxsmm_tpu.matdiff import matdiff
-    from libxsmm_tpu.utils.testmats import (hex_derivative_operator,
-                                            hex_interp_operator)
+    from libxsmm_tpu.utils.testmats import (have_reference_pyfr_mats,
+                                            hex_derivative_operator,
+                                            hex_interp_operator,
+                                            reference_pyfr_operators)
 
-    ops = []
-    for p in (1, 2, 3, 4):
-        ops.append((f"p{p} hex deriv  ", hex_derivative_operator(p)))
-        ops.append((f"p{p} hex interp ", hex_interp_operator(p)))
+    if have_reference_pyfr_mats() and not synthetic:
+        ops = [(f"{name:18s}", a) for name, a in
+               reference_pyfr_operators(orders=("p2", "p3", "p4"),
+                                        elems=("hex",))]
+        print(f"{len(ops)} REAL PyFR operators "
+              "(reference mats/, read in place)")
+    else:
+        ops = []
+        for p in (1, 2, 3, 4):
+            ops.append((f"p{p} hex deriv     ", hex_derivative_operator(p)))
+            ops.append((f"p{p} hex interp    ", hex_interp_operator(p)))
 
     rng = np.random.default_rng(0)
     inner = 256
@@ -54,9 +63,10 @@ def main(n=4800):
         failures += not ok
 
         # perf: chained inside one launch (see bench.py discipline)
+        mm = min(m, k)
         def step(x):
             out = h.kernel.fn(x)
-            return x.at[:, :8].add(out[:k, :8] * 1e-6)
+            return x.at[:mm, :8].add(out[:mm, :8] * 1e-6)
 
         fn = jax.jit(lambda s: jax.lax.fori_loop(
             0, inner, lambda i, ss: step(ss), s))
@@ -80,5 +90,6 @@ def main(n=4800):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4800
-    sys.exit(main(n))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 4800
+    sys.exit(main(n, synthetic="--synthetic" in sys.argv))
