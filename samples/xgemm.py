@@ -265,6 +265,11 @@ def run_class(cls, rng, bench=False, verbose=True):
         flags |= GemmFlags.VNNI_C
 
     shape = GemmShape(m, n, k, a_in_type=adt, b_in_type=bdt, out_type=odt)
+    if D.F64 in (adt, bdt, odt):
+        # operands are built BEFORE dispatch (which normally flips x64)
+        import jax
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
     label = (f"{kind} {adt.value}x{bdt.value}->{odt.value} {m}x{n}x{k}"
              f"{' br=' + br_mode if br else ''}{' tA' if ta else ''}"
              f"{' tB' if tb else ''}{' vnni' + vnni if vnni else ''}"
