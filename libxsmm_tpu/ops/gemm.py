@@ -100,11 +100,15 @@ def _validate_packed_combo(shape: GemmShape, flags: GemmFlags) -> None:
         raise ValueError("transposes are unsupported for packed MX/sub-byte "
                          "GEMM operands (k-contiguous payload contract)")
     if a in _MX_FLOAT or b in _MX_FLOAT:
-        if b not in _MX_FLOAT + (Datatype.BF16, Datatype.F16, Datatype.F32):
-            raise ValueError(f"MX GEMM needs an MX or native-float B "
+        # reference gating is MX x MX (generator_gemm.c:276-296); BF16/F32
+        # partners are the TPU-native extension (decode target follows the
+        # partner). F16 partners are rejected: MX scales up to 2^127
+        # overflow f16 storage.
+        if b not in _MX_FLOAT + (Datatype.BF16, Datatype.F32):
+            raise ValueError(f"MX GEMM needs an MX, BF16 or F32 B "
                              f"operand (got {b})")
-        if a not in _MX_FLOAT + (Datatype.BF16, Datatype.F16, Datatype.F32):
-            raise ValueError(f"MX GEMM needs an MX or native-float A "
+        if a not in _MX_FLOAT + (Datatype.BF16, Datatype.F32):
+            raise ValueError(f"MX GEMM needs an MX, BF16 or F32 A "
                              f"operand (got {a})")
         if o not in (Datatype.F32, Datatype.BF16, Datatype.F16):
             raise ValueError(f"MX GEMM output must be F32/BF16/F16 (got {o};"
@@ -139,13 +143,21 @@ def _packed_operand_decoders(shape: GemmShape):
     paths (generator_gemm_reference_impl.c:200-240)."""
     from .. import quant as q_
 
+    # decoded MX values must share the dtype of the (possibly native)
+    # partner operand, or dot_general rejects the element-type mismatch:
+    # bf16 when the partner is bf16 or itself MX (exact, fast MXU path),
+    # f32 when the partner carries f32 data
+    a_dt_, b_dt_ = shape.a_in_type, shape.b_in_type
+    mx_target = (jnp.float32 if Datatype.F32 in (a_dt_, b_dt_)
+                 else jnp.bfloat16)
+
     def _decode(dt, operand, is_b):
         if dt in _MX_FLOAT:
             payload, scales = operand
             if is_b:
                 payload = jnp.swapaxes(payload, -1, -2)
                 scales = jnp.swapaxes(scales, -1, -2)
-            dec = _mx_decode(dt, payload, scales).astype(jnp.bfloat16)
+            dec = _mx_decode(dt, payload, scales).astype(mx_target)
             return jnp.swapaxes(dec, -1, -2) if is_b else dec
         if dt in _INT_SUB:
             p = jnp.swapaxes(operand, -1, -2) if is_b else operand

@@ -56,15 +56,20 @@ def bench(fn: Callable, args: Tuple = (), reps: int = 50,
 
 
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
-                reps: int = 20, warmup: int = 2, rounds: int = 3) -> float:
+                reps: int = 20, warmup: int = 2, rounds: int = 3,
+                min_launch_s: float = 0.05) -> float:
     """Average seconds per call with a data dependency chained through
     args[chain_idx] each rep (a zero-valued output readback folded in), so
     the runtime cannot memoize or dead-code-eliminate the body.
 
-    All reps run INSIDE one launch (lax.fori_loop): per-launch overhead on
-    this backend is 1.2-14 ms depending on the time-sharing window, which
-    would otherwise swamp any kernel under ~1 GB of traffic. The final sync
-    is a host fetch (block_until_ready does not flush the pipeline)."""
+    All reps run INSIDE one launch (lax.fori_loop) AND the rep count is
+    CALIBRATED so each launch runs at least `min_launch_s`: per-launch
+    overhead on this backend swings 1.2 ms to ~28 ms with the time-sharing
+    window — a fixed small rep count silently measures launch overhead
+    instead of the kernel in bad windows (every candidate then reads
+    launch_ms/reps, and autotunes pick arbitrarily). `reps` is the lower
+    bound / first probe size. The final sync is a host fetch
+    (block_until_ready does not flush the pipeline)."""
     args = tuple(args)
 
     def step(x):
@@ -79,12 +84,26 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
         x, _ = jax.lax.optimization_barrier((x, leaf))
         return x
 
-    looped = jax.jit(lambda s: jax.lax.fori_loop(
-        0, reps, lambda i, ss: step(ss), s))
+    def make(r):
+        return jax.jit(lambda s: jax.lax.fori_loop(
+            0, r, lambda i, ss: step(ss), s))
 
+    looped = make(reps)
     x = args[chain_idx]
     x = looped(x)                      # compile + warmup
     device_sync(x)
+    t0 = time.perf_counter()
+    x = looped(x)
+    device_sync(x)
+    t_probe = time.perf_counter() - t0
+    if t_probe < min_launch_s:
+        # scale reps so launch overhead is amortized below ~launch/target
+        reps = min(100000, max(reps + 1,
+                               int(reps * 2 * min_launch_s
+                                   / max(t_probe, 1e-6))))
+        looped = make(reps)
+        x = looped(x)                  # compile + warmup at the new count
+        device_sync(x)
     best = float("inf")
     for _ in range(max(1, rounds)):
         t0 = time.perf_counter()

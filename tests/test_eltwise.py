@@ -272,18 +272,19 @@ def test_elu_inv_reference_semantics():
     alpha = 1.3
     fwd = xt.dispatch_meltw_unary(UnaryType.ELU, m, n)
     out_fwd = np.asarray(fwd(x, alpha=alpha))
+    # atol absorbs the TPU VPU's expm1 accuracy (~1e-4 rel near -1)
     np.testing.assert_allclose(out_fwd,
                                np.where(x > 0, x, alpha * np.expm1(x)),
-                               rtol=1e-5)
+                               rtol=1e-5, atol=1e-5)
     inv = xt.dispatch_meltw_unary(UnaryType.ELU_INV, m, n)
     g = _rand((m, n))
     giv = np.asarray(inv(g, out_fwd, alpha=alpha))
     want = np.where(out_fwd > 0, g, g * (out_fwd + alpha))
-    np.testing.assert_allclose(giv, want, rtol=1e-5)
+    np.testing.assert_allclose(giv, want, rtol=1e-5, atol=1e-5)
     # and the identity that makes it the elu gradient: out_fwd + alpha
     # == alpha*exp(x) for x <= 0
     np.testing.assert_allclose(giv[x <= 0], (g * alpha * np.exp(x))[x <= 0],
-                               rtol=1e-4)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_quant_flag_parity():

@@ -776,3 +776,22 @@ def test_bcsc_union_strategy():
     # beta=1 path
     c = rng.standard_normal((m, n)).astype(np.float32)
     check(a @ bmat + c, np.asarray(kern(a, bcsc.data, c)), margin=1e-4)
+
+
+def test_gemm_mx_a_f32_b():
+    """MX A with a native F32 B: decode target follows the partner dtype
+    (mixed bf16/f32 dot_general operands would be rejected)."""
+    m, n, k = 16, 32, 64
+    pair, adec = _mx_pair_a(m, k, Datatype.MXFP4X2)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    kern = xt.dispatch_gemm(
+        GemmShape(m, n, k, a_in_type=Datatype.MXFP4X2,
+                  b_in_type=Datatype.F32, out_type=Datatype.F32),
+        GemmFlags.BETA_0)
+    got = np.asarray(kern(pair, b))
+    want = adec.astype(np.float32) @ b
+    check(want, got, margin=1e-2 * max(1.0, np.abs(want).max()))
+    with pytest.raises(ValueError):
+        xt.dispatch_gemm(GemmShape(m, n, k, a_in_type=Datatype.MXFP4X2,
+                                   b_in_type=Datatype.F16,
+                                   out_type=Datatype.F32), GemmFlags.BETA_0)
