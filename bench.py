@@ -304,7 +304,12 @@ def make_fsspmdm_case():
 
     def step(b):
         out = h.kernel.fn(b)
-        return b.at[:, :8].add(out[:k, :8] * 1e-6)   # slice chain (see brgemm)
+        # consume the FULL output: the dense candidate is an XLA dot, and a
+        # slice-consuming chain would be narrowed by slice-of-dot ->
+        # dot-of-slice (out[:, :8] would time an (m,k)x(k,8) problem!);
+        # float `sum*0.0` is un-foldable and un-narrowable
+        z = (jnp.sum(out.astype(jnp.float32)) * 0.0).astype(b.dtype)
+        return b.at[0, 0].add(z)
 
     b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
     case = ChainCase(step, b0)
@@ -345,9 +350,11 @@ def make_bcsc_case():
     def make_step(kern):
         def step(a):
             out = kern(a, v)
-            # slice chain (see brgemm case)
-            return a.at[:, :128].add((out[:, :128] * 1e-6)
-                                     .astype(jnp.bfloat16))
+            # full-output consumption (see the fsspmdm case): the dense
+            # strategy is an XLA dot — a slice-consuming chain times a
+            # column-narrowed matmul, inflating it ~n/slice_width
+            z = (jnp.sum(out) * 0.0).astype(jnp.bfloat16)
+            return a.at[0, 0].add(z)
         return step
 
     cases = {s: ChainCase(make_step(kern), a0) for s, kern in kerns.items()}

@@ -75,14 +75,17 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
     def step(x):
         call = [x if i == chain_idx else a for i, a in enumerate(args)]
         out = fn(*call)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        # thread the carry THROUGH an optimization barrier together with the
-        # kernel output: an arithmetic chain (`x + leaf[0]*0`) is
-        # algebraically foldable for integer dtypes (XLA folds int mul-by-0
-        # to a constant and DCEs the kernel), whereas the barrier's carry
-        # output cannot be separated from its kernel-output operand
-        x, _ = jax.lax.optimization_barrier((x, leaf))
-        return x
+        # The chain must consume EVERY output element, or XLA computes only
+        # the live part: slice-of-dot rewrites to dot-of-slice (a chain
+        # through out[0] times a 2048^2 matmul at 1 row), and
+        # optimization-barrier tuples get unused elements DCE'd (a barrier
+        # pairing elided the kernel entirely). A full float reduction is
+        # un-narrowable, and `total * 0.0` is un-foldable for floats (the
+        # value could be NaN/inf), unlike integer mul-by-zero.
+        total = sum(jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree_util.tree_leaves(out))
+        zero = (total * 0.0).astype(x.dtype)
+        return x.at[(0,) * x.ndim].add(zero)
 
     def make(r):
         return jax.jit(lambda s: jax.lax.fori_loop(

@@ -62,11 +62,13 @@ def main(n=4800, synthetic=False):
         ok = d.normf_rel < 1e-5
         failures += not ok
 
-        # perf: chained inside one launch (see bench.py discipline)
-        mm = min(m, k)
+        # perf: chained inside one launch (see bench.py discipline); the
+        # chain must consume the FULL output — the dense kernel is an XLA
+        # dot and slice-consumption gets narrowed to dot-of-slice
         def step(x):
             out = h.kernel.fn(x)
-            return x.at[:mm, :8].add(out[:mm, :8] * 1e-6)
+            z = (jnp.sum(out.astype(jnp.float32)) * 0.0).astype(x.dtype)
+            return x.at[0, 0].add(z)
 
         fn = jax.jit(lambda s: jax.lax.fori_loop(
             0, inner, lambda i, ss: step(ss), s))

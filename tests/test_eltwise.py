@@ -394,8 +394,10 @@ def test_quant_mx_outputs():
         payload, scales = kern(x)
         payload, scales = np.asarray(payload), np.asarray(scales)
         want_payload, want_scales = oracle(x)
-        np.testing.assert_array_equal(payload.view(np.uint8), want_payload)
-        np.testing.assert_array_equal(scales, want_scales)
+        np.testing.assert_array_equal(payload.view(np.uint8), want_payload,
+                                      err_msg=f"payload {dt}")
+        np.testing.assert_array_equal(scales, want_scales,
+                                      err_msg=f"scales {dt}")
         # round-trip sanity on finite entries (bf8 payloads can be inf
         # exactly where the reference overflows e5m2 near block amax)
         back = np.asarray(deq(payload, scales))

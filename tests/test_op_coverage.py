@@ -281,8 +281,15 @@ def test_unary_enum_complete(op):
         return
     assert op in _UNARY_ORACLE, f"op {op.name} has no oracle"
     kern = xt.dispatch_meltw_unary(op, M, N)
+    transcendental = op in (UnaryType.TANH, UnaryType.TANH_INV,
+                            UnaryType.SIGMOID, UnaryType.SIGMOID_INV,
+                            UnaryType.GELU, UnaryType.GELU_INV,
+                            UnaryType.EXP, UnaryType.ELU)
+    # TPU VPU transcendentals are approximations (~1e-4 abs), like the
+    # reference's minimax/LUT implementations
+    rtol, atol = (5e-4, 2e-4) if transcendental else (2e-5, 1e-6)
     np.testing.assert_allclose(np.asarray(kern(x)), _UNARY_ORACLE[op](x),
-                               rtol=2e-5, atol=1e-6)
+                               rtol=rtol, atol=atol)
 
 
 @pytest.mark.parametrize("op", list(BinaryType), ids=lambda o: o.name)
