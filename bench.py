@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-ROUNDS = 8
+ROUNDS = int(os.environ.get("XSMM_TPU_BENCH_ROUNDS", "12"))
 TARGET_LAUNCH_S = 0.2   # sized so ~13 ms worst-case launch cost is <7% noise
 
 
@@ -348,16 +348,21 @@ def make_bcsc_case():
     a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
     def make_step(kern):
-        def step(a):
-            out = kern(a, v)
+        def step(vv):
+            out = kern(a0, vv)
             # full-output consumption (see the fsspmdm case): the dense
             # strategy is an XLA dot — a slice-consuming chain times a
-            # column-narrowed matmul, inflating it ~n/slice_width
+            # column-narrowed matmul, inflating it ~n/slice_width.
+            # The chain runs through the VALUES, not A: values are runtime
+            # operands in the packed-spgemm API (the reference passes the
+            # value pointer per call) — a fixed-v chain would let XLA
+            # hoist dense's densify out of the loop, which no real caller
+            # with changing values gets
             z = (jnp.sum(out) * 0.0).astype(jnp.bfloat16)
-            return a.at[0, 0].add(z)
+            return vv.at[0, 0, 0].add(z)
         return step
 
-    cases = {s: ChainCase(make_step(kern), a0) for s, kern in kerns.items()}
+    cases = {s: ChainCase(make_step(kern), v) for s, kern in kerns.items()}
     nnz = bcsc.nblocks * bk * bn
     return cases, (nnz, m)
 
@@ -405,8 +410,16 @@ def main():
         # the headline pair gets extra samples: MXU time-share hits the
         # compute-bearing kernel in some windows but never the DMA-only
         # passthrough, so smm needs more chances at an MXU-generous window
+        # (measured run-to-run headline spread 0.46-0.96 with an IDENTICAL
+        # cached executable — it is all window, hence window diversity)
         smm_case.trial()
         sol_case.trial()
+        smm_case.trial()
+        sol_case.trial()
+        # the brgemm pair swings 2x between runs on launch-latency windows
+        # (measured 47 vs 105 TF/s run to run at ROUNDS=8): extra samples
+        brg_case.trial()
+        brgf_case.trial()
     frac = sol_case.best / smm_case.best
 
     bw = copy_bytes / copy_case.best

@@ -15,7 +15,6 @@ maps to interpret-friendly geometry used by the CPU test harness.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -20,7 +20,6 @@ saved mask to gradients.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ arguments, replacing the reference's op.secondary pointer fields
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ from ..descriptor import (BinaryFlags, BinaryType, TernaryFlags, TernaryType,
                           UnaryFlags, UnaryType)
 from ..dtypes import Datatype, to_jnp
 from ..registry import Kernel, KernelInfo, get_registry
-from .eltwise import (_bcast_unary, apply_binary_op, apply_matmul_node,
+from .eltwise import (apply_binary_op, apply_matmul_node,
                       apply_ternary_op, apply_unary_op)
 
 _ARITY = {"unary": 1, "binary": 2, "ternary": 3}

@@ -35,7 +35,6 @@ Invoke contract (functional, no aliasing):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

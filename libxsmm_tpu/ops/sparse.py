@@ -501,7 +501,10 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
         except Exception:
             continue
         try:
-            tuned[s] = bench_chain(kern, (a, v), chain_idx=0, reps=12,
+            # chain through VALUES (the runtime operand per the reference
+            # API) so loop-invariant densify cannot be hoisted — see the
+            # bench.py bcsc case note
+            tuned[s] = bench_chain(kern, (a, v), chain_idx=1, reps=12,
                                    rounds=2)
         except Exception:
             continue

@@ -28,7 +28,6 @@ to this component.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

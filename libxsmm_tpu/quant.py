@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dtypes import Datatype, to_jnp
+from .dtypes import Datatype
 
 
 # ---------------------------------------------------------------------------
