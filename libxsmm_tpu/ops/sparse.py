@@ -689,8 +689,13 @@ def create_spgemm_csr_areg(shape: GemmShape,
                            values: np.ndarray = None) -> Kernel:
     """libxsmm_create_spgemm_csr_areg analogue (src/libxsmm_main.c:3842).
 
-    Pattern AND values are trace-time constants (the reference holds the
-    deduplicated values in vector registers). kernel(b[, c]) -> (m, n).
+    Pattern AND values are trace-time constants. The reference additionally
+    DEDUPLICATES unique |values| to fit them in vector registers
+    (generator_spgemm_csr_asparse_reg.c:66-96) — that optimization does not
+    port: on TPU the baked values live in VMEM as a device-resident array,
+    where duplicates cost nothing (there is no register-count ceiling to
+    stay under). The 65,536-nnz cap is kept as the compile-size guard.
+    kernel(b[, c]) -> (m, n).
     """
     _ensure_x64(shape)
     csr = CsrMatrix((shape.m, shape.k), np.asarray(row_ptr, np.int32),
