@@ -317,8 +317,8 @@ def make_fsspmdm_case():
     return case, (h.nnz * n, h.kind, bytes_moved)
 
 
-def make_bcsc_case():
-    """BCSC SpMM at 20% block density: the densify baseline AND the
+def make_bcsc_case(density=0.2):
+    """BCSC SpMM at the given block density: the densify baseline AND the
     k-union-compacted sparse kernel run as SEPARATE interleaved cases, so
     each gets its own best time-share window — a single create-time
     autotune pick would inherit whatever window it measured in (the device
@@ -332,7 +332,7 @@ def make_bcsc_case():
     rng = np.random.default_rng(2)
     m, k, n, bk, bn = 1024, 1024, 1024, 32, 32
     bmat = rng.standard_normal((k, n)).astype(np.float32)
-    keep = rng.random((k // bk, n // bn)) < 0.2
+    keep = rng.random((k // bk, n // bn)) < density
     bmat *= np.kron(keep, np.ones((bk, bn), np.float32))
     bcsc = BcscMatrix.from_dense(bmat, bk, bn)
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
@@ -394,10 +394,12 @@ def main():
     brg_case, (brg_flops, brg_bytes) = make_brgemm_case()
     brgf_case, brgf_flops = make_brgemm_fused_case()
     fss_case, (fss_nnzn, fss_kind, fss_bytes) = make_fsspmdm_case()
-    bcsc_cases, (bcsc_nnz, bcsc_m) = make_bcsc_case()
+    bcsc_cases, (bcsc_nnz, bcsc_m) = make_bcsc_case(0.2)
+    bcsc5_cases, (bcsc5_nnz, bcsc5_m) = make_bcsc_case(0.05)
 
     cases = [copy_case, pf32_case, pbf16_case, smm_case, sol_case,
-             brg_case, brgf_case, fss_case] + list(bcsc_cases.values())
+             brg_case, brgf_case, fss_case] + list(bcsc_cases.values()) \
+        + list(bcsc5_cases.values())
     # Interleave over time windows (the device is time-shared with >10x
     # minute-scale swings, including WITHIN a round — a per-round ratio is
     # noisy in both directions). Run all cases for ROUNDS windows, then
@@ -446,6 +448,9 @@ def main():
                            / peak_bf16, 4)
     bcsc_frac_by = {s: round(2 * bcsc_nnz * bcsc_m / c.best / peak_bf16, 4)
                     for s, c in bcsc_cases.items()}
+    bcsc5_frac_by = {s: round(2 * bcsc5_nnz * bcsc5_m / c.best / peak_bf16,
+                              4)
+                     for s, c in bcsc5_cases.items()}
 
     # dispatch-overhead extra (the reference publishes its dispatch-cost
     # methodology, documentation/libxsmm_samples.md:500-505): cache-hit
@@ -488,6 +493,7 @@ def main():
             "bcsc_strategy": bcsc_strategy,
             "bcsc_useful_peak_fraction": bcsc_peak_frac,
             "bcsc_useful_peak_by_strategy": bcsc_frac_by,
+            "bcsc_d05_useful_peak_by_strategy": bcsc5_frac_by,
             "dispatch_us": round(dispatch_us, 3),
         },
     }
