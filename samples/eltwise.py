@@ -44,8 +44,32 @@ BINARY = {
 def run_case(rng):
     m = int(rng.integers(1, 130))
     n = int(rng.integers(1, 130))
-    kind = rng.choice(["unary", "binary", "ternary", "reduce", "transform"])
+    kind = rng.choice(["unary", "binary", "ternary", "reduce", "transform",
+                       "grad"])
     x = rng.standard_normal((m, n)).astype(np.float32)
+    if kind == "grad":
+        # the gradient-kernel family with the reference ABI: forward emits
+        # the packed bitmask, backward consumes it with a runtime alpha
+        # (generator_mateltwise_reference_impl.c:2140-2195)
+        alpha = float(rng.uniform(0.05, 0.9))
+        fwd_op = [UnaryType.RELU, UnaryType.LEAKY_RELU][rng.integers(2)]
+        fwd = xt.dispatch_meltw_unary(fwd_op, m, n,
+                                      UnaryFlags.BITMASK_2BYTEMULT)
+        _, pmask = fwd(x, alpha=alpha)
+        g = rng.standard_normal((m, n)).astype(np.float32)
+        inv_op = (UnaryType.RELU_INV if fwd_op == UnaryType.RELU
+                  else UnaryType.LEAKY_RELU_INV)
+        inv = xt.dispatch_meltw_unary(inv_op, m, n,
+                                      UnaryFlags.BITMASK_2BYTEMULT)
+        out = np.asarray(inv(g, pmask, alpha=alpha))
+        ref = np.where(x > 0, g,
+                       0.0 if fwd_op == UnaryType.RELU else alpha * g)
+        label = f"grad {inv_op.name} a={alpha:.2f}"
+        info = matdiff(ref, out)
+        ok = info.normf_rel <= 1e-4 or info.linf_abs <= 1e-4
+        print(f"{'OK  ' if ok else 'FAIL'} {label:28s} {m:4d}x{n:<4d} "
+              f"normf_rel={info.normf_rel:.2e}")
+        return ok
     if kind == "unary":
         op = list(UNARY)[rng.integers(len(UNARY))]
         if op == UnaryType.SQRT:

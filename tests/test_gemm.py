@@ -795,3 +795,16 @@ def test_gemm_mx_a_f32_b():
         xt.dispatch_gemm(GemmShape(m, n, k, a_in_type=Datatype.MXFP4X2,
                                    b_in_type=Datatype.F16,
                                    out_type=Datatype.F32), GemmFlags.BETA_0)
+
+
+def test_gemm_bf32_comp():
+    """BF32 comp_type: f32 storage with the tf32-like bf16x3 MXU pass
+    (matmul_precision -> HIGH); accuracy between bf16 and f32."""
+    m, n, k = 32, 32, 64
+    a, b = _rand((m, k)), _rand((k, n))
+    shape = GemmShape(m, n, k, comp_type=Datatype.BF32)
+    kern = xt.dispatch_gemm(shape, GemmFlags.BETA_0)
+    got = np.asarray(kern(a, b))
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    info_err = np.abs(got - want).max() / np.abs(want).max()
+    assert info_err < 2e-3        # far better than raw bf16 (~1e-2)
