@@ -317,6 +317,33 @@ def make_fsspmdm_case():
     return case, (h.nnz * n, h.kind, bytes_moved)
 
 
+def make_fsspmdm_tall_case():
+    """The measured sparse-wins regime (docs/TUNING.md frontier): tall
+    sparse A (m=32, k=8192, 1% density, n=4096) where the values-baked ELL
+    kernel's gather traffic m*rmax < k beats streaming all of B. Records
+    whether the create-time autotune actually picks 'sparse' on device."""
+    from libxsmm_tpu.ops.fsspmdm import fsspmdm_create
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    m, k, n = 32, 8192, 4096
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    a[rng.random((m, k)) > 0.01] = 0.0
+    for i in range(m):
+        if not np.abs(a[i]).max():
+            a[i, rng.integers(k)] = 1.0
+    h = fsspmdm_create(n, a)
+
+    def step(b):
+        out = h.kernel.fn(b)
+        z = (jnp.sum(out.astype(jnp.float32)) * 0.0).astype(b.dtype)
+        return b.at[0, 0].add(z)
+
+    b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    return ChainCase(step, b0), (h.nnz * n, h.kind)
+
+
 def make_bcsc_case(density=0.2):
     """BCSC SpMM at the given block density: the densify baseline AND the
     k-union-compacted sparse kernel run as SEPARATE interleaved cases, so
@@ -394,12 +421,13 @@ def main():
     brg_case, (brg_flops, brg_bytes) = make_brgemm_case()
     brgf_case, brgf_flops = make_brgemm_fused_case()
     fss_case, (fss_nnzn, fss_kind, fss_bytes) = make_fsspmdm_case()
+    fsst_case, (fsst_nnzn, fsst_kind) = make_fsspmdm_tall_case()
     bcsc_cases, (bcsc_nnz, bcsc_m) = make_bcsc_case(0.2)
     bcsc5_cases, (bcsc5_nnz, bcsc5_m) = make_bcsc_case(0.05)
 
     cases = [copy_case, pf32_case, pbf16_case, smm_case, sol_case,
-             brg_case, brgf_case, fss_case] + list(bcsc_cases.values()) \
-        + list(bcsc5_cases.values())
+             brg_case, brgf_case, fss_case, fsst_case] \
+        + list(bcsc_cases.values()) + list(bcsc5_cases.values())
     # Interleave over time windows (the device is time-shared with >10x
     # minute-scale swings, including WITHIN a round — a per-round ratio is
     # noisy in both directions). Run all cases for ROUNDS windows, then
@@ -488,6 +516,9 @@ def main():
             "fsspmdm_eff_gflops": round(2 * fss_rate / 1e9, 1),
             "fsspmdm_gnnz_per_s": round(fss_rate / 1e9, 3),
             "fsspmdm_kind": fss_kind,
+            "fsspmdm_tall_gnnz_per_s": round(fsst_nnzn / fsst_case.best
+                                             / 1e9, 3),
+            "fsspmdm_tall_kind": fsst_kind,
             "bcsc_spmm_bf16_gflops": round(bcsc_rate / 1e9, 1),
             "bcsc_spmm_gnnz_per_s": round(bcsc_nnz / bcsc_best / 1e9, 3),
             "bcsc_strategy": bcsc_strategy,
