@@ -29,8 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-ROUNDS = int(os.environ.get("XSMM_TPU_BENCH_ROUNDS", "20"))
-TARGET_LAUNCH_S = 0.2   # sized so ~13 ms worst-case launch cost is <7% noise
+ROUNDS = int(os.environ.get("XSMM_TPU_BENCH_ROUNDS", "30"))
+# 0.12 s launches: still amortizes the 1.2 ms good-window launch cost to
+# ~1%, but samples the MXU time-share at finer grain — the headline needs
+# one launch-sized slice of generous MXU share, and 0.2 s slices were
+# often co-tenanted mid-launch
+TARGET_LAUNCH_S = 0.12
 
 
 def _sync(state):
