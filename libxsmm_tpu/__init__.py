@@ -23,6 +23,7 @@ from .device import get_geometry, on_tpu
 from .dtypes import (Datatype, from_jnp, get_typename, to_jnp, typesize)
 from .matdiff import MatdiffInfo, matdiff, matdiff_reduce
 from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
+                       get_meltwkernel_info, get_mmkernel_info,
                        get_registry, init)
 from .ops.gemm import (brgemm_pack_factor, dgemm, dispatch_brgemm,
                        dispatch_brgemm_ext, dispatch_brgemm_ext_packed,

@@ -292,3 +292,19 @@ def get_registry() -> Registry:
 def get_kernel_info(kernel: Kernel) -> KernelInfo:
     """libxsmm_get_kernel_info analogue."""
     return kernel.info
+
+
+def get_mmkernel_info(kernel: Kernel) -> KernelInfo:
+    """libxsmm_get_mmkernel_info analogue (include/libxsmm.h): typed view
+    of get_kernel_info for GEMM-family kernels."""
+    if not kernel.info.kind.startswith(("gemm", "brgemm", "pspgemm",
+                                        "spgemm", "fsspmdm", "tilecfg")):
+        raise ValueError(f"not a matmul-family kernel: {kernel.info.kind}")
+    return kernel.info
+
+
+def get_meltwkernel_info(kernel: Kernel) -> KernelInfo:
+    """libxsmm_get_meltwkernel_info analogue: typed view for eltwise TPPs."""
+    if kernel.info.kind not in ("meltw", "meqn"):
+        raise ValueError(f"not an eltwise kernel: {kernel.info.kind}")
+    return kernel.info
