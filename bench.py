@@ -342,10 +342,16 @@ def make_fsspmdm_tall_case():
         if not np.abs(a[i]).max():
             a[i, rng.integers(k)] = 1.0
     handles = {}
-    for kind, hint in (("dense", "2"), ("sparse", "1")):
-        os.environ["XSMM_TPU_FSSPMDM_HINT"] = hint
-        handles[kind] = fsspmdm_create(n, a)
-    os.environ.pop("XSMM_TPU_FSSPMDM_HINT")
+    prior_hint = os.environ.get("XSMM_TPU_FSSPMDM_HINT")
+    try:
+        for kind, hint in (("dense", "2"), ("sparse", "1")):
+            os.environ["XSMM_TPU_FSSPMDM_HINT"] = hint
+            handles[kind] = fsspmdm_create(n, a)
+    finally:
+        if prior_hint is None:
+            os.environ.pop("XSMM_TPU_FSSPMDM_HINT", None)
+        else:
+            os.environ["XSMM_TPU_FSSPMDM_HINT"] = prior_hint
     auto = fsspmdm_create(n, a)           # the autotuner's own pick
     b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
 
@@ -551,6 +557,16 @@ def main():
             "dispatch_us": round(dispatch_us, 3),
         },
     }
+    # Attach the cached xgemm --full acceptance tally (written by
+    # `python samples/xgemm.py --full`; VERDICT r2 #8 machine-checkable
+    # artifact). Absent file -> key omitted, never a failure.
+    tally_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "XGEMM_FULL.json")
+    try:
+        with open(tally_path) as f:
+            result["extras"]["xgemm_full"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     print(json.dumps(result))
 
 

@@ -735,6 +735,12 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
                 built[br] = inner = jax.jit(raw)
             if desc.base.beta == 1 and c is None:
                 raise ValueError("beta=1 requires the C operand")
+            if desc.base.beta == 0 and c is not None:
+                # A forwarded C would land AFTER the epilogue (epi(acc)+c),
+                # matching neither beta=1 seeding nor the reference's
+                # beta=0 (C unread) contract — reject it.
+                raise ValueError("c operand passed to a BETA_0 packed "
+                                 "BRGEMM-ext")
             d_full = None
             if with_bias:
                 if d_op is None:

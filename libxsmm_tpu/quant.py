@@ -210,15 +210,20 @@ def _pack_codes_pairwise(code):
 def _e8m0_shared_scale(x_blocks, elem_emax: int):
     """Shared E8M0 exponent per block: biased exponent of amax minus the
     element format's emax, clamped to [0, 254] (:1906-1925). Returns
-    (scale_f32, scale_code_u8); Inf/NaN amax handling is the caller's."""
+    (scale_f32, scale_code_u8, nonfinite_mask). On Inf/NaN amax (biased
+    exponent 0xFF) the reference emits scale code 0xFF and fills the block
+    payload with max-normal element codes; the mask lets callers apply the
+    payload half of that contract."""
     amax = jnp.max(jnp.abs(x_blocks), axis=-1, keepdims=True)
     bits = jax.lax.bitcast_convert_type(amax, jnp.uint32)
-    shared = ((bits >> 23) & 0xFF).astype(jnp.int32) - elem_emax
-    shared = jnp.clip(shared, 0, 254)
+    bexp = ((bits >> 23) & 0xFF).astype(jnp.int32)
+    nonfinite = bexp == 0xFF
+    shared = jnp.clip(bexp - elem_emax, 0, 254)
     mant = jnp.where(shared == 0, jnp.uint32(1 << 22), jnp.uint32(0))
     scale = jax.lax.bitcast_convert_type(
         (shared.astype(jnp.uint32) << 23) | mant, jnp.float32)
-    return scale, shared.astype(jnp.uint8)
+    scode = jnp.where(nonfinite, 255, shared).astype(jnp.uint8)
+    return scale, scode, nonfinite
 
 
 def mxfp4_quantize_blocks(x):
@@ -232,10 +237,12 @@ def mxfp4_quantize_blocks(x):
     if n % MX_BLOCK:
         raise ValueError(f"last dim {n} not divisible by {MX_BLOCK}")
     xb = x.reshape(*x.shape[:-1], n // MX_BLOCK, MX_BLOCK)
-    scale, scode = _e8m0_shared_scale(xb, elem_emax=2)
+    scale, scode, nonfinite = _e8m0_shared_scale(xb, elem_emax=2)
     sign = ((jax.lax.bitcast_convert_type(xb, jnp.uint32) >> 31)
             .astype(jnp.int32) << 3)
     code = sign | encode_e2m1(jnp.abs(xb / scale))
+    # Inf/NaN amax: scale code 0xFF + payload all max-normal (0x77 bytes).
+    code = jnp.where(nonfinite, 7, code)
     packed = _pack_codes_pairwise(code).reshape(*x.shape[:-1], n // 2)
     return packed, scode.squeeze(-1).reshape(*x.shape[:-1], n // MX_BLOCK)
 
@@ -276,6 +283,11 @@ def nvfp4_quantize_blocks(x):
                                         jnp.float32)  # bf16(1/6)
     raw = (amax.astype(jnp.bfloat16).astype(jnp.float32)
            * rcp6).astype(jnp.bfloat16).astype(jnp.float32)
+    # The reference's libxsmm_ref_float_to_hf8 SATURATES overflow to the
+    # E4M3 max-normal 448 (code 0x78); jnp's f32->e4m3 cast maps >~464 to
+    # NaN instead. Clamp before the cast (jnp.minimum propagates NaN, so a
+    # NaN amax still yields a NaN scale like the reference).
+    raw = jnp.minimum(raw, 448.0)
     scale_hf8 = raw.astype(jnp.float8_e4m3fn)
     scale_f = scale_hf8.astype(jnp.float32)
     scale_code = jax.lax.bitcast_convert_type(scale_hf8, jnp.uint8)
@@ -319,8 +331,12 @@ def mxbf8_quantize_blocks(x):
     if n % MX_BLOCK:
         raise ValueError(f"last dim {n} not divisible by {MX_BLOCK}")
     xb = x.reshape(*x.shape[:-1], n // MX_BLOCK, MX_BLOCK)
-    scale, scode = _e8m0_shared_scale(xb, elem_emax=15)
-    q = rne_convert_fp32_bf8(xb / scale).reshape(x.shape)
+    scale, scode, nonfinite = _e8m0_shared_scale(xb, elem_emax=15)
+    q = rne_convert_fp32_bf8(xb / scale)
+    # Inf/NaN amax: scale code 0xFF + payload all max-normal BF8 (0x7B).
+    maxn = jax.lax.bitcast_convert_type(
+        jnp.broadcast_to(jnp.uint8(0x7B), q.shape), q.dtype)
+    q = jnp.where(nonfinite, maxn, q).reshape(x.shape)
     return q, scode.squeeze(-1).reshape(*x.shape[:-1], n // MX_BLOCK)
 
 
@@ -349,13 +365,24 @@ def fp6_decode(codes, fmt: str = "e3m2"):
 
 
 def fp6_encode(x, fmt: str = "e3m2"):
-    """f32 -> nearest 6-bit code (RNE onto the format grid, one per byte)."""
+    """f32 -> nearest 6-bit code (RNE onto the format grid, one per byte).
+
+    True round-to-nearest-even: at an exact grid midpoint the EVEN code of
+    the two neighbours wins (argmin alone ties toward zero)."""
     e_bits, m_bits = _FP6_PARAMS[fmt]
     grid = _format_grid("mxfp6_" + fmt)
     g = jnp.asarray(grid, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
     mag = jnp.clip(jnp.abs(x), 0.0, float(grid[-1]))
     idx = jnp.argmin(jnp.abs(mag[..., None] - g[None]), axis=-1)
+    # argmin ties to the FIRST (lower-magnitude) grid point; detect an exact
+    # midpoint between g[idx] and g[idx+1] (grid values and midpoints are
+    # exactly representable in f32 for 6-bit formats) and take the higher
+    # neighbour iff the lower code is odd — of two consecutive codes exactly
+    # one is even.
+    idx_hi = jnp.minimum(idx + 1, len(grid) - 1)
+    tie = (mag - g[idx] == g[idx_hi] - mag) & (mag > g[idx])
+    idx = jnp.where(tie & (idx % 2 == 1), idx_hi, idx)
     # grid index -> (e, m) code: index i of the sorted unique grid equals
     # the natural code order for these formats (subnormals then normals)
     code = idx.astype(jnp.int32)
@@ -380,8 +407,10 @@ def mxfp6_quantize_blocks(x, fmt: str = "e3m2"):
     if n % MX_BLOCK:
         raise ValueError(f"last dim {n} not divisible by {MX_BLOCK}")
     xb = x.reshape(*x.shape[:-1], n // MX_BLOCK, MX_BLOCK)
-    scale, scode = _e8m0_shared_scale(xb, elem_emax=_FP6_EMAX[fmt])
-    codes = fp6_encode(xb / scale, fmt).reshape(x.shape)
+    scale, scode, nonfinite = _e8m0_shared_scale(xb, elem_emax=_FP6_EMAX[fmt])
+    codes = fp6_encode(xb / scale, fmt)
+    # Inf/NaN amax: scale code 0xFF + payload all max-normal (5-bit 0x1F).
+    codes = jnp.where(nonfinite, jnp.uint8(0x1F), codes).reshape(x.shape)
     return codes, scode.squeeze(-1).reshape(*x.shape[:-1], n // MX_BLOCK)
 
 

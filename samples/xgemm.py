@@ -476,6 +476,20 @@ def main():
     info = xt.get_registry_info()
     print(f"\n{sum(results)}/{len(results)} passed; registry: "
           f"{info['nkernels']} kernels, {info['hits']} hits")
+    if full:
+        # Machine-checkable acceptance artifact (reference discipline:
+        # samples/xgemm/gemm_kernel.c:29-37 exit-code contract). bench.py
+        # attaches the cached copy to BENCH extras each round.
+        import json
+
+        import jax
+        tally = {"classes": len(todo), "pass": int(sum(results)),
+                 "ref_fallbacks": int(info["fallbacks"]),
+                 "device": jax.devices()[0].platform}
+        print("xgemm_full " + json.dumps(tally))
+        out = pathlib.Path(__file__).resolve().parent.parent / \
+            "XGEMM_FULL.json"
+        out.write_text(json.dumps(tally))
     sys.exit(0 if all(results) else 1)
 
 

@@ -99,3 +99,52 @@ def test_fp4_pack_roundtrip():
     assert packed.shape == (2, 32)
     unpacked = np.asarray(quant.unpack_fp4(packed))
     np.testing.assert_allclose(unpacked, np.asarray(q), rtol=0, atol=0)
+
+
+def test_nvfp4_large_amax_saturates_not_nan():
+    # ADVICE r2: blocks with amax > ~2800 used to quantize to all-NaN via
+    # the unclamped f32->e4m3 scale cast; the reference saturates the HF8
+    # scale to 448 (code 0x78). Verify finite decode + max scale code.
+    x = np.zeros((1, 16), np.float32)
+    x[0, 0] = 5000.0
+    payload, scales = quant.nvfp4_quantize_blocks(x)
+    dec = np.asarray(quant.nvfp4_dequantize_blocks(payload, scales))
+    assert np.isfinite(dec).all()
+    assert int(np.asarray(scales)[0, 0]) == 0x7E      # hf8 max-normal 448
+    # NaN amax still propagates a NaN scale (0x7F payload-NaN code path)
+    x[0, 0] = np.nan
+    _, s2 = quant.nvfp4_quantize_blocks(x)
+    assert int(np.asarray(s2)[0, 0]) == 0x7F
+
+
+def test_e8m0_nonfinite_amax_reference_bytes():
+    # Inf/NaN block amax: scale code 0xFF, payload max-normal codes
+    # (reference generator_mateltwise_reference_impl.c E8M0 paths).
+    x = np.ones((1, 32), np.float32)
+    x[0, 3] = np.inf
+    p4, s4 = quant.mxfp4_quantize_blocks(x)
+    assert int(np.asarray(s4)[0, 0]) == 0xFF
+    assert (np.asarray(p4)[0] == 0x77).all()
+    p8, s8 = quant.mxbf8_quantize_blocks(x)
+    assert int(np.asarray(s8)[0, 0]) == 0xFF
+    import jax
+    codes8 = np.asarray(jax.lax.bitcast_convert_type(p8, np.uint8))
+    assert (codes8 == 0x7B).all()
+    p6, s6 = quant.mxfp6_quantize_blocks(x, "e3m2")
+    assert int(np.asarray(s6)[0, 0]) == 0xFF
+    assert (np.asarray(p6) == 0x1F).all()
+    # finite blocks are unaffected
+    y = np.ones((1, 32), np.float32)
+    _, sy = quant.mxfp4_quantize_blocks(y)
+    assert int(np.asarray(sy)[0, 0]) != 0xFF
+
+
+def test_fp6_encode_rne_ties_to_even():
+    # e3m2 codes: subnormals 0-3, then normals; 1.0 = code 12, 1.25 = 13,
+    # 1.5 = 14. Midpoint 1.125 lies between 12 (even) and 13 (odd) -> RNE
+    # keeps 12; midpoint 1.375 between 13 (odd) and 14 (even) -> takes 14.
+    c = np.asarray(quant.fp6_encode(np.float32([1.125, 1.375]), "e3m2"))
+    assert int(c[0]) == 12 and int(c[1]) == 14
+    # non-tie values still round nearest
+    c2 = np.asarray(quant.fp6_encode(np.float32([1.126, 1.374]), "e3m2"))
+    assert int(c2[0]) == 13 and int(c2[1]) == 13
