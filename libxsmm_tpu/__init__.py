@@ -43,6 +43,8 @@ from .ops.fsspmdm import (Fsspmdm, fsspmdm_create, fsspmdm_destroy,
                           fsspmdm_execute)
 from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
                          create_packed_spgemm_bcsc, create_packed_spgemm_csc,
+                         create_packed_spgemm_csc_csparse,
+                         create_packed_spgemm_csr_bsparse,
                          create_tilecfg_packed_spgemm_bcsc,
                          create_packed_spgemm_csr, create_spgemm_csr_areg)
 from .ops.packed import (create_packed_gemm, create_packed_gemm_ac_rm,

@@ -178,28 +178,54 @@ def meqn_rpn_print(idx: int) -> str:
 # evaluation
 # ---------------------------------------------------------------------------
 
-def _eval(node: EqnNode, args: tuple, comp):
+def _eval(node: EqnNode, args: tuple, memo: dict, sig_cache: dict):
+    """Per-node-dtype tree evaluation with shared-subtree memoization.
+
+    Each operator node computes at ITS OWN dtype (the reference's node
+    dtype field + tmp planning, src/libxsmm_matrixeqn.c:323-744): children
+    are cast at node boundaries, so an F64 tree runs f64 end-to-end and a
+    bf16 node's math runs in bf16 storage precision. Structurally identical
+    subtrees (same ops/flags/dtypes/arg positions) are evaluated ONCE per
+    call — the TPU reading of the reference's reg-score/tmp reuse planner
+    (XLA CSE would usually dedup anyway; the memo makes it a contract)."""
+    sig = sig_cache.get(id(node))
+    if sig is None:
+        sig_cache[id(node)] = sig = _tree_signature(node)
+    hit = memo.get(sig)
+    if hit is not None:
+        return hit
+    comp = to_jnp(node.dtype)
     if node.kind == "arg":
-        return args[node.in_pos].astype(comp)
-    kids = [_eval(c, args, comp) for c in node.children]
+        res = args[node.in_pos].astype(comp)
+        memo[sig] = res
+        return res
+    kids = [_eval(c, args, memo, sig_cache) for c in node.children]
     if node.kind == "unary":
         # BCAST_* flags are resolved by jnp broadcasting at the consumer op
-        return apply_unary_op(node.op, UnaryFlags(node.flags), kids[0])
-    if node.kind == "binary":
+        res = apply_unary_op(node.op, UnaryFlags(node.flags),
+                             kids[0].astype(comp))
+    elif node.kind == "binary":
         op = node.op
         if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
             a, b = kids
             a_dt = getattr(node.children[0], "dtype", Datatype.BF16)
-            return apply_matmul_node(op, a, b, a_dt, comp)
-        return apply_binary_op(op, BinaryFlags(node.flags), *kids)
-    if node.kind == "ternary":
+            res = apply_matmul_node(op, a, b, a_dt, comp)
+        else:
+            res = apply_binary_op(op, BinaryFlags(node.flags),
+                                  *(k.astype(comp) for k in kids))
+    elif node.kind == "ternary":
         op = node.op
         if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
             a, b, c = kids
             a_dt = getattr(node.children[0], "dtype", Datatype.BF16)
-            return apply_matmul_node(op, a, b, a_dt, comp) + c
-        return apply_ternary_op(op, TernaryFlags(node.flags), *kids)
-    raise ValueError(node.kind)
+            res = apply_matmul_node(op, a, b, a_dt, comp) + c.astype(comp)
+        else:
+            res = apply_ternary_op(op, TernaryFlags(node.flags),
+                                   *(k.astype(comp) for k in kids))
+    else:
+        raise ValueError(node.kind)
+    memo[sig] = res
+    return res
 
 
 def _tree_signature(node: EqnNode):
@@ -221,13 +247,21 @@ def dispatch_meqn(idx: int, out_m: int, out_n: int,
     desc = ("meqn", _tree_signature(eqn.root), out_m, out_n, out_type)
 
     def _build(_key):
-        comp = jnp.float32
         out_dt = to_jnp(out_type)
         root = eqn.root
 
+        # F64 anywhere in the tree needs x64 tracing (same contract as
+        # ops.gemm._ensure_x64)
+        def _has_f64(n):
+            return (n.dtype == Datatype.F64
+                    or any(_has_f64(c) for c in n.children))
+        if (out_type == Datatype.F64 or _has_f64(root)) \
+                and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+
         @jax.named_scope(f"xsmm_meqn_{idx}_{out_m}x{out_n}")
         def run(*args):
-            res = _eval(root, args, comp)
+            res = _eval(root, args, memo={}, sig_cache={})
             if isinstance(res, tuple):
                 return tuple(r.astype(out_dt) for r in res)
             return res.astype(out_dt)

@@ -206,16 +206,30 @@ def create_packed_spgemm_csr(shape: GemmShape,
                              packed_width: int = 1,
                              row_ptr: np.ndarray = None,
                              column_idx: np.ndarray = None,
-                             strategy: str = "auto") -> Kernel:
+                             strategy: str = "auto",
+                             sparse_operand: str = "a") -> Kernel:
     """libxsmm_create_packed_spgemm_csr analogue (src/libxsmm_main.c:3553).
 
-    Returned kernel: kernel(values, b[, c]) with values (nnz,) runtime,
+    The reference entry routes TWO kernels by which leading dim is zero
+    (generator_packed_spgemm.c:24-56); this library has no ld args, so the
+    routing is the explicit `sparse_operand`: "a" (default, lda==0 reading)
+    keeps A sparse; "b" (ldb==0 reading) delegates to
+    create_packed_spgemm_csr_bsparse with the same CSR index contract
+    re-read over B's (k, n).
+
+    A-sparse kernel: kernel(values, b[, c]) with values (nnz,) runtime,
     b (k,n) or (k,n,p); the pattern is baked at create time.
 
     strategy: "sparse" = ELL gather path; "dense" = scatter values into a
     dense A and run one MXU matmul (wins at moderate density on TPU);
     "auto" picks by roofline heuristic (_dense_beats_sparse).
     """
+    if sparse_operand == "b":
+        return create_packed_spgemm_csr_bsparse(
+            shape, flags, packed_width, row_ptr, column_idx, strategy)
+    if sparse_operand != "a":
+        raise ValueError(f"sparse_operand must be 'a' or 'b', got "
+                         f"{sparse_operand!r}")
     csr = CsrMatrix((shape.m, shape.k), np.asarray(row_ptr, np.int32),
                     np.asarray(column_idx, np.int32))
     _ensure_x64(shape)
@@ -303,13 +317,27 @@ def create_packed_spgemm_csc(shape: GemmShape,
                              flags: GemmFlags = GemmFlags.NONE,
                              packed_width: int = 1,
                              column_ptr: np.ndarray = None,
-                             row_idx: np.ndarray = None) -> Kernel:
+                             row_idx: np.ndarray = None,
+                             sparse_operand: str = "b",
+                             strategy: str = "auto") -> Kernel:
     """libxsmm_create_packed_spgemm_csc analogue (src/libxsmm_main.c:3597).
 
-    kernel(a, values[, c]): a (m,k) or (m,k,p); values (nnz,).
-    Lowering: gather columns of A per nonzero, scale, segment-sum per
-    output column (static segment ids from the pattern).
+    The reference entry routes TWO kernels by which leading dim is zero
+    (generator_packed_spgemm.c:61-101); the routing here is the explicit
+    `sparse_operand`: "b" (default, ldb==0 reading) keeps B sparse; "c"
+    (ldc==0 reading) delegates to create_packed_spgemm_csc_csparse (SDDMM)
+    with the same CSC index contract re-read over C's (m, n).
+
+    B-sparse kernel: kernel(a, values[, c]): a (m,k) or (m,k,p); values
+    (nnz,). Lowering: gather columns of A per nonzero, scale, segment-sum
+    per output column (static segment ids from the pattern).
     """
+    if sparse_operand == "c":
+        return create_packed_spgemm_csc_csparse(
+            shape, flags, packed_width, column_ptr, row_idx, strategy)
+    if sparse_operand != "b":
+        raise ValueError(f"sparse_operand must be 'b' or 'c', got "
+                         f"{sparse_operand!r}")
     csc = CscMatrix((shape.k, shape.n), np.asarray(column_ptr, np.int32),
                     np.asarray(row_idx, np.int32))
     _ensure_x64(shape)
@@ -355,6 +383,198 @@ def create_packed_spgemm_csc(shape: GemmShape,
         info = KernelInfo(kind="pspgemm_csc", nflops=nflops)
         return Kernel(fn=fn, descriptor=desc, info=info,
                       name=f"pspgemm_csc_{shape.m}x{shape.n}x{shape.k}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM, B sparse in CSR: C[m,n(,p)] += A[m,k(,p)] * B_sp[k,n]
+# ---------------------------------------------------------------------------
+
+def create_packed_spgemm_csr_bsparse(shape: GemmShape,
+                                     flags: GemmFlags = GemmFlags.NONE,
+                                     packed_width: int = 1,
+                                     row_ptr: np.ndarray = None,
+                                     column_idx: np.ndarray = None,
+                                     strategy: str = "auto") -> Kernel:
+    """The reference's ldb==0 routing of libxsmm_create_packed_spgemm_csr
+    (generator_packed_spgemm.c:39-53 -> generator_packed_spgemm_csr_bsparse.c;
+    sample contract samples/xgemm_norm_packed/bsparse_packed_csr.c): B is
+    sparse and stays in CSR — row_ptr (k+1,) over B's k rows, column_idx
+    (nnz,) in [0, n) — while A and C are dense packed SOA.
+
+    Returned kernel: kernel(a, values[, c]) with a (m,k) or (m,k,p),
+    values (nnz,) runtime, c (m,n[,p]); beta per flags.
+
+    strategy: "sparse" = per-nonzero column gather of A + segment-sum over
+    output columns (the CSC-B lowering on the CSR index contract — CSR
+    order is row-major so the segment ids are unsorted, which segment_sum
+    handles); "dense" = create-time gather-map densify of B + ONE MXU
+    matmul; "auto" picks by roofline (_dense_beats_sparse).
+    """
+    k, n = shape.k, shape.n
+    indptr = np.asarray(row_ptr, np.int32)
+    indices = np.asarray(column_idx, np.int32)
+    nnz = int(indptr[-1])
+    _ensure_x64(shape)
+    p = max(1, packed_width)
+    if strategy == "auto":
+        sparse_bytes = shape.m * nnz * p * itemsize(shape.a_in_type)
+        strategy = ("dense" if _dense_beats_sparse(shape, sparse_bytes)
+                    else "sparse")
+    pattern = SparsePattern(format="csr_b", rows=k, cols=n, nnz=nnz,
+                            fingerprint=SparsePattern.fingerprint_of(
+                                indptr, indices))
+    desc = ("pspgemm_csr_b", shape, GemmFlags(flags), packed_width, pattern,
+            strategy)
+
+    def _build(_key):
+        # k-row id per nonzero (CSR expansion) and output-column segment ids
+        kidx = np.repeat(np.arange(k, dtype=np.int32), np.diff(indptr))
+        kidxj = jax.device_put(jnp.asarray(kidx))
+        segd = jax.device_put(jnp.asarray(indices))
+        # dense strategy: create-time gather map (per-call scatter is ~100x
+        # slower on TPU; same trick as the CSR A-sparse dense path)
+        posmat = np.full(k * n, nnz, np.int32)
+        posmat[kidx.astype(np.int64) * n + indices] = np.arange(
+            nnz, dtype=np.int32)
+        posd = jax.device_put(jnp.asarray(posmat))
+        comp = to_jnp(shape.comp_type)
+        out_dt = to_jnp(shape.out_type)
+        prec = matmul_precision(shape)
+
+        @jax.named_scope(f"xsmm_pspgemm_csr_b_{shape.m}x{n}x{k}"
+                         f"_nnz{nnz}_{strategy}")
+        def run(kid, segj, pmat, a, values, c=None):
+            if strategy == "dense":
+                vpad = jnp.concatenate(
+                    [values, jnp.zeros((1,), values.dtype)])
+                bdense = jnp.take(vpad, pmat).reshape(k, n)
+                if a.ndim == 2:
+                    acc = jax.lax.dot_general(
+                        a, bdense, (((1,), (0,)), ((), ())),
+                        preferred_element_type=comp, precision=prec)
+                else:
+                    acc = jnp.einsum("mkp,kn->mnp", a.astype(comp),
+                                     bdense.astype(comp), precision=prec)
+            else:
+                cols = jnp.take(a, kid, axis=1).astype(comp)  # (m,nnz[,p])
+                v = values.astype(comp)
+                if a.ndim == 2:
+                    contrib = cols * v[None, :]
+                    acc = jax.ops.segment_sum(contrib.T, segj,
+                                              num_segments=n).T
+                else:
+                    contrib = cols * v[None, :, None]
+                    acc = jax.ops.segment_sum(
+                        contrib.transpose(1, 0, 2), segj,
+                        num_segments=n).transpose(1, 0, 2)
+            if c is not None:
+                acc = acc + c.astype(comp)
+            return acc.astype(out_dt)
+
+        jitted = jax.jit(run)
+
+        def fn(a, values, c=None):
+            if c is None:
+                return jitted(kidxj, segd, posd, a, values)
+            return jitted(kidxj, segd, posd, a, values, c)
+
+        nflops = 2 * nnz * shape.m * p
+        info = KernelInfo(kind="pspgemm_csr_b", nflops=nflops)
+        return Kernel(fn=fn, descriptor=desc, info=info,
+                      name=f"pspgemm_csr_b_{shape.m}x{n}x{k}")
+
+    return get_registry().dispatch(desc, _build)
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM, C sparse in CSC (SDDMM): values at C's nonzeros only
+# ---------------------------------------------------------------------------
+
+def create_packed_spgemm_csc_csparse(shape: GemmShape,
+                                     flags: GemmFlags = GemmFlags.NONE,
+                                     packed_width: int = 1,
+                                     column_ptr: np.ndarray = None,
+                                     row_idx: np.ndarray = None,
+                                     strategy: str = "auto") -> Kernel:
+    """The reference's ldc==0 routing of libxsmm_create_packed_spgemm_csc
+    (generator_packed_spgemm.c:81-95 -> generator_packed_spgemm_csc_csparse
+    _avx_avx2_avx512.c): sampled dense-dense matmul (SDDMM) — only C's
+    baked nonzero positions are computed and stored. Pattern: column_ptr
+    (n+1,) over C's n columns, row_idx (nnz,) in [0, m).
+
+    Returned kernel: kernel(a, b[, c_vals]) -> values (nnz,), with a (m,k)
+    or (m,k,p) and b (k,n) or (k,n,p). Matching the reference kernel, the
+    packed dimension is REDUCED into each sparse value (the 16-lane
+    horizontal "reduce C" stage, csparse_avx...c:123-193): value[t] =
+    sum_k sum_p A[row_t,k,p] * B[k,col_t,p]. beta=1 adds c_vals (nnz,).
+
+    strategy: "gather" = batched per-nonzero row.col dots (gather rows of A
+    and cols of B); "dense" = ONE MXU matmul then gather the pattern
+    positions; "auto" picks by roofline (_dense_beats_sparse).
+    """
+    m, n, k = shape.m, shape.n, shape.k
+    indptr = np.asarray(column_ptr, np.int32)
+    indices = np.asarray(row_idx, np.int32)
+    nnz = int(indptr[-1])
+    _ensure_x64(shape)
+    p = max(1, packed_width)
+    if strategy == "auto":
+        sparse_bytes = 2 * nnz * k * p * itemsize(shape.a_in_type)
+        strategy = ("dense" if _dense_beats_sparse(shape, sparse_bytes)
+                    else "gather")
+    pattern = SparsePattern(format="csc_c", rows=m, cols=n, nnz=nnz,
+                            fingerprint=SparsePattern.fingerprint_of(
+                                indptr, indices))
+    desc = ("pspgemm_csc_c", shape, GemmFlags(flags), packed_width, pattern,
+            strategy)
+
+    def _build(_key):
+        cols = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+        rowsj = jax.device_put(jnp.asarray(indices))
+        colsj = jax.device_put(jnp.asarray(cols))
+        # flat gather positions for the dense strategy
+        flatj = jax.device_put(jnp.asarray(
+            indices.astype(np.int64) * n + cols, jnp.int32))
+        comp = to_jnp(shape.comp_type)
+        out_dt = to_jnp(shape.out_type)
+        prec = matmul_precision(shape)
+
+        @jax.named_scope(f"xsmm_pspgemm_csc_c_{m}x{n}x{k}"
+                         f"_nnz{nnz}_{strategy}")
+        def run(rows, colj, flat, a, b, c=None):
+            if strategy == "dense":
+                if a.ndim == 2:
+                    dense = jax.lax.dot_general(
+                        a, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=comp, precision=prec)
+                else:
+                    dense = jnp.einsum("mkp,knp->mn", a.astype(comp),
+                                       b.astype(comp), precision=prec)
+                vals = jnp.take(dense.reshape(-1), flat)
+            else:
+                ar = jnp.take(a, rows, axis=0).astype(comp)  # (nnz,k[,p])
+                bc = jnp.take(b, colj, axis=1).astype(comp)  # (k,nnz[,p])
+                if a.ndim == 2:
+                    vals = jnp.einsum("tk,kt->t", ar, bc, precision=prec)
+                else:
+                    vals = jnp.einsum("tkp,ktp->t", ar, bc, precision=prec)
+            if c is not None:
+                vals = vals + c.astype(comp)
+            return vals.astype(out_dt)
+
+        jitted = jax.jit(run)
+
+        def fn(a, b, c=None):
+            if c is None:
+                return jitted(rowsj, colsj, flatj, a, b)
+            return jitted(rowsj, colsj, flatj, a, b, c)
+
+        nflops = 2 * nnz * k * p
+        info = KernelInfo(kind="pspgemm_csc_c", nflops=nflops)
+        return Kernel(fn=fn, descriptor=desc, info=info,
+                      name=f"pspgemm_csc_c_{m}x{n}x{k}")
 
     return get_registry().dispatch(desc, _build)
 

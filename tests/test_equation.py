@@ -257,3 +257,86 @@ def test_equation_ternary_matmul_a_trans():
     kern = dispatch_meqn(idx, m, n)
     check(a_t.T @ b + c, np.asarray(kern(a_t, b, c)), margin=1e-5)
     meqn_destroy(idx)
+
+
+def test_equation_f64_tree_runs_f64():
+    # VERDICT r2 #5: per-node dtypes honored — an F64 layernorm-style tree
+    # must hit f64 tolerance (it fails at f32 noise if comp is hardcoded).
+    m, n = 24, 48
+    rng = np.random.default_rng(7)
+    # large dynamic range so f32 compute visibly breaks 1e-12 tolerance
+    x = (rng.standard_normal((m, n)) * 1e6).astype(np.float64)
+    mean = x.mean(axis=1, keepdims=True)
+    rstd = 1.0 / np.sqrt(x.var(axis=1, keepdims=True) + 1e-12)
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.MUL, dtype=Datatype.F64)
+    meqn_push_back_binary_op(idx, BinaryType.SUB, dtype=Datatype.F64)
+    meqn_push_back_arg(idx, m, n, in_pos=0, dtype=Datatype.F64)
+    meqn_push_back_arg(idx, m, 1, in_pos=1, dtype=Datatype.F64)
+    meqn_push_back_arg(idx, m, 1, in_pos=2, dtype=Datatype.F64)
+    kern = dispatch_meqn(idx, m, n, out_type=Datatype.F64)
+    got = np.asarray(kern(x, mean, rstd))
+    assert got.dtype == np.float64
+    ref = (x - mean) * rstd
+    assert np.abs(got - ref).max() <= 1e-12 * np.abs(ref).max()
+    meqn_destroy(idx)
+
+
+def test_equation_mixed_bf16_f32_tree():
+    # bf16 node computes at bf16 storage precision, f32 node at f32:
+    # out = f32_ADD( bf16_MUL(a, b), c ) — the bf16 product must match a
+    # bf16-rounded oracle, not the f32 product.
+    import jax.numpy as jnp
+    m, n = 16, 32
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal((m, n)).astype(np.float32)
+    c = rng.standard_normal((m, n)).astype(np.float32)
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.ADD, dtype=Datatype.F32)
+    meqn_push_back_binary_op(idx, BinaryType.MUL, dtype=Datatype.BF16)
+    meqn_push_back_arg(idx, m, n, in_pos=0, dtype=Datatype.BF16)
+    meqn_push_back_arg(idx, m, n, in_pos=1, dtype=Datatype.BF16)
+    meqn_push_back_arg(idx, m, n, in_pos=2, dtype=Datatype.F32)
+    kern = dispatch_meqn(idx, m, n)
+    got = np.asarray(kern(a, b, c))
+    # bf16 node contract: inputs are read at bf16 STORAGE precision. (The
+    # product itself may legally be computed at higher precision — XLA
+    # fuses bf16-mul-into-f32-convert to an f32 multiply; the jaxpr carries
+    # the bf16 mul.) Oracle: f32 product of bf16-rounded inputs; allow one
+    # bf16 rounding of the product either way.
+    abf = np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
+    bbf = np.asarray(jnp.asarray(b, jnp.bfloat16), np.float32)
+    ref = abf * bbf + c
+    assert np.abs(got - ref).max() <= 2.0 ** -8 * np.abs(ref).max()
+    # and it must NOT equal the all-f32 evaluation (inputs were rounded)
+    assert np.abs(got - (a * b + c)).max() > 1e-4
+    meqn_destroy(idx)
+
+
+def test_equation_shared_subtree_memoized():
+    # structurally identical subtrees evaluate once per call (the tmp-reuse
+    # contract): count traced multiplies via jaxpr
+    import jax
+    import jax.numpy as jnp
+    m, n = 8, 8
+    idx = meqn_create()
+    # ADD( MUL(x, x), MUL(x, x) ) pushed twice -> one traced MUL
+    meqn_push_back_binary_op(idx, BinaryType.ADD)
+    meqn_push_back_binary_op(idx, BinaryType.MUL)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_binary_op(idx, BinaryType.MUL)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    kern = dispatch_meqn(idx, m, n)
+    x = np.random.default_rng(9).standard_normal((m, n)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(kern(x)), x * x + x * x,
+                               rtol=1e-6)
+    from libxsmm_tpu.ops.equation import _eval, _eqn
+    jaxpr = jax.make_jaxpr(
+        lambda a: _eval(_eqn(idx).root, (a,), memo={}, sig_cache={}))(
+            jnp.asarray(x))
+    muls = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "mul"]
+    assert len(muls) == 1, f"shared subtree evaluated twice: {jaxpr}"
+    meqn_destroy(idx)

@@ -109,3 +109,43 @@ def test_packed_spgemm_real_edge_matrices():
         want = np.einsum("mk,knp->mnp", a.astype(np.float64),
                          b.astype(np.float64))
         assert matdiff(want, got).normf_rel < 1e-5, name
+
+
+@edge_needed
+def test_packed_spgemm_bsparse_csparse_real_edge_matrices():
+    """The two reference routings added in r3 — CSR B-sparse and CSC
+    C-sparse (SDDMM) — on real EDGE patterns (generator_packed_spgemm.c
+    ldb==0 / ldc==0 paths)."""
+    from libxsmm_tpu.ops.sparse import (
+        CscMatrix, CsrMatrix, create_packed_spgemm_csc_csparse,
+        create_packed_spgemm_csr_bsparse)
+
+    ops = [(name, a) for name, a in
+           testmats.reference_edge_operators(fmt="csr")
+           if a.shape[0] >= 10][:4]
+    assert ops, "no usable EDGE matrices found"
+    for name, mat in ops:
+        mat = mat.astype(np.float32)
+        k, n = mat.shape
+        m = 16
+        # B-sparse: EDGE matrix as the sparse B in CSR
+        csr = CsrMatrix.from_dense(mat)
+        kern = create_packed_spgemm_csr_bsparse(
+            GemmShape(m, n, k), GemmFlags.BETA_0,
+            row_ptr=csr.indptr, column_idx=csr.indices)
+        a = RNG.standard_normal((m, k)).astype(np.float32)
+        got = np.asarray(kern(a, csr.data.astype(np.float32)), np.float64)
+        want = a.astype(np.float64) @ mat.astype(np.float64)
+        assert matdiff(want, got).normf_rel < 1e-5, name
+        # C-sparse: EDGE pattern as the sampled output pattern (SDDMM)
+        csc = CscMatrix.from_dense(mat)
+        kern2 = create_packed_spgemm_csc_csparse(
+            GemmShape(k, n, m), GemmFlags.BETA_0,
+            column_ptr=csc.indptr, row_idx=csc.indices)
+        a2 = RNG.standard_normal((k, m)).astype(np.float32)
+        b2 = RNG.standard_normal((m, n)).astype(np.float32)
+        dense = a2.astype(np.float64) @ b2.astype(np.float64)
+        cols = np.repeat(np.arange(n), np.diff(csc.indptr))
+        want2 = dense[csc.indices, cols]
+        got2 = np.asarray(kern2(a2, b2), np.float64)
+        assert matdiff(want2, got2).normf_rel < 1e-5, name

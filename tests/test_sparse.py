@@ -432,3 +432,120 @@ def test_pspgemm_bcsc_super_rejects_bad_shapes():
             SpgemmConfig(1, 32, 32),
             column_ptr=np.zeros(7, np.int32),
             row_idx=np.zeros(0, np.int32), strategy="super")
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM CSR B-sparse (the reference's ldb==0 routing)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("strategy", ["sparse", "dense"])
+@pytest.mark.parametrize("m,n,k,density", [(16, 24, 12, 0.3),
+                                           (13, 5, 7, 0.5)])
+def test_pspgemm_csr_bsparse(m, n, k, density, strategy):
+    from libxsmm_tpu.ops.sparse import create_packed_spgemm_csr_bsparse
+
+    b = _sparse_dense(k, n, density)
+    # CSR over B: row_ptr along k, column_idx in [0, n)
+    csr = CsrMatrix.from_dense(b)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_csr_bsparse(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        row_ptr=csr.indptr, column_idx=csr.indices, strategy=strategy)
+    check(a @ b, np.asarray(kern(a, csr.data)), margin=1e-4)
+    # runtime values scale without re-create
+    check(2 * (a @ b), np.asarray(kern(a, 2 * csr.data)), margin=1e-4)
+
+
+def test_pspgemm_csr_bsparse_packed_beta1():
+    from libxsmm_tpu.ops.sparse import create_packed_spgemm_csr_bsparse
+
+    m, n, k, p = 8, 6, 10, 4
+    b = _sparse_dense(k, n, 0.4)
+    csr = CsrMatrix.from_dense(b)
+    a = RNG.standard_normal((m, k, p)).astype(np.float32)
+    c = RNG.standard_normal((m, n, p)).astype(np.float32)
+    kern = create_packed_spgemm_csr_bsparse(
+        GemmShape(m, n, k), packed_width=p,
+        row_ptr=csr.indptr, column_idx=csr.indices, strategy="sparse")
+    ref = np.einsum("mkp,kn->mnp", a, b) + c
+    check(ref, np.asarray(kern(a, csr.data, c)), margin=1e-4)
+
+
+def test_pspgemm_csr_routing_by_operand():
+    # the single-entry routing mirror of generator_packed_spgemm.c:24-56
+    m, n, k = 12, 9, 10
+    b = _sparse_dense(k, n, 0.3)
+    csr = CsrMatrix.from_dense(b)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_csr(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        row_ptr=csr.indptr, column_idx=csr.indices, sparse_operand="b")
+    check(a @ b, np.asarray(kern(a, csr.data)), margin=1e-4)
+    with pytest.raises(ValueError):
+        create_packed_spgemm_csr(GemmShape(m, n, k), GemmFlags.BETA_0,
+                                 row_ptr=csr.indptr,
+                                 column_idx=csr.indices, sparse_operand="x")
+
+
+# ---------------------------------------------------------------------------
+# packed SpGEMM CSC C-sparse / SDDMM (the reference's ldc==0 routing)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("strategy", ["gather", "dense"])
+@pytest.mark.parametrize("m,n,k,density", [(16, 24, 12, 0.3),
+                                           (13, 5, 7, 0.5)])
+def test_pspgemm_csc_csparse(m, n, k, density, strategy):
+    from libxsmm_tpu.ops.sparse import create_packed_spgemm_csc_csparse
+
+    cpat = _sparse_dense(m, n, density)
+    csc = CscMatrix.from_dense(cpat)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    kern = create_packed_spgemm_csc_csparse(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        column_ptr=csc.indptr, row_idx=csc.indices, strategy=strategy)
+    dense = a @ b
+    cols = np.repeat(np.arange(n), np.diff(csc.indptr))
+    want = dense[csc.indices, cols]
+    check(want, np.asarray(kern(a, b)), margin=1e-4)
+
+
+def test_pspgemm_csc_csparse_packed_reduces():
+    # the packed dim joins the contraction (reference "reduce C" stage)
+    from libxsmm_tpu.ops.sparse import create_packed_spgemm_csc_csparse
+
+    m, n, k, p = 10, 8, 6, 4
+    cpat = _sparse_dense(m, n, 0.4)
+    csc = CscMatrix.from_dense(cpat)
+    a = RNG.standard_normal((m, k, p)).astype(np.float32)
+    b = RNG.standard_normal((k, n, p)).astype(np.float32)
+    kern = create_packed_spgemm_csc_csparse(
+        GemmShape(m, n, k), GemmFlags.BETA_0, packed_width=p,
+        column_ptr=csc.indptr, row_idx=csc.indices, strategy="gather")
+    dense = np.einsum("mkp,knp->mn", a, b)
+    cols = np.repeat(np.arange(n), np.diff(csc.indptr))
+    want = dense[csc.indices, cols]
+    check(want, np.asarray(kern(a, b)), margin=1e-4)
+
+
+def test_pspgemm_csc_csparse_beta1_and_routing():
+    from libxsmm_tpu.ops.sparse import create_packed_spgemm_csc_csparse
+
+    m, n, k = 9, 7, 11
+    cpat = _sparse_dense(m, n, 0.35)
+    csc = CscMatrix.from_dense(cpat)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    prior = RNG.standard_normal(csc.nnz).astype(np.float32)
+    kern = create_packed_spgemm_csc_csparse(
+        GemmShape(m, n, k), column_ptr=csc.indptr, row_idx=csc.indices,
+        strategy="dense")
+    dense = a @ b
+    cols = np.repeat(np.arange(n), np.diff(csc.indptr))
+    want = dense[csc.indices, cols] + prior
+    check(want, np.asarray(kern(a, b, prior)), margin=1e-4)
+    # single-entry routing mirror (generator_packed_spgemm.c:81-95)
+    kern2 = create_packed_spgemm_csc(
+        GemmShape(m, n, k), GemmFlags.BETA_0, column_ptr=csc.indptr,
+        row_idx=csc.indices, sparse_operand="c")
+    check(dense[csc.indices, cols], np.asarray(kern2(a, b)), margin=1e-4)
