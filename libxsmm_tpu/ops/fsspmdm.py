@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Optional
 
 import jax
@@ -90,11 +89,18 @@ def _autotune_cache():
         return None
 
 
-def _bench(fn, args, reps: int) -> float:
-    from ..utils.timer import bench_chain
-    # chain through B (args[0]): fixed-arg loops are memoized by the
-    # runtime and block_until_ready does not actually sync (CLAUDE.md)
-    return bench_chain(fn, args, chain_idx=0, reps=reps) * 1e6  # us
+def _bench_candidates(cands, reps: int, rounds: int = 3) -> list:
+    """Microseconds per call for each (fn, args) candidate, measured with
+    launches INTERLEAVED across rounds (utils.timer.bench_chain_interleaved)
+    so the dense/sparse ratio survives time-share window drift — a
+    sequential single-shot comparison picks whichever candidate ran in the
+    better window (VERDICT r2 weak #2). Chained through B (args[0]):
+    fixed-arg loops are memoized by the runtime and block_until_ready does
+    not actually sync (CLAUDE.md). Module-level for test injection."""
+    from ..utils.timer import bench_chain_interleaved
+    times = bench_chain_interleaved([(fn, args, 0) for fn, args in cands],
+                                    reps=reps, rounds=rounds)
+    return [t * 1e6 for t in times]
 
 
 def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
@@ -158,15 +164,23 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
             sparse_kernel = None   # nnz over cap -> dense only
 
     # persistent autotune decisions (native KV log; SURVEY.md §5.4 — the
-    # TPU analogue of AOT static kernels persisting across runs)
+    # TPU analogue of AOT static kernels persisting across runs). v2
+    # format stores the measured times with the pick ("kind:dense:sparse"
+    # in us) so a later create can RE-VALIDATE: one bad time-share window
+    # would otherwise poison every future process (VERDICT r2 weak #2).
     cache = _autotune_cache()
-    cache_key = (f"fsspmdm:{m}:{n}:{k}:{beta}:{dtype.value}:"
+    cache_key = (f"fsspmdm2:{m}:{n}:{k}:{beta}:{dtype.value}:"
                  f"{csr.fingerprint(include_values=True):x}").encode()
-    cached_kind = None
+    cached = None                      # (kind, dense_us, sparse_us)
     if cache is not None:
         raw = cache.get(cache_key)
-        if raw in (b"dense", b"sparse"):
-            cached_kind = raw.decode()
+        if raw:
+            try:
+                kind_s, d_us, s_us = raw.decode().split(":")
+                if kind_s in ("dense", "sparse"):
+                    cached = (kind_s, float(d_us), float(s_us))
+            except ValueError:
+                pass
 
     # re-read the env at create time like the reference (getenv inside
     # libxsmm_fsspmdm_create, src/libxsmm_fsspmdm.c:35-36) — CONFIG only
@@ -174,31 +188,57 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
     from ..config import _env_int
     hint = _env_int("XSMM_TPU_FSSPMDM_HINT", CONFIG.fsspmdm_hint)
     tuned = {}
+    rng = np.random.default_rng(0)
+
+    def _tune_args():
+        b_probe = jnp.asarray(rng.standard_normal((k, n)), to_jnp(dtype))
+        return ((b_probe,) if beta == 0 else
+                (b_probe, jnp.zeros((m, n), to_jnp(dtype))))
+
+    def _full_tune():
+        args = _tune_args()
+        reps = max(1, CONFIG.fsspmdm_ntune)
+        times = _bench_candidates(
+            [(dense_kernel.fn, args), (sparse_kernel.fn, args)], reps)
+        if times[0] is None:            # dense failed to run (unexpected)
+            return sparse_kernel, "sparse"
+        if times[1] is None:            # sparse candidate failed
+            return dense_kernel, "dense"
+        tuned["dense_us"], tuned["sparse_us"] = times
+        # dense bias: prefer dense unless sparse is >bias faster (:311-330)
+        bias = 1.0 + CONFIG.fsspmdm_dense_bias
+        if tuned["sparse_us"] * bias < tuned["dense_us"]:
+            p, kd = sparse_kernel, "sparse"
+        else:
+            p, kd = dense_kernel, "dense"
+        if cache is not None:
+            cache.put(cache_key, f"{kd}:{tuned['dense_us']:.3f}:"
+                                 f"{tuned['sparse_us']:.3f}".encode())
+        return p, kd
+
     if hint == 2 or sparse_kernel is None:
         pick, kind = dense_kernel, "dense"
     elif hint == 1:
         pick, kind = sparse_kernel, "sparse"
-    elif cached_kind is not None:
-        kind = cached_kind
+    elif cached is not None:
+        kind, d_us, s_us = cached
         pick = dense_kernel if kind == "dense" else sparse_kernel
+        # cheap probe of the picked kernel: if it deviates >2x from the
+        # stored time, the stored tune (or this window) is unreliable —
+        # re-run the full interleaved tune and refresh the entry. A bad
+        # CURRENT window only costs a redundant (window-robust) re-tune.
+        stored_us = d_us if kind == "dense" else s_us
+        probe_us = _bench_candidates([(pick.fn, _tune_args())],
+                                     reps=8, rounds=1)[0]
         tuned["cached"] = True
+        tuned["probe_us"] = probe_us
+        if (probe_us is None
+                or not stored_us / 2.0 <= probe_us <= stored_us * 2.0):
+            tuned["revalidated"] = True
+            pick, kind = _full_tune()
     else:
-        # create-time microbenchmark on device (:285-382)
-        rng = np.random.default_rng(0)
-        b_probe = jnp.asarray(rng.standard_normal((k, n)), to_jnp(dtype))
-        args = ((b_probe,) if beta == 0 else
-                (b_probe, jnp.zeros((m, n), to_jnp(dtype))))
-        reps = max(1, CONFIG.fsspmdm_ntune)
-        tuned["dense_us"] = _bench(dense_kernel.fn, args, reps)
-        tuned["sparse_us"] = _bench(sparse_kernel.fn, args, reps)
-        # dense bias: prefer dense unless sparse is >bias faster (:311-330)
-        bias = 1.0 + CONFIG.fsspmdm_dense_bias
-        if tuned["sparse_us"] * bias < tuned["dense_us"]:
-            pick, kind = sparse_kernel, "sparse"
-        else:
-            pick, kind = dense_kernel, "dense"
-        if cache is not None:
-            cache.put(cache_key, kind.encode())
+        # create-time microbenchmark on device (:285-382), interleaved
+        pick, kind = _full_tune()
 
     if CONFIG.verbose >= 2:
         print(f"libxsmm_tpu: fsspmdm {m}x{n}x{k} nnz={nnz} -> {kind} "

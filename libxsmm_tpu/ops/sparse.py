@@ -700,34 +700,59 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
     from ..config import CONFIG
     from ..ops.fsspmdm import _autotune_cache   # lazy: avoids import cycle
     cache = _autotune_cache()
-    key = (f"bcsc:{shape.m}:{shape.n}:{shape.k}:{bk}:{bn}:"
+    # v2 entries carry the winning time so a later create can re-validate
+    # (one bad time-share window must not poison every future process)
+    key = (f"bcsc2:{shape.m}:{shape.n}:{shape.k}:{bk}:{bn}:"
            f"{shape.a_in_type.value}:{bcsc.fingerprint():x}").encode()
+    cached = None                      # (pick, best_us)
     if cache is not None:
         raw = cache.get(key)
         if raw:
-            return raw.decode()
+            try:
+                pick_s, us_s = raw.decode().split(":")
+                cached = (pick_s, float(us_s))
+            except ValueError:
+                pass
 
     import jax.numpy as jnp
-    from ..utils.timer import bench_chain
+    from ..utils.timer import bench_chain, bench_chain_interleaved
     rng = np.random.default_rng(0)
     in_dt = to_jnp(shape.a_in_type)
     a = jnp.asarray(rng.standard_normal((shape.m, shape.k)), in_dt)
     v = jnp.asarray(rng.standard_normal((nblocks, bk, bn)), in_dt)
-    tuned = {}
+
+    if cached is not None:
+        pick, stored_us = cached
+        # cheap probe: re-tune only when the picked strategy deviates >2x
+        try:
+            kern = create_packed_spgemm_bcsc(shape, flags, config,
+                                             indptr, indices, strategy=pick)
+            probe = bench_chain(kern, (a, v), chain_idx=1, reps=8,
+                                rounds=1) * 1e6
+            if stored_us / 2.0 <= probe <= stored_us * 2.0:
+                return pick
+        except Exception:
+            pass   # stale/broken entry -> full re-tune
+
+    # full tune: build every lowering, then time them with launches
+    # INTERLEAVED round-by-round (the fsspmdm discipline: ratios of
+    # interleaved candidates survive any time-share window; a sequential
+    # per-strategy loop hands the win to whoever drew the good window)
+    cands = []
     for s in ("dense", "union", "super", "sparse", "pallas"):
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=s)
+            cands.append((s, kern))
         except Exception:
             continue
-        try:
-            # chain through VALUES (the runtime operand per the reference
-            # API) so loop-invariant densify cannot be hoisted — see the
-            # bench.py bcsc case note
-            tuned[s] = bench_chain(kern, (a, v), chain_idx=1, reps=12,
-                                   rounds=2)
-        except Exception:
-            continue
+    if not cands:
+        return "dense"
+    # chain through VALUES (the runtime operand per the reference API)
+    # so loop-invariant densify cannot be hoisted — see bench.py
+    times = bench_chain_interleaved(
+        [(kern, (a, v), 1) for _s, kern in cands], reps=12, rounds=3)
+    tuned = {s: t for (s, _k), t in zip(cands, times) if t is not None}
     if not tuned:
         return "dense"
     pick = min(tuned, key=tuned.get)
@@ -736,7 +761,7 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
         print(f"libxsmm_tpu: bcsc {shape.m}x{shape.n}x{shape.k} "
               f"b{bk}x{bn} nblk={nblocks} -> {pick} ({us})")
     if cache is not None:
-        cache.put(key, pick.encode())
+        cache.put(key, f"{pick}:{tuned[pick] * 1e6:.3f}".encode())
     return pick
 
 

@@ -55,64 +55,105 @@ def bench(fn: Callable, args: Tuple = (), reps: int = 50,
     return (time.perf_counter() - t0) / reps
 
 
+class _ChainRunner:
+    """One calibrated chained-timing loop (shared by bench_chain and
+    bench_chain_interleaved): reps fold inside ONE jit launch via
+    lax.fori_loop, the chain consumes every output leaf (times 0.0) so
+    nothing is memoized/DCE'd, and the rep count is calibrated so a launch
+    runs at least `min_launch_s` (per-launch overhead swings 1.2-28 ms
+    with the time-share window; fixed small reps silently measure
+    launch_ms/reps in bad windows)."""
+
+    def __init__(self, fn: Callable, args: Tuple, chain_idx: int,
+                 reps: int, min_launch_s: float):
+        args = tuple(args)
+
+        def step(x):
+            call = [x if i == chain_idx else a for i, a in enumerate(args)]
+            out = fn(*call)
+            # The chain must consume EVERY output element, or XLA computes
+            # only the live part: slice-of-dot rewrites to dot-of-slice (a
+            # chain through out[0] times a 2048^2 matmul at 1 row), and
+            # optimization-barrier tuples get unused elements DCE'd (a
+            # barrier pairing elided the kernel entirely). A full float
+            # reduction is un-narrowable, and `total * 0.0` is un-foldable
+            # for floats (the value could be NaN/inf), unlike integer
+            # mul-by-zero.
+            total = sum(jnp.sum(leaf.astype(jnp.float32))
+                        for leaf in jax.tree_util.tree_leaves(out))
+            zero = (total * 0.0).astype(x.dtype)
+            return x.at[(0,) * x.ndim].add(zero)
+
+        def make(r):
+            return jax.jit(lambda s: jax.lax.fori_loop(
+                0, r, lambda i, ss: step(ss), s))
+
+        self.reps = reps
+        self._looped = make(reps)
+        x = self._looped(args[chain_idx])      # compile + warmup
+        device_sync(x)
+        t0 = time.perf_counter()
+        x = self._looped(x)
+        device_sync(x)
+        t_probe = time.perf_counter() - t0
+        if t_probe < min_launch_s:
+            # scale reps so launch overhead amortizes below the target
+            self.reps = min(100000, max(reps + 1,
+                                        int(reps * 2 * min_launch_s
+                                            / max(t_probe, 1e-6))))
+            self._looped = make(self.reps)
+            x = self._looped(x)                # compile + warmup anew
+            device_sync(x)
+        self._x = x
+
+    def run_once(self) -> float:
+        """One timed launch; returns seconds per rep."""
+        t0 = time.perf_counter()
+        self._x = self._looped(self._x)
+        device_sync(self._x)
+        return (time.perf_counter() - t0) / self.reps
+
+
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
                 reps: int = 20, warmup: int = 2, rounds: int = 3,
                 min_launch_s: float = 0.05) -> float:
-    """Average seconds per call with a data dependency chained through
-    args[chain_idx] each rep (a zero-valued output readback folded in), so
-    the runtime cannot memoize or dead-code-eliminate the body.
+    """Best seconds per call over `rounds` calibrated chained launches
+    (see _ChainRunner for the measurement discipline)."""
+    runner = _ChainRunner(fn, args, chain_idx, reps, min_launch_s)
+    return min(runner.run_once() for _ in range(max(1, rounds)))
 
-    All reps run INSIDE one launch (lax.fori_loop) AND the rep count is
-    CALIBRATED so each launch runs at least `min_launch_s`: per-launch
-    overhead on this backend swings 1.2 ms to ~28 ms with the time-sharing
-    window — a fixed small rep count silently measures launch overhead
-    instead of the kernel in bad windows (every candidate then reads
-    launch_ms/reps, and autotunes pick arbitrarily). `reps` is the lower
-    bound / first probe size. The final sync is a host fetch
-    (block_until_ready does not flush the pipeline)."""
-    args = tuple(args)
 
-    def step(x):
-        call = [x if i == chain_idx else a for i, a in enumerate(args)]
-        out = fn(*call)
-        # The chain must consume EVERY output element, or XLA computes only
-        # the live part: slice-of-dot rewrites to dot-of-slice (a chain
-        # through out[0] times a 2048^2 matmul at 1 row), and
-        # optimization-barrier tuples get unused elements DCE'd (a barrier
-        # pairing elided the kernel entirely). A full float reduction is
-        # un-narrowable, and `total * 0.0` is un-foldable for floats (the
-        # value could be NaN/inf), unlike integer mul-by-zero.
-        total = sum(jnp.sum(leaf.astype(jnp.float32))
-                    for leaf in jax.tree_util.tree_leaves(out))
-        zero = (total * 0.0).astype(x.dtype)
-        return x.at[(0,) * x.ndim].add(zero)
+def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
+                            min_launch_s: float = 0.05):
+    """Best seconds per call for SEVERAL candidates with their timed
+    launches INTERLEAVED round by round: candidate i's round-r launch runs
+    adjacent to candidate j's, so every candidate samples the same
+    time-share windows and the RATIO between the returned times survives
+    any window (a sequential per-candidate loop does not — the device
+    throughput swings ~100x between minutes, and whichever candidate ran
+    in the bad window loses regardless of merit; VERDICT r2 weak #2).
 
-    def make(r):
-        return jax.jit(lambda s: jax.lax.fori_loop(
-            0, r, lambda i, ss: step(ss), s))
-
-    looped = make(reps)
-    x = args[chain_idx]
-    x = looped(x)                      # compile + warmup
-    device_sync(x)
-    t0 = time.perf_counter()
-    x = looped(x)
-    device_sync(x)
-    t_probe = time.perf_counter() - t0
-    if t_probe < min_launch_s:
-        # scale reps so launch overhead is amortized below ~launch/target
-        reps = min(100000, max(reps + 1,
-                               int(reps * 2 * min_launch_s
-                                   / max(t_probe, 1e-6))))
-        looped = make(reps)
-        x = looped(x)                  # compile + warmup at the new count
-        device_sync(x)
-    best = float("inf")
+    cands: iterable of (fn, args, chain_idx). Returns [sec_per_call,...]
+    in candidate order; a candidate that fails to build/compile or errors
+    mid-run yields None instead of poisoning the others.
+    """
+    runners = []
+    for fn, args, chain_idx in cands:
+        try:
+            runners.append(_ChainRunner(fn, args, chain_idx, reps,
+                                        min_launch_s))
+        except Exception:
+            runners.append(None)
+    best = [float("inf") if r is not None else None for r in runners]
     for _ in range(max(1, rounds)):
-        t0 = time.perf_counter()
-        x = looped(x)
-        device_sync(x)
-        best = min(best, (time.perf_counter() - t0) / reps)
+        for i, r in enumerate(runners):
+            if r is None:
+                continue
+            try:
+                best[i] = min(best[i], r.run_once())
+            except Exception:
+                runners[i] = None
+                best[i] = None
     return best
 
 
