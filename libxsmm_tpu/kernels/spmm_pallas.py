@@ -107,9 +107,11 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
+        # accumulator buffer is f32 regardless of out dtype (Mosaic
+        # requires 32-bit matmul acc); cast happens outside the call
         o_ref[0] += jax.lax.dot(
             a_ref[0], v_ref[0],
-            preferred_element_type=o_ref.dtype,
+            preferred_element_type=jnp.float32,
             precision=prec)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -131,16 +133,15 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
     )
 
     isz = jnp.dtype(in_dt).itemsize
-    osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, m, bn), out_dt),
+        out_shape=jax.ShapeDtypeStruct((nb, m, bn), jnp.float32),
         interpret=device.use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * tm * bk * bn * m_tiles,
             bytes_accessed=(nsteps * m_tiles * (tm * bk + bk * bn) * isz
-                            + nb * m * bn * osz),
+                            + nb * m * bn * 4),
             transcendentals=0),
     )
 
@@ -152,7 +153,7 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
         panels = (a.astype(in_dt).reshape(m, kb, bk)
                   .transpose(1, 0, 2))                      # (kb, m, bk)
         out = call(rows, cols, vidx, first, panels, vpad)
-        return out.transpose(1, 0, 2).reshape(m, n)
+        return out.transpose(1, 0, 2).reshape(m, n).astype(out_dt)
 
     def fn(a, values):
         # schedule arrays are device-resident bound ARGS, not jit closure
@@ -249,10 +250,13 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
             idx = krows_ref[g * U + u]
             scratch[u * bk:(u + 1) * bk, :] = at_ref[
                 pl.ds(idx * bk, bk), :]
+        # Mosaic requires a 32-bit matmul accumulator: dot in f32 and cast
+        # on the store (a bf16 preferred_element_type fails TPU verification)
         o_ref[...] = jax.lax.dot_general(
             scratch[...], rhs_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=o_ref.dtype, precision=prec)
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(o_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -349,7 +353,7 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
 
         o_ref[...] += jax.lax.dot(
             a_ref[...], v_ref[0],
-            preferred_element_type=o_ref.dtype, precision=prec)
+            preferred_element_type=jnp.float32, precision=prec)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -368,16 +372,15 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
     )
 
     isz = jnp.dtype(in_dt).itemsize
-    osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         interpret=device.use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * tm * SB * SB * m_tiles,
             bytes_accessed=(nsteps * m_tiles * (tm * SB + SB * SB) * isz
-                            + m * n * osz),
+                            + m * n * 4),
             transcendentals=0),
     )
 
@@ -386,7 +389,8 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
     def run(rows, cols, vidx, first, a, sup):
         spad = jnp.concatenate(
             [sup.astype(in_dt), jnp.zeros((1, SB, SB), in_dt)], axis=0)
-        return call(rows, cols, vidx, first, a.astype(in_dt), spad)
+        return call(rows, cols, vidx, first,
+                    a.astype(in_dt), spad).astype(out_dt)
 
     def fn(a, sup_values):
         return run(rows_d, cols_d, vidx_d, first_d, a, sup_values)
