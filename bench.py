@@ -76,7 +76,11 @@ class ChainCase:
         _sync(state)
         t_hi = time.perf_counter() - t0
         per_iter = max((t_hi - t_lo) / 16, 1e-6)
-        self.inner = int(min(1024, max(16, TARGET_LAUNCH_S / per_iter)))
+        # cap 8192 (was 1024): in degraded windows per-launch overhead
+        # reaches ~28 ms — a 1024-iter launch of a 20 us kernel is 21 ms
+        # of work + 28 ms of overhead (2.3x inflation); the TARGET_LAUNCH_S
+        # sizing needs room to amortize it
+        self.inner = int(min(8192, max(16, TARGET_LAUNCH_S / per_iter)))
         self.fn = make(self.inner)
         self.state = self.fn(state)      # compile + warmup
         _sync(self.state)
@@ -222,7 +226,7 @@ def make_brgemm_case():
     # best-of over step-size variants (Mosaic compile lottery, see smm case)
     from libxsmm_tpu.utils.timer import bench_chain
     kern, best_t = None, float("inf")
-    for sg in (4, 8, 16):
+    for sg in (4, 8, 16, 32):
         cand = xt.dispatch_brgemm_packed(
             shape, GemmFlags.BETA_0,
             BatchReduceConfig(BatchReduceType.STRIDE, br), step_groups=sg)
@@ -231,6 +235,21 @@ def make_brgemm_case():
         if t < best_t:
             kern, best_t = cand, t
 
+    # structural streaming-SoL twin (same block specs, no MXU work): the
+    # shape is HBM-bound at ~0.53 of bf16 peak by plain roofline, so the
+    # honest quality measure is time vs this twin, not vs compute peak
+    from libxsmm_tpu.descriptor import GemmDescriptor
+    from libxsmm_tpu.kernels.gemm_pallas import build_packed_brgemm_sol
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags.BETA_0,
+                          br=BatchReduceConfig(BatchReduceType.STRIDE, br))
+    solfn, sol_t = None, float("inf")
+    for sg in (4, 8, 16, 32):
+        cand = build_packed_brgemm_sol(desc, br, step_groups=sg)
+        t = bench_chain(lambda b_, c_=cand: c_(a_packed, b_), (b0,),
+                        chain_idx=0, reps=24, rounds=2)
+        if t < sol_t:
+            solfn, sol_t = cand, t
+
     def step(b):
         out = kern(a_packed, b)
         # chain via an in-place SLICE update of the loop carry: a full
@@ -238,8 +257,13 @@ def make_brgemm_case():
         # dominate the kernel being measured
         return b.at[0].add((out[:k, :] * 1e-6).astype(jnp.bfloat16))
 
+    def sol_step(b):
+        out = solfn(a_packed, b)
+        return b.at[0].add((out[:k, :] * 1e-6).astype(jnp.bfloat16))
+
     bytes_moved = br * (m * k + k * n) * 2 + m * n * 4
-    return ChainCase(step, b0), (2 * br * m * n * k, bytes_moved)
+    return ((ChainCase(step, b0), ChainCase(sol_step, b0)),
+            (2 * br * m * n * k, bytes_moved))
 
 
 def make_brgemm_fused_case():
@@ -436,12 +460,17 @@ def main():
         pass
 
     geom = get_geometry()
+    # per-launch overhead of this window (context for absolute numbers:
+    # >5 ms means a degraded launch-latency window — within-round ratios
+    # stay valid, absolute GF/s read low)
+    from libxsmm_tpu.utils.timer import launch_overhead
+    launch_ms = round(launch_overhead(refresh=True) * 1e3, 2)
     copy_case, copy_bytes = make_copy_case()
     pf32_case, pf32_flops = make_peak_case("f32")
     pbf16_case, pbf16_flops = make_peak_case("bf16")
     smm_case, (smm_flops, smm_bytes) = make_smm_case()
     sol_case, sol_bytes = make_smm_sol_case()
-    brg_case, (brg_flops, brg_bytes) = make_brgemm_case()
+    (brg_case, brg_sol_case), (brg_flops, brg_bytes) = make_brgemm_case()
     brgf_case, brgf_flops = make_brgemm_fused_case()
     fss_case, (fss_nnzn, fss_kind, fss_bytes) = make_fsspmdm_case()
     fsst_cases, (fsst_nnzn, fsst_kind) = make_fsspmdm_tall_case()
@@ -449,7 +478,8 @@ def main():
     bcsc5_cases, (bcsc5_nnz, bcsc5_m) = make_bcsc_case(0.05)
 
     cases = [copy_case, pf32_case, pbf16_case, smm_case, sol_case,
-             brg_case, brgf_case, fss_case] + list(fsst_cases.values()) \
+             brg_case, brg_sol_case, brgf_case, fss_case] \
+        + list(fsst_cases.values()) \
         + list(bcsc_cases.values()) + list(bcsc5_cases.values())
     # Interleave over time windows (the device is time-shared with >10x
     # minute-scale swings, including WITHIN a round — a per-round ratio is
@@ -472,6 +502,7 @@ def main():
         # the brgemm pair swings 2x between runs on launch-latency windows
         # (measured 47 vs 105 TF/s run to run at ROUNDS=8): extra samples
         brg_case.trial()
+        brg_sol_case.trial()
         brgf_case.trial()
     # the smm kernel cannot beat true DMA speed of light with the same
     # block specs; if its best window outran the passthrough's best (the
@@ -498,7 +529,7 @@ def main():
     # ~0.53 of bf16 peak (intensity 128 F/B x ~650 GB/s), so a peak
     # fraction around 0.6 means the kernel runs AT/ABOVE streaming speed
     # of light courtesy of VMEM residency.
-    del brg_bytes, fss_bytes
+    del fss_bytes
     brg_peak_frac = round(brg_rate / peak_bf16, 3)
     bcsc_peak_frac = round(2 * bcsc_nnz * bcsc_m / bcsc_best
                            / peak_bf16, 4)
@@ -529,6 +560,7 @@ def main():
         "extras": {
             "device": geom.name,
             "on_tpu": on_tpu(),
+            "launch_overhead_ms": launch_ms,
             "copy_bw_gbps": round(bw / 1e9, 1),
             "smm32_sol_bw_gbps": round(sol_bytes / sol_case.best / 1e9, 1),
             "peak_f32_gflops": round(peak_f32 / 1e9, 1),
@@ -537,6 +569,14 @@ def main():
             "smm32_stream_gbps": round(smm_bytes / smm_case.best / 1e9, 1),
             "brgemm_bf16_gflops": round(brg_rate / 1e9, 1),
             "brgemm_peak_fraction": brg_peak_frac,
+            # time vs the structural streaming twin (same block specs,
+            # no MXU work): ~1.0 = compute fully hidden behind the
+            # HBM streaming this shape is bound by (the physical
+            # ceiling of brgemm_peak_fraction is ~0.67 at 128 F/B)
+            "brgemm_stream_sol_frac": round(
+                min(brg_sol_case.best / brg_case.best, 1.0), 3),
+            "brgemm_stream_gbps": round(
+                brg_bytes / brg_case.best / 1e9, 1),
             "brgemm_fused_relu_bias_gflops": round(
                 brgf_flops / brgf_case.best / 1e9, 1),
             "brgemm_fused_frac": round(

@@ -304,6 +304,78 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
     return fn
 
 
+def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
+                            step_groups: Optional[int] = None):
+    """Structural speed-of-light twin of build_packed_brgemm: IDENTICAL
+    grid/block specs and DMA pattern, but the MXU dot replaced by a cheap
+    full consumption of both blocks (row/col sums broadcast into the
+    accumulator). Times the pure streaming cost of the kernel's schedule —
+    the honest SoL for a Pallas kernel must share its block specs
+    (CLAUDE.md: XLA fori_loop baselines keep working sets on-chip, Pallas
+    operands re-stream per call). The brgemm shape is HBM-bound (intensity
+    2*m*n*k*q/((m+n)*128) F/B), so brgemm_time/sol_time ~ 1.0 means the
+    compute is fully hidden behind the streaming."""
+    if not packed_brgemm_supported(desc) or br <= 0:
+        return None
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = desc.shape
+    m, n, k = s.m, s.n, s.k
+    q = 128 // k
+    if br % q:
+        return None
+    groups = br // q
+    in_dt = to_jnp(s.a_in_type)
+    interpret = device.use_interpret()
+
+    isz = jnp.dtype(in_dt).itemsize
+    per_group = (m + n) * 128 * isz
+    gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
+    if step_groups:
+        gg = max(1, int(step_groups))
+    gg = min(gg, groups)
+    steps = -(-groups // gg)
+
+    def kernel(a_ref, b_ref, o_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        acc = o_ref[...]
+        for g in range(gg):
+            sa = jnp.sum(a_ref[g].astype(jnp.float32), axis=1,
+                         keepdims=True)                      # (m, 1)
+            sb = jnp.sum(b_ref[g].reshape(q * k, n).astype(jnp.float32),
+                         axis=0, keepdims=True)              # (1, n)
+            acc = acc + sa + sb
+        o_ref[...] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((gg, m, q * k), lambda i: (i, i - i, i - i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gg, q, k, n),
+                               lambda i: (i, i - i, i - i, i - i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, n), lambda i: (i - i, i - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (m + n) * 128 * gg * steps,
+            bytes_accessed=per_group * gg * steps + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def fn(a, b):
+        return call(a, b.reshape(groups, q, k, n))
+
+    return fn
+
+
 def packed_smm_supported(desc: GemmDescriptor) -> bool:
     """Lane-packing needs square-ish tiles: k == n, n divides 128, and the
     f32/bf16/int8 dtypes the MXU consumes directly."""

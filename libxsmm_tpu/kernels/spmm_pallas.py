@@ -287,13 +287,26 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
             transcendentals=0),
     )
 
+    # RHS compaction: a one-pass Pallas gather kernel when the value store
+    # fits VMEM (the XLA take + 5-D transpose chain costs ~a matmul's
+    # worth of time per call, r3 probe); XLA fallback otherwise
+    compactor = build_union_compact_rhs(nsg, U, W, bk, bn, nblocks,
+                                        gmap, in_dt)
+
     @jax.jit
     @jax.named_scope(f"xsmm_pallas_bcsc_union_{m}x{n}x{k}_U{U}")
     def run(krows_j, gmap_j, a, values):
-        vpad = jnp.concatenate(
-            [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)], axis=0)
-        rhs = jnp.take(vpad, gmap_j, axis=0).reshape(nsg, U, W, bk, bn)
-        rhs = rhs.transpose(0, 1, 3, 2, 4).reshape(nsg, U * bk, 128)
+        if compactor is not None:
+            v2d = jnp.concatenate(
+                [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
+                axis=0).reshape((nblocks + 1) * bk, bn)
+            rhs = compactor(v2d)
+        else:
+            vpad = jnp.concatenate(
+                [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
+                axis=0)
+            rhs = jnp.take(vpad, gmap_j, axis=0).reshape(nsg, U, W, bk, bn)
+            rhs = rhs.transpose(0, 1, 3, 2, 4).reshape(nsg, U * bk, 128)
         at = a.astype(in_dt).T
         return call(krows_j, at, rhs)
 
@@ -301,6 +314,135 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
         return run(krows_d, gmap_d, a, values)
 
     fn.union_panels = U            # introspection for tests/autotune logs
+    return fn
+
+
+def build_bcsc_densify(shape: GemmShape, config: SpgemmConfig,
+                       indptr: np.ndarray, indices: np.ndarray
+                       ) -> Optional[Callable]:
+    """Pallas densifier for the BCSC "dense" strategy: values -> dense B.
+
+    fn(values (nblocks, bk, bn)) -> (k, n). Replaces the per-call XLA
+    take + 4-D transpose (which round-trips the expanded B through HBM
+    twice and relayouts it) with ONE pass: the padded value store sits in
+    VMEM ((nblocks+1)*bk, bn 2-D layout), each grid step writes one (bk, n)
+    row-panel of B with nb static-lane-offset copies selected by the
+    scalar-prefetched gather map. The r3 probe measured the XLA expansion
+    chain costing ~as much as the 1024^3 matmul it feeds.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bk, bn = config.bk, config.bn
+    k, n = shape.k, shape.n
+    if shape.a_in_type not in (Datatype.F32, Datatype.BF16):
+        return None
+    in_dt = to_jnp(shape.b_in_type if shape.b_in_type else shape.a_in_type)
+    sub = 8 if in_dt == jnp.float32 else 16
+    if bk % sub or n % 128 or bn % 8:
+        return None
+    nblocks = len(indices)
+    isz = jnp.dtype(in_dt).itemsize
+    vbytes = (nblocks + 1) * bk * bn * isz
+    if vbytes > device.get_geometry().vmem_bytes // 4:
+        return None                     # value store must sit in VMEM
+    kb, nb = k // bk, n // bn
+
+    gmap = np.full((kb, nb), nblocks, np.int32)
+    for j in range(nb):
+        gmap[indices[indptr[j]:indptr[j + 1]], j] = np.arange(
+            indptr[j], indptr[j + 1], dtype=np.int32)
+    gmap_d = jax.device_put(jnp.asarray(gmap.reshape(-1)))
+
+    def kernel(gmap_ref, v_ref, o_ref):
+        i = pl.program_id(0)
+        for j in range(nb):             # static unroll: nb is create-time
+            idx = gmap_ref[i * nb + j]
+            o_ref[:, j * bn:(j + 1) * bn] = v_ref[pl.ds(idx * bk, bk), :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kb,),
+        in_specs=[pl.BlockSpec(((nblocks + 1) * bk, bn),
+                               lambda i, gm: (i - i, i - i))],
+        out_specs=pl.BlockSpec((bk, n), lambda i, gm: (i, i - i)),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, n), in_dt),
+        interpret=device.use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=vbytes + k * n * isz,
+            transcendentals=0),
+    )
+
+    @jax.jit
+    @jax.named_scope(f"xsmm_pallas_bcsc_densify_{k}x{n}_b{bk}x{bn}")
+    def run(gm, values):
+        v2d = jnp.concatenate(
+            [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
+            axis=0).reshape((nblocks + 1) * bk, bn)
+        return call(gm, v2d)
+
+    def fn(values):
+        return run(gmap_d, values)
+
+    return fn
+
+
+def build_union_compact_rhs(nsg: int, U: int, W: int, bk: int, bn: int,
+                            nblocks: int, gmap: np.ndarray, in_dt
+                            ) -> Optional[Callable]:
+    """Pallas compactor for the union kernel's RHS: values -> per-group
+    compacted+densified (nsg, U*bk, 128) in ONE pass (replaces the XLA
+    take + 5-D transpose chain the r3 probe found on the critical path).
+    `gmap` is the (nsg, U, W) value-index map (nblocks = zero slot)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .. import device as device_mod
+
+    isz = jnp.dtype(in_dt).itemsize
+    vbytes = (nblocks + 1) * bk * bn * isz
+    if vbytes > device_mod.get_geometry().vmem_bytes // 4:
+        return None
+    gmap_d = jax.device_put(jnp.asarray(gmap.reshape(-1)))
+
+    def kernel(gmap_ref, v_ref, o_ref):
+        g = pl.program_id(0)
+        for u in range(U):
+            for w in range(W):          # static unroll: U, W create-time
+                idx = gmap_ref[(g * U + u) * W + w]
+                o_ref[0, u * bk:(u + 1) * bk, w * bn:(w + 1) * bn] = \
+                    v_ref[pl.ds(idx * bk, bk), :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsg,),
+        in_specs=[pl.BlockSpec(((nblocks + 1) * bk, bn),
+                               lambda g, gm: (g - g, g - g))],
+        out_specs=pl.BlockSpec((1, U * bk, 128), lambda g, gm: (g, g - g,
+                                                                g - g)),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsg, U * bk, 128), in_dt),
+        interpret=device_mod.use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=vbytes + nsg * U * bk * 128 * isz,
+            transcendentals=0),
+    )
+
+    def fn(vpad_2d):
+        """vpad_2d: ((nblocks+1)*bk, bn) padded value store."""
+        return call(gmap_d, vpad_2d)
+
     return fn
 
 

@@ -873,19 +873,30 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
             gmap[indices[indptr[j]:indptr[j + 1]], j] = np.arange(
                 indptr[j], indptr[j + 1], dtype=np.int32)
         gmapd = jax.device_put(jnp.asarray(gmap.reshape(-1)))
+        # one-pass Pallas densifier when the value store fits VMEM (the
+        # XLA take+transpose chain costs ~a matmul per call, r3 probe)
+        densifier = None
+        if strategy == "dense":
+            from ..kernels import spmm_pallas
+            densifier = spmm_pallas.build_bcsc_densify(shape, config,
+                                                       indptr, indices)
 
         @jax.named_scope(f"xsmm_pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
                          f"_b{bk}x{bn}_nb{nblocks}_{strategy}")
         def run(rowj, segj, gmapj, a, values, c=None):
             if strategy == "dense":
-                vpad = jnp.concatenate(
-                    [values, jnp.zeros((1, bk, bn), values.dtype)], axis=0)
-                dense = jnp.take(vpad, gmapj, axis=0).reshape(
-                    kb, nb, bk, bn)
-                bdense = dense.transpose(0, 2, 1, 3).reshape(shape.k,
-                                                             shape.n)
+                if densifier is not None:
+                    bdense = densifier(values)
+                else:
+                    vpad = jnp.concatenate(
+                        [values, jnp.zeros((1, bk, bn), values.dtype)],
+                        axis=0)
+                    dense = jnp.take(vpad, gmapj, axis=0).reshape(
+                        kb, nb, bk, bn)
+                    bdense = dense.transpose(0, 2, 1, 3).reshape(shape.k,
+                                                                 shape.n)
                 acc = jax.lax.dot_general(
-                    a, bdense, (((1,), (0,)), ((), ())),
+                    a, bdense.astype(a.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=comp, precision=prec)
             else:
                 # A panels: (m, k) -> (kb, m, bk) -> gather by block row

@@ -55,14 +55,45 @@ def bench(fn: Callable, args: Tuple = (), reps: int = 50,
     return (time.perf_counter() - t0) / reps
 
 
+def launch_overhead(refresh: bool = False) -> float:
+    """Best-of-3 time of a trivial chained launch: the per-launch queue /
+    dispatch overhead of the current window. On this backend it swings
+    from ~1.2 ms to ~28 ms and can stay degraded for 45+ minutes — any
+    per-rep timing must either amortize far past it or subtract it.
+    Cached per process; pass refresh=True to re-measure."""
+    global _LAUNCH_OVERHEAD
+    if _LAUNCH_OVERHEAD is not None and not refresh:
+        return _LAUNCH_OVERHEAD
+    x = jnp.full((8, 128), 1.0, jnp.float32)
+    f = jax.jit(lambda s: s * 1.0000001)       # chains: no memoization
+    x = f(x)
+    device_sync(x)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = f(x)
+        device_sync(x)
+        best = min(best, time.perf_counter() - t0)
+    _LAUNCH_OVERHEAD = best
+    return best
+
+
+_LAUNCH_OVERHEAD = None
+
+
 class _ChainRunner:
     """One calibrated chained-timing loop (shared by bench_chain and
     bench_chain_interleaved): reps fold inside ONE jit launch via
     lax.fori_loop, the chain consumes every output leaf (times 0.0) so
     nothing is memoized/DCE'd, and the rep count is calibrated so a launch
-    runs at least `min_launch_s` (per-launch overhead swings 1.2-28 ms
-    with the time-share window; fixed small reps silently measure
-    launch_ms/reps in bad windows)."""
+    runs well past the measured per-launch overhead.
+
+    The calibration LOOPS until the target is reached: a single one-shot
+    rescale (the r2 implementation) diverges in degraded windows — with
+    ~28 ms launch overhead the probe time IS the overhead, so one rescale
+    lands at overhead^2/(reps*2*target) per rep (~260 us) for every
+    candidate regardless of its work (observed in the r3 BCSC probe). The
+    measured overhead is also SUBTRACTED from each launch timing."""
 
     def __init__(self, fn: Callable, args: Tuple, chain_idx: int,
                  reps: int, min_launch_s: float):
@@ -88,30 +119,39 @@ class _ChainRunner:
             return jax.jit(lambda s: jax.lax.fori_loop(
                 0, r, lambda i, ss: step(ss), s))
 
+        self._null = launch_overhead(refresh=True)
+        # the launch must dwarf the overhead even after subtraction
+        target = max(min_launch_s, 3.0 * self._null)
         self.reps = reps
         self._looped = make(reps)
         x = self._looped(args[chain_idx])      # compile + warmup
         device_sync(x)
-        t0 = time.perf_counter()
-        x = self._looped(x)
-        device_sync(x)
-        t_probe = time.perf_counter() - t0
-        if t_probe < min_launch_s:
-            # scale reps so launch overhead amortizes below the target
-            self.reps = min(100000, max(reps + 1,
-                                        int(reps * 2 * min_launch_s
-                                            / max(t_probe, 1e-6))))
+        for _ in range(8):
+            t0 = time.perf_counter()
+            x = self._looped(x)
+            device_sync(x)
+            t_probe = time.perf_counter() - t0
+            if t_probe >= target or self.reps >= 200000:
+                break
+            # estimate the true per-rep cost net of overhead and size the
+            # next launch to ~1.3x target
+            per = max((t_probe - self._null) / self.reps, 1e-9)
+            want = int((1.3 * target) / per)
+            self.reps = min(200000, max(self.reps + 1, want))
             self._looped = make(self.reps)
             x = self._looped(x)                # compile + warmup anew
             device_sync(x)
         self._x = x
 
     def run_once(self) -> float:
-        """One timed launch; returns seconds per rep."""
+        """One timed launch; returns seconds per rep, net of the measured
+        per-launch overhead (clamped so a window improvement between the
+        overhead probe and this launch cannot yield <=0)."""
         t0 = time.perf_counter()
         self._x = self._looped(self._x)
         device_sync(self._x)
-        return (time.perf_counter() - t0) / self.reps
+        t = time.perf_counter() - t0
+        return max(t - self._null, 0.25 * t) / self.reps
 
 
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,

@@ -140,9 +140,17 @@ def compact_rhs(gm, v):
     return rhs.transpose(0, 1, 3, 2, 4).reshape(nsg, U * bk, 128)
 
 
-stage("union rhs compaction", compact_rhs, (gmap_ud, vals), 1)
-stage("full union (again)", pfn, (a, vals), 1, useful_flops=USEFUL)
+stage("union rhs compaction(XLA)", compact_rhs, (gmap_ud, vals), 1)
 
-# union pallas call with PRECOMPUTED rhs+at: isolate the kernel itself
-# (approximate: time full union minus stages above)
+# new one-pass pallas expansion kernels (r3)
+dfn = spmm_pallas.build_bcsc_densify(shape, cfg, indptr, indices)
+if dfn is not None:
+    stage("pallas densify", dfn, (vals,), 0)
+cfn = spmm_pallas.build_union_compact_rhs(nsg, U, W, bk, bn, nblocks,
+                                          gmap_u, jnp.bfloat16)
+if cfn is not None:
+    v2d = jnp.concatenate([vals, jnp.zeros((1, bk, bn), jnp.bfloat16)],
+                          axis=0).reshape((nblocks + 1) * bk, bn)
+    stage("pallas compact rhs", cfn, (v2d,), 0)
+
 print("done")
