@@ -80,7 +80,11 @@ class ChainCase:
         # reaches ~28 ms — a 1024-iter launch of a 20 us kernel is 21 ms
         # of work + 28 ms of overhead (2.3x inflation); the TARGET_LAUNCH_S
         # sizing needs room to amortize it
-        self.inner = int(min(8192, max(16, TARGET_LAUNCH_S / per_iter)))
+        want = int(min(8192, max(16, TARGET_LAUNCH_S / per_iter)))
+        # round up to a power of two: the fori_loop trip count is part
+        # of the executable cache key — quantized counts hit the
+        # persistent compile cache across runs, raw counts recompile
+        self.inner = 1 << max(4, (want - 1).bit_length())
         self.fn = make(self.inner)
         self.state = self.fn(state)      # compile + warmup
         _sync(self.state)

@@ -134,10 +134,17 @@ class _ChainRunner:
             if t_probe >= target or self.reps >= 200000:
                 break
             # estimate the true per-rep cost net of overhead and size the
-            # next launch to ~1.3x target
+            # next launch to ~1.3x target. Rep counts are rounded UP to a
+            # power of two: the looped executable's cache key includes the
+            # trip count, so quantized counts hit the persistent compile
+            # cache across calibration iterations, runs, and processes —
+            # raw timing-derived counts recompile every time (~30-100 s
+            # per compile through the tunnel)
             per = max((t_probe - self._null) / self.reps, 1e-9)
             want = int((1.3 * target) / per)
-            self.reps = min(200000, max(self.reps + 1, want))
+            want = 1 << max(1, (want - 1).bit_length())
+            # always grow, always a power of two
+            self.reps = min(1 << 18, max(1 << self.reps.bit_length(), want))
             self._looped = make(self.reps)
             x = self._looped(x)                # compile + warmup anew
             device_sync(x)

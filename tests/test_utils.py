@@ -73,3 +73,51 @@ def test_aux_api_analogues():
     t0 = timer.tickint()
     t1 = timer.tickint()
     assert timer.ncycles(t0, t1) >= 0
+
+
+def test_bench_chain_interleaved_and_overhead():
+    """Interleaved chained timing: per-candidate times returned in order,
+    failing candidates yield None, and the null-launch overhead probe is a
+    small positive number (r3 calibration discipline)."""
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.utils import timer
+
+    null = timer.launch_overhead(refresh=True)
+    assert 0 < null < 5.0
+
+    def fast(x):
+        return x * 1.0001
+
+    def slow(x):
+        y = x
+        for _ in range(20):
+            y = y @ jnp.eye(64, dtype=y.dtype) * 1.0001
+        return y
+
+    def broken(x):
+        raise RuntimeError("no kernel")
+
+    x0 = jnp.ones((64, 64), jnp.float32)
+    times = timer.bench_chain_interleaved(
+        [(fast, (x0,), 0), (slow, (x0,), 0), (broken, (x0,), 0)],
+        reps=8, rounds=2, min_launch_s=0.005)
+    assert times[2] is None
+    assert times[0] is not None and times[1] is not None
+    assert times[0] > 0
+    # slow does ~20 matmuls per step; it must not read faster than fast
+    assert times[1] >= times[0] * 0.5
+
+
+def test_chain_runner_reps_power_of_two():
+    """Calibrated rep counts quantize to powers of two so looped
+    executables hit the persistent compile cache (trip count is part of
+    the cache key)."""
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.utils.timer import _ChainRunner
+
+    r = _ChainRunner(lambda x: x * 1.0001, (jnp.ones((8, 128)),), 0,
+                     reps=8, min_launch_s=0.02)
+    if r.reps != 8:                      # calibration scaled it
+        assert r.reps & (r.reps - 1) == 0, r.reps
