@@ -99,6 +99,24 @@ class ChainCase:
         return dt
 
 
+
+def _pick_variant(cands, args, chain_idx=0, reps=24):
+    """Best candidate by INTERLEAVED chained timing (utils.timer.
+    bench_chain_interleaved): variant selection measured sequentially in a
+    degraded window picks a bad Mosaic draw (r3: unfused brgemm drew a
+    2.5x-slower variant than its fused twin in a 28 ms-launch drought).
+    Returns (winner, its best seconds)."""
+    from libxsmm_tpu.utils.timer import bench_chain_interleaved
+
+    times = bench_chain_interleaved(
+        [(fn, args, chain_idx) for fn in cands], reps=reps, rounds=3)
+    best_i, best_t = None, float("inf")
+    for i, t in enumerate(times):
+        if t is not None and t < best_t:
+            best_i, best_t = i, t
+    return cands[best_i], best_t
+
+
 def make_copy_case():
     """Effective HBM bandwidth via a chained streaming pass (read+write).
     roll defeats both constant-folding and the runtime's result reuse."""
@@ -150,16 +168,11 @@ def make_smm_case():
     # Mosaic's schedule varies run to run (measured 0.58-0.93 of SoL for
     # the SAME source across processes): compile several step-size variants
     # and keep the fastest this process drew (fsspmdm autotune pattern)
-    from libxsmm_tpu.utils.timer import bench_chain
-    best_kern, best_t = None, float("inf")
-    for sg in (24, 48, 96):
-        kern = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
-                                               GemmFlags.BETA_0,
-                                               step_groups=sg)
-        t = bench_chain(kern, (a0, b), chain_idx=0, reps=24, rounds=2)
-        if t < best_t:
-            best_kern, best_t = kern, t
-    kern = best_kern
+    cands = [xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
+                                             GemmFlags.BETA_0,
+                                             step_groups=sg)
+             for sg in (24, 48, 96)]
+    kern, _ = _pick_variant(cands, (a0, b))
     flops = 2 * B * m * n * k
     bytes_moved = B * (m * k + k * n + m * n) * 4   # packed layout = dense
     # out (G,m,p*n) == a's packed shape since m==k: chain directly
@@ -184,7 +197,7 @@ def make_smm_sol_case():
     b = jnp.asarray(rng.standard_normal((G, m, 128)) * 0.1, jnp.float32)
 
     from libxsmm_tpu import device
-    from libxsmm_tpu.utils.timer import bench_chain
+    # (variant pick is interleaved via _pick_variant)
 
     def kern(a_ref, b_ref, o_ref):
         o_ref[...] = a_ref[...] + b_ref[...]
@@ -200,13 +213,7 @@ def make_smm_sol_case():
 
     # best-of over step-size variants, mirroring the smm case: the SoL side
     # must win its own Mosaic compile lottery or the fraction reads >1
-    best_call, best_t = None, float("inf")
-    for S in (24, 48, 96):
-        call = make(S)
-        t = bench_chain(call, (a0, b), chain_idx=0, reps=24, rounds=2)
-        if t < best_t:
-            best_call, best_t = call, t
-    call = best_call
+    call, _ = _pick_variant([make(S) for S in (24, 48, 96)], (a0, b))
     bytes_moved = B * 3 * m * 32 * 4
     return ChainCase(lambda a: call(a, b), a0), bytes_moved
 
@@ -228,16 +235,13 @@ def make_brgemm_case():
     q = xt.brgemm_pack_factor(shape)
     a_packed = xt.pack_batched(a, q)
     # best-of over step-size variants (Mosaic compile lottery, see smm case)
-    from libxsmm_tpu.utils.timer import bench_chain
-    kern, best_t = None, float("inf")
+    cands = []
     for sg in (4, 8, 16, 32):
-        cand = xt.dispatch_brgemm_packed(
+        c_ = xt.dispatch_brgemm_packed(
             shape, GemmFlags.BETA_0,
             BatchReduceConfig(BatchReduceType.STRIDE, br), step_groups=sg)
-        t = bench_chain(lambda b_, c_=cand: c_(a_packed, b_), (b0,),
-                        chain_idx=0, reps=24, rounds=2)
-        if t < best_t:
-            kern, best_t = cand, t
+        cands.append(lambda b_, c_=c_: c_(a_packed, b_))
+    kern, _ = _pick_variant(cands, (b0,))
 
     # structural streaming-SoL twin (same block specs, no MXU work): the
     # shape is HBM-bound at ~0.53 of bf16 peak by plain roofline, so the
@@ -246,23 +250,21 @@ def make_brgemm_case():
     from libxsmm_tpu.kernels.gemm_pallas import build_packed_brgemm_sol
     desc = GemmDescriptor(shape=shape, flags=GemmFlags.BETA_0,
                           br=BatchReduceConfig(BatchReduceType.STRIDE, br))
-    solfn, sol_t = None, float("inf")
+    solcands = []
     for sg in (4, 8, 16, 32):
-        cand = build_packed_brgemm_sol(desc, br, step_groups=sg)
-        t = bench_chain(lambda b_, c_=cand: c_(a_packed, b_), (b0,),
-                        chain_idx=0, reps=24, rounds=2)
-        if t < sol_t:
-            solfn, sol_t = cand, t
+        c_ = build_packed_brgemm_sol(desc, br, step_groups=sg)
+        solcands.append(lambda b_, c_=c_: c_(a_packed, b_))
+    solfn, _ = _pick_variant(solcands, (b0,))
 
     def step(b):
-        out = kern(a_packed, b)
+        out = kern(b)          # kern already binds a_packed
         # chain via an in-place SLICE update of the loop carry: a full
         # `b + eps` perturb would add 2x67MB of traffic per iteration and
         # dominate the kernel being measured
         return b.at[0].add((out[:k, :] * 1e-6).astype(jnp.bfloat16))
 
     def sol_step(b):
-        out = solfn(a_packed, b)
+        out = solfn(b)         # solfn already binds a_packed
         return b.at[0].add((out[:k, :] * 1e-6).astype(jnp.bfloat16))
 
     bytes_moved = br * (m * k + k * n) * 2 + m * n * 4
@@ -292,21 +294,18 @@ def make_brgemm_fused_case():
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     q = xt.brgemm_pack_factor(shape)
     a_packed = xt.pack_batched(a, q)
-    from libxsmm_tpu.utils.timer import bench_chain
-    kern, best_t = None, float("inf")
-    for sg in (4, 8, 16):
-        cand = xt.dispatch_brgemm_ext_packed(
+    cands = []
+    for sg in (4, 8, 16, 32):
+        c_ = xt.dispatch_brgemm_ext_packed(
             shape, GemmFlags.BETA_0,
             BatchReduceConfig(BatchReduceType.STRIDE, br),
             argops=UnaryArgops(cp_type=UnaryType.RELU),
             postops=BinaryPostops(d_type=BinaryType.ADD), step_groups=sg)
-        t = bench_chain(lambda b_, c_=cand: c_(a_packed, b_, d_op=bias),
-                        (b0,), chain_idx=0, reps=24, rounds=2)
-        if t < best_t:
-            kern, best_t = cand, t
+        cands.append(lambda b_, c_=c_: c_(a_packed, b_, d_op=bias))
+    kern, _ = _pick_variant(cands, (b0,))
 
     def step(b):
-        out = kern(a_packed, b, d_op=bias)
+        out = kern(b)          # kern already binds a_packed + bias
         return b.at[0].add((out[:k, :] * 1e-6).astype(jnp.bfloat16))
 
     return ChainCase(step, b0), 2 * br * m * n * k
@@ -581,6 +580,11 @@ def main():
                 min(brg_sol_case.best / brg_case.best, 1.0), 3),
             "brgemm_stream_gbps": round(
                 brg_bytes / brg_case.best / 1e9, 1),
+            # streaming rate vs the same-run copy bandwidth: ~1.0 means
+            # the kernel moves bytes as fast as this window's DMA allows
+            # (absolute GF/s scale with the window; this ratio does not)
+            "brgemm_vs_copy_bw": round(
+                (brg_bytes / brg_case.best) / bw, 3),
             "brgemm_fused_relu_bias_gflops": round(
                 brgf_flops / brgf_case.best / 1e9, 1),
             "brgemm_fused_frac": round(
