@@ -266,7 +266,24 @@ def dispatch_meqn(idx: int, out_m: int, out_n: int,
                 return tuple(r.astype(out_dt) for r in res)
             return res.astype(out_dt)
 
-        info = KernelInfo(kind="meqn", nflops=out_m * out_n)
+        # nflops: 2*m*n*k per matmul node (operand shapes from its
+        # children), m*n per eltwise op node — the introspection contract
+        # of libxsmm_get_kernel_info (kernel nflops, main.c:3004)
+        def _nflops(node):
+            total = sum(_nflops(c) for c in node.children)
+            if node.kind == "arg":
+                return 0
+            if (node.kind in ("binary", "ternary")
+                    and (node.op.name.startswith("MATMUL")
+                         or node.op.name.startswith("BRGEMM"))):
+                a_node, b_node = node.children[0], node.children[1]
+                k_dim = (a_node.m if "A_TRANS" in node.op.name
+                         else a_node.n) or b_node.m
+                return total + 2 * out_m * out_n * max(1, k_dim)
+            return total + out_m * out_n
+
+        info = KernelInfo(kind="meqn", nflops=max(out_m * out_n,
+                                                  _nflops(root)))
         return Kernel(fn=jax.jit(run), descriptor=desc, info=info,
                       name=f"meqn_{out_m}x{out_n}")
 

@@ -340,3 +340,18 @@ def test_equation_shared_subtree_memoized():
     muls = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "mul"]
     assert len(muls) == 1, f"shared subtree evaluated twice: {jaxpr}"
     meqn_destroy(idx)
+
+
+def test_equation_nflops_accounting():
+    # matmul node contributes 2*m*n*k; eltwise nodes m*n each
+    m, k, n = 8, 6, 16
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.RELU)
+    meqn_push_back_binary_op(idx, BinaryType.MATMUL)
+    meqn_push_back_arg(idx, m, k, in_pos=0)
+    meqn_push_back_arg(idx, k, n, in_pos=1)
+    kern = dispatch_meqn(idx, m, n)
+    from libxsmm_tpu import get_kernel_info
+    nf = get_kernel_info(kern).nflops
+    assert nf == 2 * m * n * k + m * n, nf
+    meqn_destroy(idx)
