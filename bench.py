@@ -89,6 +89,7 @@ class ChainCase:
         self.state = self.fn(state)      # compile + warmup
         _sync(self.state)
         self.best = float("inf")
+        self.times = []                  # every trial, in order
 
     def trial(self):
         t0 = time.perf_counter()
@@ -96,6 +97,7 @@ class ChainCase:
         _sync(self.state)
         dt = (time.perf_counter() - t0) / self.inner
         self.best = min(self.best, dt)
+        self.times.append(dt)
         return dt
 
 
@@ -490,7 +492,15 @@ def main():
     # compare each case's BEST window: same traffic, same DMA pattern, no
     # math -> the time ratio IS the roofline fraction for this HBM-bound
     # workload.
+    # Ratio metrics (peak fractions, fused/unfused, kernel/SoL) are
+    # computed from PAIRED rounds — the two sides measured adjacent in
+    # time share a window, and the median over rounds drops the outliers.
+    # Cross-case best-window ratios produced nonsense in droughts (r3:
+    # fused read 2.5x unfused, the no-math SoL twin 3x off — pure window
+    # luck between each case's independent best).
+    per_round = {id(c): [] for c in cases}
     for _ in range(ROUNDS):
+        marks = {id(c): len(c.times) for c in cases}
         for c in cases:
             c.trial()
         # the headline numerator gets extra samples: MXU time-share hits
@@ -507,6 +517,14 @@ def main():
         brg_case.trial()
         brg_sol_case.trial()
         brgf_case.trial()
+        for c in cases:
+            per_round[id(c)].append(min(c.times[marks[id(c)]:]))
+
+    def paired_ratio(num_case, den_case):
+        rs = sorted(per_round[id(den_case)][i] / per_round[id(num_case)][i]
+                    for i in range(len(per_round[id(num_case)])))
+        return rs[len(rs) // 2]          # median of same-window ratios
+
     # the smm kernel cannot beat true DMA speed of light with the same
     # block specs; if its best window outran the passthrough's best (the
     # denominator undersampled — observed once: sol 370 GB/s vs smm 593),
@@ -533,14 +551,17 @@ def main():
     # fraction around 0.6 means the kernel runs AT/ABOVE streaming speed
     # of light courtesy of VMEM residency.
     del fss_bytes
-    brg_peak_frac = round(brg_rate / peak_bf16, 3)
-    bcsc_peak_frac = round(2 * bcsc_nnz * bcsc_m / bcsc_best
-                           / peak_bf16, 4)
-    bcsc_frac_by = {s: round(2 * bcsc_nnz * bcsc_m / c.best / peak_bf16, 4)
+    # fractions from PAIRED rounds (numerator and denominator share each
+    # round's window; median over rounds)
+    brg_peak_frac = round(brg_flops / pbf16_flops
+                          * paired_ratio(brg_case, pbf16_case), 3)
+    bcsc_frac_by = {s: round(2 * bcsc_nnz * bcsc_m / pbf16_flops
+                             * paired_ratio(c, pbf16_case), 4)
                     for s, c in bcsc_cases.items()}
-    bcsc5_frac_by = {s: round(2 * bcsc5_nnz * bcsc5_m / c.best / peak_bf16,
-                              4)
+    bcsc5_frac_by = {s: round(2 * bcsc5_nnz * bcsc5_m / pbf16_flops
+                              * paired_ratio(c, pbf16_case), 4)
                      for s, c in bcsc5_cases.items()}
+    bcsc_peak_frac = bcsc_frac_by[bcsc_strategy]
 
     # dispatch-overhead extra (the reference publishes its dispatch-cost
     # methodology, documentation/libxsmm_samples.md:500-505): cache-hit
@@ -577,18 +598,19 @@ def main():
             # HBM streaming this shape is bound by (the physical
             # ceiling of brgemm_peak_fraction is ~0.67 at 128 F/B)
             "brgemm_stream_sol_frac": round(
-                min(brg_sol_case.best / brg_case.best, 1.0), 3),
+                min(paired_ratio(brg_case, brg_sol_case), 1.0), 3),
             "brgemm_stream_gbps": round(
                 brg_bytes / brg_case.best / 1e9, 1),
             # streaming rate vs the same-run copy bandwidth: ~1.0 means
             # the kernel moves bytes as fast as this window's DMA allows
             # (absolute GF/s scale with the window; this ratio does not)
             "brgemm_vs_copy_bw": round(
-                (brg_bytes / brg_case.best) / bw, 3),
+                brg_bytes / copy_bytes
+                * paired_ratio(brg_case, copy_case), 3),
             "brgemm_fused_relu_bias_gflops": round(
                 brgf_flops / brgf_case.best / 1e9, 1),
             "brgemm_fused_frac": round(
-                (brgf_flops / brgf_case.best) / brg_rate, 3),
+                paired_ratio(brgf_case, brg_case), 3),
             "fsspmdm_eff_gflops": round(2 * fss_rate / 1e9, 1),
             "fsspmdm_gnnz_per_s": round(fss_rate / 1e9, 3),
             "fsspmdm_kind": fss_kind,
