@@ -553,8 +553,12 @@ def main():
     del fss_bytes
     # fractions from PAIRED rounds (numerator and denominator share each
     # round's window; median over rounds)
-    brg_peak_frac = round(brg_flops / pbf16_flops
-                          * paired_ratio(brg_case, pbf16_case), 3)
+    # cap at 1.0: in windows where the MXU is time-share-throttled but
+    # DMA is not, the HBM-bound brgemm can genuinely outrun the
+    # MXU-bound peak case (raw ratio observed 1.05) — a fraction >1 of
+    # "peak" is a statement about the window, not the kernel
+    brg_peak_frac = round(min(brg_flops / pbf16_flops
+                              * paired_ratio(brg_case, pbf16_case), 1.0), 3)
     bcsc_frac_by = {s: round(2 * bcsc_nnz * bcsc_m / pbf16_flops
                              * paired_ratio(c, pbf16_case), 4)
                     for s, c in bcsc_cases.items()}
