@@ -51,6 +51,12 @@ def _sr_tpu(x, seed, target_dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Mosaic has no f16 type: an f16 INPUT ref can be avoided by feeding
+    # the f32 view; an f16 TARGET cannot (the output ref itself would be
+    # f16) — callers route that to the portable path.
+    if x.dtype == jnp.float16:
+        x = x.astype(jnp.float32)
+
     def kernel(seed_ref, x_ref, o_ref):
         pltpu.prng_seed(seed_ref[0])
         rbits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
@@ -69,7 +75,9 @@ def _sr_tpu(x, seed, target_dtype):
 def stochastic_round(x, seed, target: Datatype):
     """UNARY_STOCHASTIC_ROUND (typedefs.h:316 op 38)."""
     tdt = to_jnp(target)
-    if _pallas_available():
+    # f16 target refs are unrepresentable in Mosaic (deferred backend
+    # failure the except below cannot catch under jit) -> portable path
+    if _pallas_available() and tdt != jnp.float16:
         try:
             return _sr_tpu(x, seed, tdt)
         except Exception:
@@ -95,6 +103,15 @@ def stochastic_round(x, seed, target: Datatype):
 def _dropout_tpu(x, seed, p):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic has no f16 type ("Unsupported type in mosaic dialect: 'f16'",
+    # found by the r3 TPU dtype sweep — interpret mode hides it): run the
+    # kernel on an f32 view and round back at the boundary. The error is
+    # a DEFERRED backend-compile failure, so the caller's try/except
+    # around tracing would not catch it.
+    if x.dtype == jnp.float16:
+        out, mask = _dropout_tpu(x.astype(jnp.float32), seed, p)
+        return out.astype(jnp.float16), mask
 
     def kernel(seed_ref, x_ref, o_ref, m_ref):
         pltpu.prng_seed(seed_ref[0])

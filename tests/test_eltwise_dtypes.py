@@ -63,6 +63,9 @@ _UNARY_ORACLES = {
     UnaryType.RECIPROCAL: lambda x: 1.0 / x,
 }
 _POSITIVE_ONLY = (UnaryType.SQRT, UnaryType.RECIPROCAL)
+# TPU transcendental units are polynomial approximations — a few e-5
+# relative off glibc (r3 TPU sweep: tanh linf 3.6e-5); not a rounding bug
+_TRANSCENDENTAL = (UnaryType.EXP, UnaryType.TANH, UnaryType.SIGMOID)
 
 
 @pytest.mark.parametrize("in_dt,out_dt", COMBOS, ids=_IDS)
@@ -76,7 +79,10 @@ def test_unary_dtype_matrix(in_dt, out_dt):
         got = np.asarray(jnp.asarray(kern(xd)).astype(jnp.float32))
         want = np.asarray(
             jnp.asarray(oracle(xf), to_jnp(out_dt)).astype(jnp.float32))
-        check(want, got, margin=_margin(in_dt, out_dt))
+        margin = _margin(in_dt, out_dt)
+        if op in _TRANSCENDENTAL:
+            margin = max(margin, 1e-4)
+        check(want, got, margin=margin)
 
 
 _REDUCE_IN = [Datatype.F32, Datatype.BF16, Datatype.F16, Datatype.BF8,
@@ -226,4 +232,6 @@ def test_f64_simple_ops():
                                        comp_type=Datatype.F64)
         got = np.asarray(kern(jnp.asarray(x, jnp.float64)))
         assert got.dtype == np.float64
-        np.testing.assert_allclose(got, oracle(x), rtol=1e-14)
+        # 1e-13, not 1e-14: TPU f64 is emulated and reciprocal/sqrt land
+        # within ~1.2e-14 of glibc (r3 TPU sweep) — still true f64
+        np.testing.assert_allclose(got, oracle(x), rtol=1e-13)
