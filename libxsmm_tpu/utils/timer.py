@@ -61,11 +61,13 @@ def launch_overhead(refresh: bool = False) -> float:
     from ~1.2 ms to ~28 ms and can stay degraded for 45+ minutes — any
     per-rep timing must either amortize far past it or subtract it.
     Cached per process; pass refresh=True to re-measure."""
-    global _LAUNCH_OVERHEAD
+    global _LAUNCH_OVERHEAD, _NULL_FN
     if _LAUNCH_OVERHEAD is not None and not refresh:
         return _LAUNCH_OVERHEAD
+    if _NULL_FN is None:
+        _NULL_FN = jax.jit(lambda s: s * 1.0000001)   # chains: no memo
+    f = _NULL_FN
     x = jnp.full((8, 128), 1.0, jnp.float32)
-    f = jax.jit(lambda s: s * 1.0000001)       # chains: no memoization
     x = f(x)
     device_sync(x)
     best = float("inf")
@@ -79,6 +81,7 @@ def launch_overhead(refresh: bool = False) -> float:
 
 
 _LAUNCH_OVERHEAD = None
+_NULL_FN = None
 
 
 class _ChainRunner:

@@ -178,6 +178,31 @@ def test_pspgemm_bcsc_bf16():
     check(ref, np.asarray(kern(ab, vb)), dtype_name="bf16")
 
 
+def test_pspgemm_bcsc_bf16_out_all_strategies():
+    """bf16 OUTPUT through every Pallas lowering: Mosaic requires 32-bit
+    matmul accumulators, so a bf16 o_ref previously failed TPU compile
+    (r3 probe; interpret mode hides it). Kernels now accumulate f32 and
+    cast on store — value-check each strategy with a bf16 out_type."""
+    import jax.numpy as jnp
+    m, k, n, bk, bn = 64, 128, 128, 32, 32
+    b = _sparse_dense(k, n, 0.3)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.BF16)
+    ab = jnp.asarray(a, jnp.bfloat16)
+    vb = jnp.asarray(bm.data, jnp.bfloat16)
+    ref = (np.asarray(ab.astype(jnp.float32)) @
+           BcscMatrix((k, n), bk, bn, bm.indptr, bm.indices,
+                      np.asarray(vb.astype(jnp.float32))).to_dense())
+    for strat in ("dense", "union", "pallas", "super", "sparse"):
+        kern = create_packed_spgemm_bcsc(
+            shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+            column_ptr=bm.indptr, row_idx=bm.indices, strategy=strat)
+        got = np.asarray(jnp.asarray(kern(ab, vb)).astype(jnp.float32))
+        check(ref, got, dtype_name="bf16")
+
+
 # ---------------------------------------------------------------------------
 # csr_areg (values baked)
 # ---------------------------------------------------------------------------
