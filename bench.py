@@ -645,4 +645,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:                      # pragma: no cover
+        # transient device-fetch errors (FAILED_PRECONDITION on a host
+        # read) kill ~1 in 30 processes on the shared device — one retry
+        # in a fresh attempt is cheap insurance for the round artifact
+        sys.stderr.write(f"bench: retrying after {type(e).__name__}: "
+                         f"{e}\n")
+        main()
