@@ -309,8 +309,22 @@ def test_equation_mixed_bf16_f32_tree():
     bbf = np.asarray(jnp.asarray(b, jnp.bfloat16), np.float32)
     ref = abf * bbf + c
     assert np.abs(got - ref).max() <= 2.0 ** -8 * np.abs(ref).max()
-    # and it must NOT equal the all-f32 evaluation (inputs were rounded)
-    assert np.abs(got - (a * b + c)).max() > 1e-4
+    # The bf16 storage rounding must be IN THE TRACE. (Asserting the runtime
+    # result differs from the all-f32 evaluation is backend-dependent: TPU
+    # compiles with --xla_allow_excess_precision, which may legally elide
+    # the f32->bf16->f32 round trip. The jaxpr contract is what we own.)
+    import jax
+    from libxsmm_tpu.ops.equation import _eval, _eqn
+    jaxpr = jax.make_jaxpr(
+        lambda aa, bb, cc: _eval(_eqn(idx).root, (aa, bb, cc), memo={},
+                                 sig_cache={}))(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+    bf16_converts = [
+        e for e in jaxpr.jaxpr.eqns
+        if e.primitive.name == "convert_element_type"
+        and e.params.get("new_dtype") == jnp.bfloat16
+    ]
+    assert len(bf16_converts) >= 2, jaxpr  # both bf16 args rounded at read
     meqn_destroy(idx)
 
 
