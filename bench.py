@@ -116,6 +116,10 @@ def _pick_variant(cands, args, chain_idx=0, reps=24):
     for i, t in enumerate(times):
         if t is not None and t < best_t:
             best_i, best_t = i, t
+    if best_i is None:
+        # every candidate's timing failed (e.g. a transient-error window):
+        # fall back to the first variant rather than crash the bench setup
+        return cands[0], float("inf")
     return cands[best_i], best_t
 
 

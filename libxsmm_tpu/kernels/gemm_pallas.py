@@ -338,6 +338,8 @@ def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
     gg = min(gg, groups)
     steps = -(-groups // gg)
 
+    rem = groups % gg   # groups on the final (clamped) grid step
+
     def kernel(a_ref, b_ref, o_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -349,7 +351,15 @@ def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
                          keepdims=True)                      # (m, 1)
             sb = jnp.sum(b_ref[g].reshape(q * k, n).astype(jnp.float32),
                          axis=0, keepdims=True)              # (1, n)
-            acc = acc + sa + sb
+            contrib = sa + sb
+            if rem and g >= rem:
+                # mirror build_packed_brgemm's ragged-final-step guard: the
+                # clamped grid re-reads in-bounds-but-wrong groups there,
+                # and NaN/Inf from them would poison the timing chain; the
+                # twin must also pay the same select to stay structural
+                contrib = jnp.where(pl.program_id(0) < steps - 1, contrib,
+                                    jnp.zeros((), jnp.float32))
+            acc = acc + contrib
         o_ref[...] = acc
 
     call = pl.pallas_call(

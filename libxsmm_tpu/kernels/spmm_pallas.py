@@ -335,9 +335,13 @@ def build_bcsc_densify(shape: GemmShape, config: SpgemmConfig,
 
     bk, bn = config.bk, config.bn
     k, n = shape.k, shape.n
-    if shape.a_in_type not in (Datatype.F32, Datatype.BF16):
+    # guard the dtype the kernel LOWERS (the value store, b_in_type) — the
+    # sublane rule below assumes f32/bf16 tiling; an i8 store would pass an
+    # a_in_type check and fail only at deferred Mosaic compile on TPU
+    b_t = shape.b_in_type if shape.b_in_type else shape.a_in_type
+    if b_t not in (Datatype.F32, Datatype.BF16):
         return None
-    in_dt = to_jnp(shape.b_in_type if shape.b_in_type else shape.a_in_type)
+    in_dt = to_jnp(b_t)
     sub = 8 if in_dt == jnp.float32 else 16
     if bk % sub or n % 128 or bn % 8:
         return None

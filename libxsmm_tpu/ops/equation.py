@@ -266,21 +266,50 @@ def dispatch_meqn(idx: int, out_m: int, out_n: int,
                 return tuple(r.astype(out_dt) for r in res)
             return res.astype(out_dt)
 
-        # nflops: 2*m*n*k per matmul node (operand shapes from its
-        # children), m*n per eltwise op node — the introspection contract
-        # of libxsmm_get_kernel_info (kernel nflops, main.c:3004)
+        # nflops: 2*m*n*k per matmul node, m*n per eltwise op node — the
+        # introspection contract of libxsmm_get_kernel_info (kernel
+        # nflops, main.c:3004). Each node is costed at its OWN inferred
+        # shape (propagated bottom-up from the arg nodes), not the root's:
+        # a matmul feeding a reduce, or one whose operands are themselves
+        # op nodes, would otherwise be counted at the wrong dims.
+        def _matmul_dims(node):
+            """(m, n, k) of a MATMUL/BRGEMM node after transpose flags."""
+            (am, an) = _node_shape(node.children[0])
+            (bm, bn) = _node_shape(node.children[1])
+            name = node.op.name
+            if "A_TRANS" in name or "A_VNNI_TRANS" in name:
+                am, an = an, am
+            if "B_TRANS" in name:
+                bm, bn = bn, bm
+            return am, bn, an
+
+        def _node_shape(node):
+            if node.kind == "arg":
+                return node.m, node.n
+            name = node.op.name
+            if (node.kind in ("binary", "ternary")
+                    and (name.startswith("MATMUL")
+                         or name.startswith("BRGEMM"))):
+                m_, n_, _k = _matmul_dims(node)
+                return m_, n_
+            if "REDUCE_TO_SCALAR" in name:
+                return 1, 1
+            shapes = [_node_shape(c) for c in node.children]
+            return (max(s[0] for s in shapes),   # eltwise broadcast
+                    max(s[1] for s in shapes))
+
         def _nflops(node):
             total = sum(_nflops(c) for c in node.children)
             if node.kind == "arg":
                 return 0
+            name = node.op.name
             if (node.kind in ("binary", "ternary")
-                    and (node.op.name.startswith("MATMUL")
-                         or node.op.name.startswith("BRGEMM"))):
-                a_node, b_node = node.children[0], node.children[1]
-                k_dim = (a_node.m if "A_TRANS" in node.op.name
-                         else a_node.n) or b_node.m
-                return total + 2 * out_m * out_n * max(1, k_dim)
-            return total + out_m * out_n
+                    and (name.startswith("MATMUL")
+                         or name.startswith("BRGEMM"))):
+                m_, n_, k_ = _matmul_dims(node)
+                return total + 2 * m_ * n_ * max(1, k_)
+            m_, n_ = _node_shape(node)
+            return total + m_ * n_
 
         info = KernelInfo(kind="meqn", nflops=max(out_m * out_n,
                                                   _nflops(root)))

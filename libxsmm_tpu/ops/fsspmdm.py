@@ -89,18 +89,22 @@ def _autotune_cache():
         return None
 
 
-def _bench_candidates(cands, reps: int, rounds: int = 3) -> list:
+def _bench_candidates(cands, reps: int, rounds: int = 3,
+                      min_launch_s: float = 0.05) -> list:
     """Microseconds per call for each (fn, args) candidate, measured with
     launches INTERLEAVED across rounds (utils.timer.bench_chain_interleaved)
     so the dense/sparse ratio survives time-share window drift — a
     sequential single-shot comparison picks whichever candidate ran in the
     better window (VERDICT r2 weak #2). Chained through B (args[0]):
     fixed-arg loops are memoized by the runtime and block_until_ready does
-    not actually sync (CLAUDE.md). Module-level for test injection."""
+    not actually sync (CLAUDE.md). A candidate that fails to compile or
+    errors mid-run yields None (the interleaved bencher's contract).
+    Module-level for test injection."""
     from ..utils.timer import bench_chain_interleaved
     times = bench_chain_interleaved([(fn, args, 0) for fn, args in cands],
-                                    reps=reps, rounds=rounds)
-    return [t * 1e6 for t in times]
+                                    reps=reps, rounds=rounds,
+                                    min_launch_s=min_launch_s)
+    return [None if t is None else t * 1e6 for t in times]
 
 
 def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
@@ -165,9 +169,10 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
 
     # persistent autotune decisions (native KV log; SURVEY.md §5.4 — the
     # TPU analogue of AOT static kernels persisting across runs). v2
-    # format stores the measured times with the pick ("kind:dense:sparse"
-    # in us) so a later create can RE-VALIDATE: one bad time-share window
-    # would otherwise poison every future process (VERDICT r2 weak #2).
+    # format records the measured times with the pick ("kind:dense:sparse"
+    # in us) for observability; revalidation below is RATIO-based (one bad
+    # time-share window must not poison every future process, and absolute
+    # stored times are incomparable across windows — VERDICT r2 weak #2).
     cache = _autotune_cache()
     cache_key = (f"fsspmdm2:{m}:{n}:{k}:{beta}:{dtype.value}:"
                  f"{csr.fingerprint(include_values=True):x}").encode()
@@ -200,7 +205,9 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         reps = max(1, CONFIG.fsspmdm_ntune)
         times = _bench_candidates(
             [(dense_kernel.fn, args), (sparse_kernel.fn, args)], reps)
-        if times[0] is None:            # dense failed to run (unexpected)
+        if times[0] is None and times[1] is None:
+            return dense_kernel, "dense"   # transient device failure: the
+        if times[0] is None:               # plain-XLA path is the safe bet
             return sparse_kernel, "sparse"
         if times[1] is None:            # sparse candidate failed
             return dense_kernel, "dense"
@@ -222,18 +229,29 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         pick, kind = sparse_kernel, "sparse"
     elif cached is not None:
         kind, d_us, s_us = cached
-        pick = dense_kernel if kind == "dense" else sparse_kernel
-        # cheap probe of the picked kernel: if it deviates >2x from the
-        # stored time, the stored tune (or this window) is unreliable —
-        # re-run the full interleaved tune and refresh the entry. A bad
-        # CURRENT window only costs a redundant (window-robust) re-tune.
-        stored_us = d_us if kind == "dense" else s_us
-        probe_us = _bench_candidates([(pick.fn, _tune_args())],
-                                     reps=8, rounds=1)[0]
+        # Window-robust revalidation: comparing the stored ABSOLUTE time
+        # against a fresh probe cannot work on this device (throughput
+        # swings ~100x between time-share windows — every cached create in
+        # a different window would flap into a re-tune). Instead probe BOTH
+        # candidates interleaved (light: 2 rounds, short launches) and check
+        # the stored pick still wins the RATIO under the dense-bias rule;
+        # ratios of interleaved candidates survive any window. Agreement
+        # keeps the cached entry; disagreement (or a candidate failing in
+        # this process) escalates to the full tune and refreshes it.
+        probes = _bench_candidates(
+            [(dense_kernel.fn, _tune_args()),
+             (sparse_kernel.fn, _tune_args())],
+            reps=8, rounds=2, min_launch_s=0.02)
         tuned["cached"] = True
-        tuned["probe_us"] = probe_us
-        if (probe_us is None
-                or not stored_us / 2.0 <= probe_us <= stored_us * 2.0):
+        tuned["probe_dense_us"], tuned["probe_sparse_us"] = probes
+        probe_kind = None
+        if probes[0] is not None and probes[1] is not None:
+            bias = 1.0 + CONFIG.fsspmdm_dense_bias
+            probe_kind = ("sparse" if probes[1] * bias < probes[0]
+                          else "dense")
+        if probe_kind == kind:
+            pick = dense_kernel if kind == "dense" else sparse_kernel
+        else:
             tuned["revalidated"] = True
             pick, kind = _full_tune()
     else:

@@ -338,6 +338,11 @@ def create_packed_spgemm_csc(shape: GemmShape,
     if sparse_operand != "b":
         raise ValueError(f"sparse_operand must be 'b' or 'c', got "
                          f"{sparse_operand!r}")
+    if strategy != "auto":
+        # the B-sparse CSC routing has a single lowering; silently ignoring
+        # a requested strategy would mask mis-tuned call sites
+        raise ValueError("strategy applies only to the C-sparse routing "
+                         f"(sparse_operand='c'); got {strategy!r}")
     csc = CscMatrix((shape.k, shape.n), np.asarray(column_ptr, np.int32),
                     np.asarray(row_idx, np.int32))
     _ensure_x64(shape)
@@ -715,21 +720,37 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
                 pass
 
     import jax.numpy as jnp
-    from ..utils.timer import bench_chain, bench_chain_interleaved
+    from ..utils.timer import bench_chain_interleaved
     rng = np.random.default_rng(0)
     in_dt = to_jnp(shape.a_in_type)
     a = jnp.asarray(rng.standard_normal((shape.m, shape.k)), in_dt)
     v = jnp.asarray(rng.standard_normal((nblocks, bk, bn)), in_dt)
 
     if cached is not None:
-        pick, stored_us = cached
-        # cheap probe: re-tune only when the picked strategy deviates >2x
+        pick, _stored_us = cached
+        # Window-robust revalidation: probe the cached pick against ONE
+        # rival strategy INTERLEAVED and re-tune only when the rival wins
+        # the ratio by >10%. Absolute stored times are incomparable across
+        # ~100x time-share windows — a 2x absolute gate flaps into a full
+        # re-tune on nearly every cached create (r3 review). Rival: "dense"
+        # (always available) for sparse picks; "union" (the flagship sparse
+        # lowering) when the pick IS dense.
+        rival = "dense" if pick != "dense" else "union"
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=pick)
-            probe = bench_chain(kern, (a, v), chain_idx=1, reps=8,
-                                rounds=1) * 1e6
-            if stored_us / 2.0 <= probe <= stored_us * 2.0:
+            try:
+                rkern = create_packed_spgemm_bcsc(shape, flags, config,
+                                                  indptr, indices,
+                                                  strategy=rival)
+            except Exception:
+                return pick            # no rival buildable: keep the pick
+            probes = bench_chain_interleaved(
+                [(kern, (a, v), 1), (rkern, (a, v), 1)],
+                reps=8, rounds=2, min_launch_s=0.02)
+            if (probes[0] is not None
+                    and (probes[1] is None
+                         or probes[0] <= probes[1] * 1.10)):
                 return pick
         except Exception:
             pass   # stale/broken entry -> full re-tune

@@ -153,15 +153,20 @@ class _ChainRunner:
             device_sync(x)
         self._x = x
 
-    def run_once(self) -> float:
-        """One timed launch; returns seconds per rep, net of the measured
-        per-launch overhead (clamped so a window improvement between the
-        overhead probe and this launch cannot yield <=0)."""
+    def run_once(self, null: float = None) -> float:
+        """One timed launch; returns seconds per rep, net of the per-launch
+        overhead (clamped so a window improvement between the overhead probe
+        and this launch cannot yield <=0). `null` should be an overhead
+        measured ADJACENT to this launch (bench_chain* probe one per round
+        and share it across candidates) — the construction-time fallback
+        can be a different window's and would skew candidate ratios."""
+        if null is None:
+            null = self._null
         t0 = time.perf_counter()
         self._x = self._looped(self._x)
         device_sync(self._x)
         t = time.perf_counter() - t0
-        return max(t - self._null, 0.25 * t) / self.reps
+        return max(t - null, 0.25 * t) / self.reps
 
 
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
@@ -170,7 +175,8 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
     """Best seconds per call over `rounds` calibrated chained launches
     (see _ChainRunner for the measurement discipline)."""
     runner = _ChainRunner(fn, args, chain_idx, reps, min_launch_s)
-    return min(runner.run_once() for _ in range(max(1, rounds)))
+    return min(runner.run_once(launch_overhead(refresh=True))
+               for _ in range(max(1, rounds)))
 
 
 def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
@@ -196,11 +202,17 @@ def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
             runners.append(None)
     best = [float("inf") if r is not None else None for r in runners]
     for _ in range(max(1, rounds)):
+        # one null per round, shared by every candidate: runner construction
+        # is sequential and slow (tunnel compiles), so construction-time
+        # nulls can straddle a window change and over/under-subtract one
+        # candidate relative to another — the exact skew interleaving exists
+        # to prevent. An adjacent same-window probe keeps ratios honest.
+        null = launch_overhead(refresh=True)
         for i, r in enumerate(runners):
             if r is None:
                 continue
             try:
-                best[i] = min(best[i], r.run_once())
+                best[i] = min(best[i], r.run_once(null))
             except Exception:
                 runners[i] = None
                 best[i] = None

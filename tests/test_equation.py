@@ -369,3 +369,26 @@ def test_equation_nflops_accounting():
     nf = get_kernel_info(kern).nflops
     assert nf == 2 * m * n * k + m * n, nf
     meqn_destroy(idx)
+
+
+def test_equation_nflops_nested_matmul():
+    # each matmul node is costed at its OWN dims (bottom-up shape
+    # inference), not the root output's: A(8,6) @ (B(6,12) @ C(12,16))
+    m, k1, k2, n = 8, 6, 12, 16
+    idx = meqn_create()
+    meqn_push_back_binary_op(idx, BinaryType.MATMUL)
+    meqn_push_back_arg(idx, m, k1, in_pos=0)
+    meqn_push_back_binary_op(idx, BinaryType.MATMUL)
+    meqn_push_back_arg(idx, k1, k2, in_pos=1)
+    meqn_push_back_arg(idx, k2, n, in_pos=2)
+    kern = dispatch_meqn(idx, m, n)
+    from libxsmm_tpu import get_kernel_info
+    nf = get_kernel_info(kern).nflops
+    want = 2 * k1 * n * k2 + 2 * m * n * k1   # inner + outer
+    assert nf == want, (nf, want)
+    a = np.random.default_rng(3).standard_normal((m, k1)).astype(np.float32)
+    b = np.random.default_rng(4).standard_normal((k1, k2)).astype(np.float32)
+    c = np.random.default_rng(5).standard_normal((k2, n)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(kern(a, b, c)), a @ (b @ c),
+                               rtol=1e-4)
+    meqn_destroy(idx)
