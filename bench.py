@@ -421,12 +421,16 @@ def make_bcsc_case(density=0.2):
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     kerns = {}
-    for s in ("dense", "union"):
-        kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
-                                             SpgemmConfig(1, bk, bn),
-                                             column_ptr=bcsc.indptr,
-                                             row_idx=bcsc.indices,
-                                             strategy=s)
+    for s in ("dense", "union", "union2"):
+        try:
+            kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
+                                                 SpgemmConfig(1, bk, bn),
+                                                 column_ptr=bcsc.indptr,
+                                                 row_idx=bcsc.indices,
+                                                 strategy=s)
+        except Exception as e:       # a strategy failing to build must not
+            sys.stderr.write(        # sink the whole bcsc case
+                f"bench: bcsc strategy {s} unavailable: {e}\n")
     v = jnp.asarray(bcsc.data, jnp.bfloat16)
     a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
@@ -445,7 +449,13 @@ def make_bcsc_case(density=0.2):
             return vv.at[0, 0, 0].add(z)
         return step
 
-    cases = {s: ChainCase(make_step(kern), v) for s, kern in kerns.items()}
+    cases = {}
+    for s, kern in kerns.items():
+        try:                         # deferred Mosaic compile can fail here
+            cases[s] = ChainCase(make_step(kern), v)
+        except Exception as e:
+            sys.stderr.write(f"bench: bcsc strategy {s} failed compile: "
+                             f"{e}\n")
     nnz = bcsc.nblocks * bk * bn
     return cases, (nnz, m)
 

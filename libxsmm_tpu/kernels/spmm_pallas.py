@@ -164,7 +164,8 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
 
 
 def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
-                          indptr: np.ndarray, indices: np.ndarray
+                          indptr: np.ndarray, indices: np.ndarray,
+                          double_buffer: bool = False
                           ) -> Optional[Callable]:
     """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
 
@@ -183,6 +184,14 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     JIT-time block sequencing (generator_packed_spgemm_bcsc_bsparse_
     avx_avx2_avx512_amx.c); the union grouping is the TPU-native answer to
     its AMX tile loops.
+
+    double_buffer=True ("union2"): two scratch panels in software-pipelined
+    alternation — step g dots the panel assembled at step g-1 while
+    assembling group g+1's panel into the OTHER buffer. The assembly is VPU
+    copy work and the dot is MXU work with no data dependency between them,
+    so Mosaic is free to interleave the two engines; the serial variant's
+    assemble->dot chain forbids that (r3 estimate: assembly ~ half the step
+    at 20% density). Costs 2x scratch VMEM (tm may shrink one notch).
     """
     import jax
     from jax.experimental import pallas as pl
@@ -233,30 +242,65 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     krows_d = jax.device_put(jnp.asarray(krows.reshape(-1)))
     gmap_d = jax.device_put(jnp.asarray(gmap.reshape(-1)))
 
-    # m-tile: keep resident A^T (k, tm) + scratch (U*bk, tm) + buffers
-    # within ~half of VMEM
+    # m-tile: keep resident A^T (k, tm) + scratch panel(s) (U*bk, tm) +
+    # buffers within ~half of VMEM
     budget = device.get_geometry().vmem_bytes // 2
     isz = jnp.dtype(in_dt).itemsize
+    nbuf = 2 if double_buffer else 1
     tm = m
-    while tm > sub and (k + U * bk) * tm * isz > budget:
+    while tm > sub and (k + nbuf * U * bk) * tm * isz > budget:
         tm //= 2
     if m % tm:
         return None
     m_tiles = m // tm
 
-    def kernel(krows_ref, at_ref, rhs_ref, o_ref, scratch):
-        g = pl.program_id(1)
+    def assemble(krows_ref, at_ref, dst, grp):
         for u in range(U):          # static unroll: U is a create-time const
-            idx = krows_ref[g * U + u]
-            scratch[u * bk:(u + 1) * bk, :] = at_ref[
-                pl.ds(idx * bk, bk), :]
+            idx = krows_ref[grp * U + u]
+            dst[u * bk:(u + 1) * bk, :] = at_ref[pl.ds(idx * bk, bk), :]
+
+    def dot_group(cur, rhs_ref, o_ref):
         # Mosaic requires a 32-bit matmul accumulator: dot in f32 and cast
         # on the store (a bf16 preferred_element_type fails TPU verification)
         o_ref[...] = jax.lax.dot_general(
-            scratch[...], rhs_ref[0],
+            cur[...], rhs_ref[0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec).astype(o_ref.dtype)
+
+    def kernel(krows_ref, at_ref, rhs_ref, o_ref, scratch):
+        g = pl.program_id(1)
+        assemble(krows_ref, at_ref, scratch, g)
+        dot_group(scratch, rhs_ref, o_ref)
+
+    def kernel_db(krows_ref, at_ref, rhs_ref, o_ref, s0, s1):
+        # Software-pipelined alternation: group g's panel was assembled at
+        # step g-1 (prologue for g==0); while the MXU dots it, the VPU
+        # assembles group g+1 into the other buffer — no dependency between
+        # the two, so Mosaic may overlap the engines. Parity is unrolled
+        # into pl.when branches (a traced leading index on a 3-D scratch
+        # write is a Mosaic hazard; the branch duplication is static).
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():                     # new m-tile: at_ref changed, group 0
+            assemble(krows_ref, at_ref, s0, g)   # must re-assemble (par 0)
+
+        even = jax.lax.rem(g, jnp.int32(2)) == 0
+
+        def body(cur, nxt):
+            @pl.when(g + 1 < nsg)
+            def _():
+                assemble(krows_ref, at_ref, nxt, g + 1)
+            dot_group(cur, rhs_ref, o_ref)
+
+        @pl.when(even)
+        def _():
+            body(s0, s1)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            body(s1, s0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -271,12 +315,13 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                          lambda i, g, krows: (g, i - i, i - i)),
         ],
         out_specs=pl.BlockSpec((tm, 128), lambda i, g, krows: (i, g)),
-        scratch_shapes=[pltpu.VMEM((U * bk, tm), in_dt)],
+        scratch_shapes=[pltpu.VMEM((U * bk, tm), in_dt)
+                        for _ in range(nbuf)],
     )
 
     osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
-        kernel,
+        kernel_db if double_buffer else kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
         interpret=device.use_interpret(),
@@ -294,7 +339,8 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                                         gmap, in_dt)
 
     @jax.jit
-    @jax.named_scope(f"xsmm_pallas_bcsc_union_{m}x{n}x{k}_U{U}")
+    @jax.named_scope(f"xsmm_pallas_bcsc_union{'2' if double_buffer else ''}"
+                     f"_{m}x{n}x{k}_U{U}")
     def run(krows_j, gmap_j, a, values):
         if compactor is not None:
             v2d = jnp.concatenate(

@@ -760,7 +760,7 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
     # interleaved candidates survive any time-share window; a sequential
     # per-strategy loop hands the win to whoever drew the good window)
     cands = []
-    for s in ("dense", "union", "super", "sparse", "pallas"):
+    for s in ("dense", "union", "union2", "super", "sparse", "pallas"):
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=s)
@@ -797,7 +797,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
 
     Lowerings, picked by `strategy` ("auto"|"sparse"|"dense"|"pallas"|
-    "super"|"union"); "auto" microbenchmarks ALL of them on device at
+    "super"|"union"|"union2"); "auto" microbenchmarks ALL of them on device at
     create time and keeps the winner (_bcsc_autotune, the fsspmdm
     pattern):
       * sparse: gather A panels per nonzero block -> one batched MXU matmul
@@ -839,10 +839,11 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         if strategy == "super":
             return _build_bcsc_super(shape, flags, config, indptr, indices,
                                      desc, nblocks)
-        if strategy == "union":
+        if strategy in ("union", "union2"):
             from ..kernels import spmm_pallas
-            pfn = spmm_pallas.build_bcsc_spmm_union(shape, config, indptr,
-                                                    indices)
+            pfn = spmm_pallas.build_bcsc_spmm_union(
+                shape, config, indptr, indices,
+                double_buffer=(strategy == "union2"))
             if pfn is None:
                 raise ValueError("descriptor unsupported by the k-union "
                                  "BCSC kernel (need bn|128, 128|n, bk|k, "
@@ -858,7 +859,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
                               nflops=2 * nblocks * bk * bn * shape.m)
             return Kernel(fn=ufn, descriptor=desc, info=info,
                           name=f"pspgemm_bcsc_{shape.m}x{shape.n}x{shape.k}"
-                               f"_union{pfn.union_panels}")
+                               f"_{strategy}_u{pfn.union_panels}")
         if strategy == "pallas":
             from ..kernels import spmm_pallas
             pfn = spmm_pallas.build_bcsc_spmm(shape, config, indptr, indices)

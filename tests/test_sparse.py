@@ -195,12 +195,30 @@ def test_pspgemm_bcsc_bf16_out_all_strategies():
     ref = (np.asarray(ab.astype(jnp.float32)) @
            BcscMatrix((k, n), bk, bn, bm.indptr, bm.indices,
                       np.asarray(vb.astype(jnp.float32))).to_dense())
-    for strat in ("dense", "union", "pallas", "super", "sparse"):
+    for strat in ("dense", "union", "union2", "pallas", "super", "sparse"):
         kern = create_packed_spgemm_bcsc(
             shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
             column_ptr=bm.indptr, row_idx=bm.indices, strategy=strat)
         got = np.asarray(jnp.asarray(kern(ab, vb)).astype(jnp.float32))
         check(ref, got, dtype_name="bf16")
+
+
+def test_pspgemm_bcsc_union2_multi_group():
+    """union2 (double-buffered scratch) over an ODD number of 128-lane
+    column groups: exercises the g==0 prologue, both parity branches, and
+    the no-prefetch guard on the final group."""
+    m, k, n, bk, bn = 32, 256, 384, 32, 32        # nsg = 3
+    b = _sparse_dense(k, n, 0.25)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    shape = GemmShape(m, n, k)
+    want = a @ bm.to_dense()
+    for strat in ("union", "union2"):
+        kern = create_packed_spgemm_bcsc(
+            shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+            column_ptr=bm.indptr, row_idx=bm.indices, strategy=strat)
+        assert strat in kern.name
+        check(want, np.asarray(kern(a, bm.data)), margin=1e-4)
 
 
 # ---------------------------------------------------------------------------
