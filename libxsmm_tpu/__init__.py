@@ -19,13 +19,33 @@ from .descriptor import (BatchReduceConfig, BatchReduceType, BinaryFlags,
                          GemmShape, MeltwDescriptor, SparsePattern,
                          SpgemmConfig, TernaryFlags, TernaryType, UnaryArgops,
                          UnaryFlags, UnaryType)
-from .device import get_geometry, on_tpu
+from .device import (get_geometry, get_target_archid, on_tpu,
+                     set_target_archid)
 from .dtypes import (Datatype, from_jnp, get_typename, to_jnp, typesize)
-from .matdiff import MatdiffInfo, matdiff, matdiff_reduce
+from .matdiff import (MatdiffInfo, matdiff, matdiff_clear, matdiff_epsilon,
+                      matdiff_reduce)
 from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
                        get_meltwkernel_info, get_mmkernel_info,
-                       get_registry, init)
-from .ops.gemm import (brgemm_pack_factor, dgemm, dispatch_brgemm,
+                       get_registry, get_registry_begin, get_registry_next,
+                       init)
+from .rng import (RngState, f32_seq as rng_f32_seq, rand_u32 as rng_u32,
+                  rand_u64 as rng_u64, set_seed as rng_set_seed)
+from .quant import (convert_bf16_fp32, convert_bf8_fp32, convert_f16_fp32,
+                    convert_fp32_f16, convert_hf8_fp32, rnaz_convert_fp32_bf16,
+                    rne_convert_f16_hf8, rne_convert_fp32_bf16,
+                    rne_convert_fp32_bf8, rne_convert_fp32_hf8,
+                    stochastic_convert_fp32_bf16, stochastic_convert_fp32_bf8,
+                    truncate_convert_fp32_bf16)
+from .utils.mathx import (coprime, coprime2, dsqrt, gcd, isqrt2_u32,
+                          isqrt_u32, isqrt_u64, kahan_sum, lcm, nearbyint,
+                          nearbyintf, primes_u32, product_limit, remainder,
+                          ssqrt)
+from .utils.memutil import (aligned, aligned_malloc, diff, diff_n, free,
+                            get_malloc_info, hash, hash8, hash16, hash32,
+                            hash_string, memcmp, realloc, strimatch, stristr,
+                            stristrn)
+from .ops.gemm import (brgemm_pack_factor, dgemm, xmmdispatch,
+                       dispatch_brgemm,
                        dispatch_brgemm_ext, dispatch_brgemm_ext_packed,
                        dispatch_brgemm_packed,
                        dispatch_gemm, dispatch_gemm_batched,
@@ -35,12 +55,19 @@ from .ops.gemm import (brgemm_pack_factor, dgemm, dispatch_brgemm,
 from .ops.eltwise import (bitmask_ld, dispatch_meltw_binary,
                           dispatch_meltw_ternary, dispatch_meltw_unary,
                           pack_bitmask, unpack_bitmask)
-from .ops.equation import (dispatch_meqn, meqn_create, meqn_destroy,
+from .ops.equation import (MatrixArgAttributes, MeqnArgMetadata,
+                           MeqnArgShape, MeqnDescriptor, MeqnOpMetadata,
+                           create_matrix_arg_attributes,
+                           create_meqn_arg_metadata, create_meqn_arg_shape,
+                           create_meqn_op_metadata, dispatch_meqn,
+                           dispatch_meqn_desc, meqn_create, meqn_destroy,
                            meqn_push_back_arg, meqn_push_back_binary_op,
                            meqn_push_back_ternary_op, meqn_push_back_unary_op,
                            meqn_tree_print)
-from .ops.fsspmdm import (Fsspmdm, fsspmdm_create, fsspmdm_destroy,
-                          fsspmdm_execute)
+from .ops.fsspmdm import (Fsspmdm, dfsspmdm_create, dfsspmdm_destroy,
+                          dfsspmdm_execute, fsspmdm_create, fsspmdm_destroy,
+                          fsspmdm_execute, sfsspmdm_create, sfsspmdm_destroy,
+                          sfsspmdm_execute)
 from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
                          create_packed_spgemm_bcsc, create_packed_spgemm_csc,
                          create_packed_spgemm_csc_csparse,

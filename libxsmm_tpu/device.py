@@ -103,6 +103,32 @@ def get_geometry() -> TpuGeometry:
     return _cache[key]
 
 
+# Numeric arch ids, the libxsmm_get/set_target_archid analogue
+# (include/libxsmm_cpuid.h:23-59 numbers its ISAs; TPU generations here).
+ARCHID_CPU = 0
+ARCHIDS = {"cpu": ARCHID_CPU, "v4": 1040, "v5e": 1050, "v5p": 1051,
+           "v6e": 1060}
+_ARCHID_NAMES = {v: k for k, v in ARCHIDS.items()}
+
+
+def get_target_archid() -> int:
+    """libxsmm_get_target_archid analogue (include/libxsmm.h:72-79)."""
+    return ARCHIDS.get(get_geometry().name, ARCHID_CPU)
+
+
+def set_target_archid(archid: int) -> None:
+    """libxsmm_set_target_archid analogue: retarget the geometry table by
+    numeric id (None/0 restores auto-detect, like LIBXSMM_TARGET)."""
+    from .config import set_target
+    if archid in (None, 0):
+        set_target(None)
+        return
+    name = _ARCHID_NAMES.get(int(archid))
+    if name is None:
+        raise ValueError(f"unknown archid {archid}; known: {ARCHIDS}")
+    set_target(name)
+
+
 def on_tpu() -> bool:
     """True when the default JAX backend is real TPU hardware."""
     try:

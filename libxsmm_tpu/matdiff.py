@@ -138,10 +138,58 @@ def matdiff(ref, tst) -> MatdiffInfo:
     return info
 
 
+def matdiff_epsilon(info: MatdiffInfo) -> float:
+    """Free-function form of libxsmm_matdiff_epsilon (include/
+    libxsmm_math.h:129); identical to MatdiffInfo.epsilon()."""
+    return info.epsilon()
+
+
+def matdiff_clear(info: MatdiffInfo = None) -> MatdiffInfo:
+    """libxsmm_matdiff_clear (src/libxsmm_math.c:449-466): zero the report,
+    invalidate the location (m=n=-1), seed min/max at +/-inf and rsq at inf
+    so the first matdiff_reduce adopts the input's statistics."""
+    if info is None:
+        info = MatdiffInfo()
+    for f in dataclasses.fields(MatdiffInfo):
+        setattr(info, f.name, 0 if f.type in (int, "int") else 0.0)
+    info.m = info.n = -1
+    info.min_ref = info.min_tst = math.inf
+    info.max_ref = info.max_tst = -math.inf
+    info.rsq = math.inf
+    return info
+
+
 def matdiff_reduce(output: MatdiffInfo, input_: MatdiffInfo) -> MatdiffInfo:
-    """Keep the worse of two reports (libxsmm_matdiff_reduce semantics:
-    maintained-or-increased difference via the epsilon ordering)."""
-    return input_ if input_.epsilon() > output.epsilon() else output
+    """Field-wise worst-of merge into `output` (libxsmm_matdiff_reduce,
+    /root/reference/src/libxsmm_math.c:386-446): each abs-norm keeps its max
+    (carrying the paired rel field), min/max stats widen, the worse-epsilon
+    report donates rsq and the error location, averages average and L1s
+    accumulate. Returns the mutated `output`."""
+    epsinp = input_.epsilon()
+    # A freshly cleared output (rsq == inf) must adopt the input's location.
+    epsout = output.epsilon() if math.isfinite(output.rsq) else math.inf
+    for abs_f, rel_f in (("linf_abs", "linf_rel"), ("norm1_abs", "norm1_rel"),
+                         ("normi_abs", "normi_rel"), ("l2_abs", "l2_rel")):
+        if getattr(output, abs_f) <= getattr(input_, abs_f):
+            setattr(output, abs_f, getattr(input_, abs_f))
+            setattr(output, rel_f, getattr(input_, rel_f))
+    for f in ("normf_rel", "var_ref", "var_tst", "max_ref", "max_tst"):
+        if getattr(output, f) <= getattr(input_, f):
+            setattr(output, f, getattr(input_, f))
+    for f in ("min_ref", "min_tst"):
+        if getattr(output, f) >= getattr(input_, f):
+            setattr(output, f, getattr(input_, f))
+    if epsout < epsinp or epsout == math.inf:
+        output.rsq = input_.rsq
+        output.v_ref = input_.v_ref
+        output.v_tst = input_.v_tst
+        output.m = input_.m
+        output.n = input_.n
+    output.avg_ref = 0.5 * (output.avg_ref + input_.avg_ref)
+    output.avg_tst = 0.5 * (output.avg_tst + input_.avg_tst)
+    output.l1_ref += input_.l1_ref
+    output.l1_tst += input_.l1_tst
+    return output
 
 
 # Per-dtype default margins used by the test-suite, matching the spirit of

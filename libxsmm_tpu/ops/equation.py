@@ -95,6 +95,82 @@ class Equation:
         return self.root is not None and not self._stack
 
 
+# ---------------------------------------------------------------------------
+# Struct-based builder metadata (reference v2 equation API,
+# include/libxsmm.h:150-162, constructors src/libxsmm_matrixeqn.c:1322-1362)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MeqnArgShape:
+    """libxsmm_meqn_arg_shape (include/libxsmm_typedefs.h:586-591)."""
+    m: int
+    n: int
+    ld: int
+    type: Datatype = Datatype.F32
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixArgAttributes:
+    """libxsmm_matrix_arg_attributes (include/libxsmm_typedefs.h:641-646).
+    `arg_type` 0 = SINGULAR, 1 = SET; set_type follows
+    libxsmm_matrix_arg_set_type (NONE/ABS_ADDRESS/OFFSET_BASE/STRIDE_BASE)."""
+    arg_type: int = 0
+    set_type: int = 0
+    set_cardinality_hint: int = 0
+    set_stride_hint: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeqnArgMetadata:
+    """libxsmm_meqn_arg_metadata (constructor src/libxsmm_matrixeqn.c:1345)."""
+    eqn_idx: int
+    in_arg_pos: int
+
+
+@dataclasses.dataclass(frozen=True)
+class MeqnOpMetadata:
+    """libxsmm_meqn_op_metadata (constructor src/libxsmm_matrixeqn.c:1354)."""
+    eqn_idx: int
+    op_arg_pos: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeqnDescriptor:
+    """libxsmm_meqn_descriptor (src/libxsmm_main.h:412-419): output shape +
+    dtype + the equation handle."""
+    m: int
+    n: int
+    ldo: int
+    datatype: Datatype
+    eqn_idx: int
+
+
+def create_meqn_arg_shape(m: int, n: int, ld: int,
+                          dtype: Datatype = Datatype.F32) -> MeqnArgShape:
+    """libxsmm_create_meqn_arg_shape (include/libxsmm.h:150)."""
+    return MeqnArgShape(m=m, n=n, ld=ld, type=Datatype(dtype))
+
+
+def create_matrix_arg_attributes(arg_type: int = 0, set_type: int = 0,
+                                 set_cardinality_hint: int = 0,
+                                 set_stride_hint: int = 0
+                                 ) -> MatrixArgAttributes:
+    """libxsmm_create_matrix_arg_attributes (include/libxsmm.h:151)."""
+    return MatrixArgAttributes(arg_type, set_type, set_cardinality_hint,
+                               set_stride_hint)
+
+
+def create_meqn_arg_metadata(eqn_idx: int, in_arg_pos: int) -> MeqnArgMetadata:
+    """libxsmm_create_meqn_arg_metadata (include/libxsmm.h:152)."""
+    return MeqnArgMetadata(eqn_idx=eqn_idx, in_arg_pos=in_arg_pos)
+
+
+def create_meqn_op_metadata(eqn_idx: int, op_arg_pos: int = -1
+                            ) -> MeqnOpMetadata:
+    """libxsmm_create_meqn_op_metadata (include/libxsmm.h:153)."""
+    return MeqnOpMetadata(eqn_idx=eqn_idx, op_arg_pos=op_arg_pos)
+
+
 _equations: Dict[int, Equation] = {}
 _eqn_lock = threading.Lock()
 _next_idx = [0]
@@ -116,35 +192,58 @@ def _eqn(idx: int) -> Equation:
         raise ValueError(f"unknown equation index {idx}") from None
 
 
-def meqn_push_back_arg(idx: int, m: int, n: int,
-                       in_pos: int,
-                       dtype: Datatype = Datatype.F32) -> None:
+def meqn_push_back_arg(idx, m=None, n=None, in_pos=None,
+                       dtype: Datatype = Datatype.F32,
+                       arg_attr: "MatrixArgAttributes" = None) -> None:
     """libxsmm_meqn_push_back_arg analogue; in_pos = position of this arg in
-    the dispatch-time argument list."""
+    the dispatch-time argument list.
+
+    Two call forms, matching both reference generations:
+      meqn_push_back_arg(idx, m, n, in_pos, dtype)            # flattened
+      meqn_push_back_arg(arg_metadata, arg_shape[, arg_attr]) # struct v2
+    (include/libxsmm.h:154 takes metadata + shape + attributes)."""
+    if isinstance(idx, MeqnArgMetadata):
+        meta, shape = idx, m
+        if not isinstance(shape, MeqnArgShape):
+            raise TypeError("struct form needs a MeqnArgShape second arg")
+        if isinstance(n, MatrixArgAttributes):
+            arg_attr = n
+        idx, m, n, in_pos, dtype = (meta.eqn_idx, shape.m, shape.n,
+                                    meta.in_arg_pos, shape.type)
+    if arg_attr is not None and arg_attr.arg_type != 0:
+        # SET-type (tensor-set / BRGEMM) equation args: unsupported tail,
+        # like the reference rejects malformed arg attributes.
+        raise NotImplementedError("MATRIX_ARG_TYPE_SET equation args")
     eqn = _eqn(idx)
     eqn._attach(EqnNode(kind="arg", m=m, n=n, in_pos=in_pos, dtype=dtype))
     eqn.nargs = max(eqn.nargs, in_pos + 1)
 
 
-def meqn_push_back_unary_op(idx: int, op: UnaryType,
+def _meta_idx(idx) -> int:
+    return idx.eqn_idx if isinstance(idx, MeqnOpMetadata) else idx
+
+
+def meqn_push_back_unary_op(idx, op: UnaryType,
                             dtype: Datatype = Datatype.F32,
                             flags: UnaryFlags = UnaryFlags.NONE) -> None:
-    _eqn(idx)._attach(EqnNode(kind="unary", op=op, flags=UnaryFlags(flags),
-                              dtype=dtype))
+    """Accepts an int handle or a MeqnOpMetadata (reference v2 form)."""
+    _eqn(_meta_idx(idx))._attach(
+        EqnNode(kind="unary", op=op, flags=UnaryFlags(flags), dtype=dtype))
 
 
-def meqn_push_back_binary_op(idx: int, op: BinaryType,
+def meqn_push_back_binary_op(idx, op: BinaryType,
                              dtype: Datatype = Datatype.F32,
                              flags: BinaryFlags = BinaryFlags.NONE) -> None:
-    _eqn(idx)._attach(EqnNode(kind="binary", op=op, flags=BinaryFlags(flags),
-                              dtype=dtype))
+    _eqn(_meta_idx(idx))._attach(
+        EqnNode(kind="binary", op=op, flags=BinaryFlags(flags), dtype=dtype))
 
 
-def meqn_push_back_ternary_op(idx: int, op: TernaryType,
+def meqn_push_back_ternary_op(idx, op: TernaryType,
                               dtype: Datatype = Datatype.F32,
                               flags: TernaryFlags = TernaryFlags.NONE) -> None:
-    _eqn(idx)._attach(EqnNode(kind="ternary", op=op,
-                              flags=TernaryFlags(flags), dtype=dtype))
+    _eqn(_meta_idx(idx))._attach(
+        EqnNode(kind="ternary", op=op, flags=TernaryFlags(flags),
+                dtype=dtype))
 
 
 def meqn_tree_print(idx: int) -> str:
@@ -235,12 +334,16 @@ def _tree_signature(node: EqnNode):
             tuple(_tree_signature(c) for c in node.children))
 
 
-def dispatch_meqn(idx: int, out_m: int, out_n: int,
+def dispatch_meqn(idx: int, out_m=None, out_n: int = None,
                   out_type: Datatype = Datatype.F32) -> Kernel:
     """libxsmm_dispatch_meqn analogue: fuse the tree into one jitted kernel.
 
     Returned kernel takes the args in in_pos order: kernel(arg0, arg1, ...).
+    Second arg may be a MeqnArgShape (the reference v2 signature,
+    include/libxsmm.h:162) instead of out_m/out_n/out_type.
     """
+    if isinstance(out_m, MeqnArgShape):
+        out_m, out_n, out_type = out_m.m, out_m.n, out_m.type
     eqn = _eqn(idx)
     if not eqn.is_complete():
         raise ValueError(f"equation {idx} is incomplete")
@@ -317,6 +420,16 @@ def dispatch_meqn(idx: int, out_m: int, out_n: int,
                       name=f"meqn_{out_m}x{out_n}")
 
     return get_registry().dispatch(desc, _build)
+
+
+def dispatch_meqn_desc(descriptor: MeqnDescriptor) -> Kernel:
+    """libxsmm_dispatch_meqn_desc analogue (include/libxsmm.h:161): dispatch
+    from a pre-built equation descriptor. Row-major contract: ldo is part of
+    the descriptor for parity but XLA owns layout (ldo must equal n)."""
+    if descriptor.ldo not in (0, descriptor.n):
+        raise ValueError("row-major contract: ldo must equal n (or 0)")
+    return dispatch_meqn(descriptor.eqn_idx, descriptor.m, descriptor.n,
+                         descriptor.datatype)
 
 
 def meqn_destroy(idx: int) -> None:

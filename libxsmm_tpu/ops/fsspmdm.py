@@ -273,3 +273,43 @@ def fsspmdm_execute(handle: Fsspmdm, b, c=None):
 def fsspmdm_destroy(handle: Fsspmdm) -> None:
     """API parity (libxsmm_fsspmdm_destroy); kernels are GC-managed."""
     handle.kernel = None
+
+
+# ---------------------------------------------------------------------------
+# Typed wrappers (reference include/libxsmm_fsspmdm.h:17-45:
+# libxsmm_dfsspmdm_* pins f64, libxsmm_sfsspmdm_* pins f32; both alias
+# the generic handle)
+# ---------------------------------------------------------------------------
+
+def dfsspmdm_create(n: int, a_dense, alpha: float = 1.0,
+                    beta: int = 0) -> Fsspmdm:
+    """libxsmm_dfsspmdm_create: double-precision pinned handle."""
+    return fsspmdm_create(n, np.asarray(a_dense, np.float64), alpha, beta,
+                          dtype=Datatype.F64)
+
+
+def sfsspmdm_create(n: int, a_dense, alpha: float = 1.0,
+                    beta: int = 0) -> Fsspmdm:
+    """libxsmm_sfsspmdm_create: single-precision pinned handle."""
+    return fsspmdm_create(n, np.asarray(a_dense, np.float32), alpha, beta,
+                          dtype=Datatype.F32)
+
+
+def dfsspmdm_execute(handle: Fsspmdm, b, c=None):
+    """libxsmm_dfsspmdm_execute (include/libxsmm_fsspmdm.h:40)."""
+    return handle.execute(jnp.asarray(b, jnp.float64),
+                          None if c is None else jnp.asarray(c, jnp.float64))
+
+
+def sfsspmdm_execute(handle: Fsspmdm, b, c=None):
+    """libxsmm_sfsspmdm_execute (include/libxsmm_fsspmdm.h:41)."""
+    return handle.execute(jnp.asarray(b, jnp.float32),
+                          None if c is None else jnp.asarray(c, jnp.float32))
+
+
+def dfsspmdm_destroy(handle: Fsspmdm) -> None:
+    fsspmdm_destroy(handle)
+
+
+def sfsspmdm_destroy(handle: Fsspmdm) -> None:
+    fsspmdm_destroy(handle)

@@ -940,6 +940,15 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
 # BLAS-style convenience (libxsmm_?gemm, src/libxsmm_main.c:3933)
 # ---------------------------------------------------------------------------
 
+def xmmdispatch(descriptor):
+    """libxsmm_xmmdispatch analogue (src/libxsmm_main.c:3323): dispatch
+    directly from a pre-built descriptor (the shape-struct dispatch_* APIs
+    are sugar over this, exactly as in the reference)."""
+    builder = (_build_gemm_ext if isinstance(descriptor, GemmExtDescriptor)
+               else _build_gemm)
+    return get_registry().dispatch(descriptor, builder)
+
+
 def gemm(a, b, c=None, *, trans_a: bool = False, trans_b: bool = False,
          beta: int = None):
     """Dispatch+invoke in one call, like libxsmm_dgemm/sgemm."""

@@ -68,6 +68,45 @@ def convert_hf8_fp32(x):
     return jnp.asarray(x).astype(jnp.float32)
 
 
+def rnaz_convert_fp32_bf16(x):
+    """Round-nearest-away-from-zero f32 -> bf16
+    (libxsmm_rnaz_convert_fp32_bf16, src/libxsmm_lpflt_quant.c): add
+    0x8000 to the magnitude bits, then truncate. Differs from RNE only at
+    exact ties."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                        jnp.uint32)
+    bits = (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
+
+
+def stochastic_convert_fp32_bf8(x, seed: int = 0):
+    """libxsmm_stochastic_convert_fp32_bf8: stochastic rounding onto e5m2."""
+    from .kernels.eltwise_pallas import stochastic_round
+    return stochastic_round(jnp.asarray(x, jnp.float32), seed, Datatype.BF8)
+
+
+def convert_fp32_f16(x):
+    """libxsmm_convert_f32_to_f16 (RNE, the only f16 mode)."""
+    return jnp.asarray(x, jnp.float32).astype(jnp.float16)
+
+
+def convert_f16_fp32(x):
+    """libxsmm_convert_f16_to_f32."""
+    return jnp.asarray(x).astype(jnp.float32)
+
+
+def convert_bf16_fp32(x):
+    """libxsmm_convert_bf16_to_f32 (exact widening)."""
+    return jnp.asarray(x).astype(jnp.float32)
+
+
+def rne_convert_f16_hf8(x):
+    """libxsmm_convert_f16_to_hf8_rne: f16 -> e4m3 through f32 (widening is
+    exact, so the only rounding is the final RNE onto e4m3)."""
+    return jnp.asarray(x, jnp.float16).astype(jnp.float32).astype(
+        jnp.float8_e4m3fn)
+
+
 # ---------------------------------------------------------------------------
 # integer quantization with scale search (libxsmm_quantize_i16 semantics:
 # find the exponent that maps the absmax into range, round via rint)

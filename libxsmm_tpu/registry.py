@@ -308,3 +308,16 @@ def get_meltwkernel_info(kernel: Kernel) -> KernelInfo:
     if kernel.info.kind not in ("meltw", "meqn"):
         raise ValueError(f"not an eltwise kernel: {kernel.info.kind}")
     return kernel.info
+
+
+def get_registry_begin():
+    """libxsmm_get_registry_begin analogue (src/libxsmm_main.c:3197):
+    returns an iterator over the user key-value entries; advance it with
+    get_registry_next. The pair replaces the C begin/next pointer walk."""
+    return get_registry().items()
+
+
+def get_registry_next(iterator):
+    """libxsmm_get_registry_next analogue: the next (key, value) entry or
+    None at the end of the registry."""
+    return next(iterator, None)

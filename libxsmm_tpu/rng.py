@@ -52,6 +52,13 @@ def u32_seq(shape, state: RngState = None):
     return jax.random.bits(sub.key, shape, jnp.uint32)
 
 
+def rand_u32(state: RngState = None) -> int:
+    """libxsmm_rng_u32-style scalar draw in [0, 2^32)."""
+    st = state or _default_state
+    sub = st.split()
+    return int(jax.random.bits(sub.key, (), jnp.uint32))
+
+
 def rand_u64(state: RngState = None) -> int:
     """libxsmm_rng_u64-ish scalar draw (host convenience)."""
     st = state or _default_state

@@ -46,6 +46,170 @@ def sexp2(n: int) -> float:
     return float(2.0 ** n)
 
 
+def isqrt_u64(x: int) -> int:
+    """Largest y with y*y <= x (libxsmm_isqrt_u64,
+    /root/reference/src/libxsmm_math.c:508-515)."""
+    return math.isqrt(max(0, int(x)))
+
+
+def isqrt_u32(x: int) -> int:
+    """32-bit variant (libxsmm_isqrt_u32, src/libxsmm_math.c:518-526)."""
+    return math.isqrt(max(0, int(x) & 0xFFFFFFFF))
+
+
+def primes_u32(num: int) -> list:
+    """Prime factorization, smallest factor first (libxsmm_primes_u32,
+    /root/reference/src/libxsmm_generator.c:495-521). Returns the factor
+    list (the reference fills a caller array and returns the count)."""
+    c = int(num)
+    out = []
+    if c > 0:
+        while c % 2 == 0:
+            out.append(2)
+            c //= 2
+        i = 3
+        while i * i <= c:
+            while c % i == 0:
+                out.append(i)
+                c //= i
+            i += 2
+        if c > 1 and out:
+            out.append(c)
+    return out
+
+
+def _divisors(product: int) -> list:
+    """All divisors of product, from its prime factorization."""
+    divs = [1]
+    for p in primes_u32(product):
+        divs += [d * p for d in divs]
+    return sorted(set(divs))
+
+
+def product_limit(product: int, limit: int, is_lower: bool = False) -> int:
+    """libxsmm_product_limit (/root/reference/src/libxsmm_generator.c:578-608):
+    the largest divisor of `product` that is <= `limit` (is_lower false), or
+    the smallest blocking >= `limit` (is_lower true; falls back to a 2x-wide
+    divisor search, then `product` itself / the rounded-up multiple).
+
+    Exact divisor search here — the reference's capped DP "can miss best
+    solution" above its table limit (its own comment); semantics-compatible.
+    """
+    product = int(product)
+    limit = int(limit)
+    if limit > 1:
+        result = 1
+        for d in _divisors(product):
+            if d <= limit:
+                result = d
+            else:
+                break
+    else:
+        result = limit
+    if is_lower:
+        if limit < product:
+            if result < limit:
+                wide = 1
+                for d in _divisors(product):
+                    if d <= 2 * limit - 1:
+                        wide = d
+                    else:
+                        break
+                result = wide
+            if result < limit:
+                result = product
+        elif product:
+            result = ((limit + product - 1) // product) * product
+        else:
+            result = 0
+    elif product < result:
+        result = product
+    return result
+
+
+def isqrt2_u32(x: int) -> int:
+    """Largest FACTOR of x that is <= sqrt(x) (libxsmm_isqrt2_u32,
+    src/libxsmm_math.c:529-532 — product_limit over isqrt_u32)."""
+    return product_limit(x, isqrt_u32(x), False)
+
+
+def coprime(n: int, minco: int) -> int:
+    """A co-prime R of N with R <= minco (libxsmm_coprime,
+    /root/reference/src/libxsmm_math.c:470-499). Contract-equivalent
+    implementation: the largest r <= minco with gcd(r, n) == 1 (the
+    reference's scan may select a different valid co-prime);
+    coprime(0|1, ·) == 0 per the header note."""
+    n = int(n)
+    if n <= 1:
+        return 0
+    for r in range(min(int(minco), n - 1), 0, -1):
+        if math.gcd(r, n) == 1:
+            return r
+    return 1
+
+
+def coprime2(n: int) -> int:
+    """Co-prime of N not exceeding sqrt(N) (libxsmm_coprime2,
+    src/libxsmm_math.c:502-505)."""
+    return coprime(n, isqrt_u64(n))
+
+
+def remainder(a: int, b: int, limit: Optional[int] = None,
+              remainder_target: Optional[int] = None) -> int:
+    """libxsmm_remainder (/root/reference/src/libxsmm_generator.c:472-492):
+    smallest multiple of b (>= a-normalized start) whose remainder modulo a
+    is minimal (or <= remainder_target), optionally bounded by limit.
+    Example from the reference header: remainder(23, 8) == 184."""
+    a, b = int(a), int(b)
+    ci = (((a + b - 1) // b) * b) if (b < a and b != 0) else b
+    c = a * ci
+    if limit is not None and (b == 0 or (limit // b) * b < a):
+        limit = None
+    if a >= 1:
+        r = a - 1
+        target = remainder_target if remainder_target is not None else 0
+        while target < r and (limit is None or ci <= limit):
+            ri = ci % a
+            if ri < r:
+                c = ci
+                r = ri
+            ci += b
+    return c
+
+
+def kahan_sum(value: float, accumulator: float, compensation: float):
+    """Compensated summation step (libxsmm_kahan_sum,
+    /root/reference/src/libxsmm_math.c:535): returns
+    (new_accumulator, new_compensation). The C API mutates pointers; the
+    Python contract returns the updated pair."""
+    y = value - compensation
+    t = accumulator + y
+    comp = (t - accumulator) - y
+    return t, comp
+
+
+def dsqrt(x: float) -> float:
+    """libxsmm_dsqrt (src/libxsmm_math.c:914)."""
+    return math.sqrt(x)
+
+
+def ssqrt(x: float) -> float:
+    """libxsmm_ssqrt (src/libxsmm_math.c:935): f32-rounded sqrt."""
+    import numpy as np
+    return float(np.float32(math.sqrt(np.float32(x))))
+
+
+def nearbyint(x: float) -> float:
+    """Round-half-to-even (libxsmm_nearbyint, src/libxsmm_math.c:955)."""
+    return float(round(x))
+
+
+def nearbyintf(x: float) -> float:
+    """f32 variant (libxsmm_nearbyintf, src/libxsmm_math.c:993)."""
+    import numpy as np
+    return float(np.float32(round(float(np.float32(x)))))
+
+
 def matdiff_log(epsilon: float, path: Optional[str] = None,
                 note: str = "") -> None:
     """Append a measured epsilon to a calibration log, mirroring the

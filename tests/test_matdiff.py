@@ -47,12 +47,31 @@ def test_nan_is_inf():
 
 
 def test_epsilon_and_reduce():
+    # Field-wise worst-of merge into the output struct
+    # (libxsmm_matdiff_reduce, src/libxsmm_math.c:386-446).
     ref = np.ones((4, 4))
     small = matdiff(ref, ref + 1e-8)
     big = matdiff(ref, ref + 1e-2)
     assert big.epsilon() > small.epsilon()
-    assert matdiff_reduce(small, big) is big
-    assert matdiff_reduce(big, small) is big
+    out = matdiff_reduce(small, big)
+    assert out is small  # merged in place, returns the output struct
+    assert out.linf_abs == big.linf_abs
+    assert out.l2_abs == big.l2_abs
+    # reducing the worse report again is a no-op for the abs norms
+    worst = out.linf_abs
+    assert matdiff_reduce(out, matdiff(ref, ref + 1e-8)).linf_abs == worst
+
+
+def test_matdiff_clear_then_reduce_adopts_input():
+    from libxsmm_tpu.matdiff import matdiff_clear
+    ref = np.arange(16.0).reshape(4, 4)
+    rep = matdiff(ref, ref + 1e-3)
+    acc = matdiff_clear()
+    assert acc.m == -1 and np.isinf(acc.rsq)
+    matdiff_reduce(acc, rep)
+    assert acc.linf_abs == rep.linf_abs
+    assert acc.min_ref == rep.min_ref and acc.max_tst == rep.max_tst
+    assert (acc.m, acc.n) == (rep.m, rep.n)
 
 
 def test_check_passes_and_fails():

@@ -1,0 +1,341 @@
+"""Public-API parity tail: L0 math/memory/string utilities, struct-based
+equation builder, typed fsspmdm wrappers, archid get/set, xmmdispatch.
+
+Oracles are independent NumPy/Python computations of the reference
+contracts (include/libxsmm_math.h, include/libxsmm_memory.h,
+include/libxsmm.h:150-162, include/libxsmm_fsspmdm.h).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import libxsmm_tpu as x
+from libxsmm_tpu.utils import mathx, memutil
+
+
+# ---------------------------------------------------------------------------
+# math utils
+# ---------------------------------------------------------------------------
+
+def test_isqrt_family():
+    for v in (0, 1, 2, 3, 4, 15, 16, 17, 2**31, 2**32 - 1):
+        assert x.isqrt_u32(v & 0xFFFFFFFF) == math.isqrt(v & 0xFFFFFFFF)
+        assert x.isqrt_u64(v) == math.isqrt(v)
+    # isqrt2_u32: largest FACTOR <= sqrt
+    assert x.isqrt2_u32(12) == 3      # sqrt(12)=3.46; divisors<=3: 1,2,3
+    assert x.isqrt2_u32(36) == 6
+    assert x.isqrt2_u32(17) == 1      # prime: only 1 <= sqrt
+
+
+def test_primes_u32():
+    assert x.primes_u32(360) == [2, 2, 2, 3, 3, 5]
+    assert x.primes_u32(17) == []     # reference: lone prime yields count 0
+    assert x.primes_u32(2) == [2]
+    assert x.primes_u32(1) == []
+    assert x.primes_u32(0) == []
+
+
+def test_primes_contract_even_and_composite():
+    # product of returned factors reconstructs the number when non-empty
+    for v in (4, 6, 12, 1024, 9973 * 2, 123456):
+        f = x.primes_u32(v)
+        if f:
+            assert int(np.prod(f)) == v
+
+
+def test_product_limit_upper():
+    # largest divisor <= limit
+    assert x.product_limit(12, 5) == 4
+    assert x.product_limit(12, 6) == 6
+    assert x.product_limit(17, 4) == 1
+    assert x.product_limit(8, 100) == 8     # capped at product
+    assert x.product_limit(0, 7) == 0
+
+
+def test_product_limit_lower():
+    # smallest valid blocking >= limit (reference is_lower contract)
+    assert x.product_limit(12, 5, True) in (6, 12)  # >= 5
+    assert x.product_limit(12, 5, True) >= 5
+    assert x.product_limit(17, 5, True) == 17       # prime: only product
+    # limit >= product: round limit up to a multiple of product
+    assert x.product_limit(4, 10, True) == 12
+
+
+def test_coprime():
+    for n in (7, 12, 100, 101, 4096):
+        for minco in (1, 3, int(math.isqrt(n))):
+            r = x.coprime(n, minco)
+            assert 0 < r < n
+            assert math.gcd(r, n) == 1
+    assert x.coprime(0, 5) == 0
+    assert x.coprime(1, 5) == 0
+    r = x.coprime2(100)
+    assert math.gcd(r, 100) == 1 and r <= 10
+
+
+def test_remainder_reference_example():
+    # documented example: libxsmm_remainder(23, 8) => 184
+    assert x.remainder(23, 8) == 184
+    # with a remainder target, any multiple with remainder <= target stops
+    r = x.remainder(23, 8, remainder_target=2)
+    assert r % 8 == 0 and r % 23 <= 2
+
+
+def test_kahan_sum():
+    # ten 0.1s: naive float summation gives 0.9999999999999999, compensated
+    # summation lands exactly on 1.0 (like math.fsum)
+    acc, comp = 0.0, 0.0
+    naive = 0.0
+    for _ in range(10):
+        acc, comp = x.kahan_sum(0.1, acc, comp)
+        naive += 0.1
+    assert acc == 1.0
+    assert naive != 1.0
+
+
+def test_scalar_math():
+    assert x.dsqrt(2.0) == math.sqrt(2.0)
+    assert x.ssqrt(2.0) == float(np.float32(math.sqrt(np.float32(2.0))))
+    assert x.nearbyint(2.5) == 2.0   # round-half-even
+    assert x.nearbyint(3.5) == 4.0
+    assert x.nearbyintf(-2.5) == -2.0
+
+
+# ---------------------------------------------------------------------------
+# memory/hash/string utils
+# ---------------------------------------------------------------------------
+
+def test_hash_crc32c_known_vector():
+    # canonical CRC32C check value (Castagnoli): crc32c("123456789") ==
+    # 0xE3069283 under the ~seed-in / ~crc-out convention both the native
+    # library and the Python fallback use.
+    assert x.hash(b"123456789", seed=0) == 0xE3069283
+    assert memutil._crc32c_py(b"123456789", 0) == 0xE3069283
+    nat = __import__("libxsmm_tpu.native_bridge", fromlist=["crc32"]).crc32(
+        b"123456789", 0)
+    if nat is not None:
+        assert nat == 0xE3069283
+
+
+def test_hash_folds():
+    assert 0 <= x.hash8(0xDEADBEEF) <= 0xFF
+    assert 0 <= x.hash16(0xDEADBEEF) <= 0xFFFF
+    assert 0 <= x.hash32(0xDEADBEEFCAFEBABE) <= 0xFFFFFFFF
+    # deterministic
+    assert x.hash8(123) == x.hash8(123)
+    assert x.hash16(123) != x.hash16(124)
+
+
+def test_hash_string():
+    # <= 8 chars reinterpret directly (little-endian, zero-padded)
+    assert x.hash_string("a") == ord("a")
+    assert x.hash_string("ab") == ord("a") | (ord("b") << 8)
+    assert x.hash_string("") == 0
+    assert x.hash_string(None) == 0
+    long_h = x.hash_string("a longer string than eight")
+    assert long_h != 0 and long_h == x.hash_string("a longer string than eight")
+    assert long_h != x.hash_string("a longer string than eighT")
+
+
+def test_diff_and_diff_n():
+    assert x.diff(b"abc", b"abc") == 0
+    assert x.diff(b"abc", b"abd") != 0
+    assert x.memcmp(np.arange(4), np.arange(4)) == 0
+    # strided element search with wrap-around from hint
+    bn = np.array([10, 20, 30, 40], np.int32).tobytes()
+    a = np.int32(30).tobytes()
+    assert x.diff_n(a, bn, 4, 4, 0, 4) == 2
+    assert x.diff_n(a, bn, 4, 4, 3, 4) == 2     # wraps
+    assert x.diff_n(np.int32(99).tobytes(), bn, 4, 4, 0, 4) == 4  # miss
+
+
+def test_stristr_strimatch():
+    assert x.stristr("Hello World", "WORLD") == 6
+    assert x.stristr("Hello", "xyz") is None
+    assert x.stristrn("abcdef", "CDX", 2) == 2   # only first 2 chars of b
+    assert x.strimatch("alpha beta gamma", "BETA gamma") == 2
+    assert x.strimatch("a b", "c d") == 0
+    assert x.strimatch(None, "x") == -1
+    # symmetry
+    assert (x.strimatch("one two", "two three")
+            == x.strimatch("two three", "one two"))
+
+
+def test_aligned_malloc():
+    buf = x.aligned_malloc(1000, 128)
+    ok, align = x.aligned(buf)
+    assert ok and align >= 64
+    assert buf.ctypes.data % 128 == 0
+    info = x.get_malloc_info(buf)
+    assert info["size"] == 1000 and info["alignment"] >= 64
+    buf[:4] = [1, 2, 3, 4]
+    buf2 = x.realloc(buf, 2000)
+    assert list(buf2[:4]) == [1, 2, 3, 4]
+    assert buf2.ctypes.data % 128 == 0
+    x.free(buf)
+
+
+# ---------------------------------------------------------------------------
+# scalar converts
+# ---------------------------------------------------------------------------
+
+def test_convert_aliases():
+    import jax.numpy as jnp
+    v = jnp.float32(1.00390625)  # between bf16 grid points
+    bf_rne = x.rne_convert_fp32_bf16(v)
+    bf_rnaz = x.rnaz_convert_fp32_bf16(v)
+    assert bf_rne.dtype == jnp.bfloat16
+    # the tie rounds differently: RNE to even mantissa, RNAZ away from zero
+    assert float(x.convert_bf16_fp32(bf_rnaz)) >= float(
+        x.convert_bf16_fp32(bf_rne))
+    h = x.convert_fp32_f16(jnp.float32(0.1))
+    assert h.dtype == jnp.float16
+    assert abs(float(x.convert_f16_fp32(h)) - 0.1) < 1e-3
+    e = x.rne_convert_f16_hf8(h)
+    assert str(e.dtype) == "float8_e4m3fn"
+    s = x.stochastic_convert_fp32_bf8(jnp.full((8, 128), 0.1, jnp.float32),
+                                      seed=7)
+    assert str(s.dtype) == "float8_e5m2"
+
+
+# ---------------------------------------------------------------------------
+# archid, registry iteration, xmmdispatch
+# ---------------------------------------------------------------------------
+
+def test_archid_get_set():
+    from libxsmm_tpu.device import ARCHIDS
+    orig = x.get_target_archid()
+    try:
+        x.set_target_archid(ARCHIDS["v5p"])
+        assert x.get_target_archid() == ARCHIDS["v5p"]
+        assert x.get_geometry().name == "v5p"
+        with pytest.raises(ValueError):
+            x.set_target_archid(31337)
+    finally:
+        x.set_target_archid(0)  # restore auto-detect
+    assert x.get_target_archid() == orig
+
+
+def test_registry_begin_next():
+    x.xregister(b"parity-key", 42)
+    try:
+        it = x.get_registry_begin()
+        found = False
+        entry = x.get_registry_next(it)
+        while entry is not None:
+            if entry[0] == b"parity-key":
+                assert entry[1] == 42
+                found = True
+            entry = x.get_registry_next(it)
+        assert found
+    finally:
+        x.xrelease(b"parity-key")
+
+
+def test_xmmdispatch_descriptor():
+    import jax.numpy as jnp
+    from libxsmm_tpu.descriptor import (GemmDescriptor, GemmFlags, GemmShape)
+    shape = GemmShape(8, 8, 8)
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags.BETA_0)
+    k = x.xmmdispatch(desc)
+    # identical descriptor -> identical cached kernel (registry contract)
+    assert x.xmmdispatch(GemmDescriptor(shape=shape,
+                                        flags=GemmFlags.BETA_0)) is k
+    a = jnp.ones((8, 8), jnp.float32)
+    out = k(a, a)
+    np.testing.assert_allclose(np.asarray(out), np.full((8, 8), 8.0),
+                               rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# struct-based equation API
+# ---------------------------------------------------------------------------
+
+def test_meqn_struct_api():
+    from libxsmm_tpu.descriptor import BinaryType, UnaryType
+    from libxsmm_tpu.dtypes import Datatype
+
+    idx = x.meqn_create()
+    op_md = x.create_meqn_op_metadata(idx)
+    x.meqn_push_back_binary_op(op_md, BinaryType.ADD)
+    x.meqn_push_back_unary_op(x.create_meqn_op_metadata(idx), UnaryType.X2)
+    x.meqn_push_back_arg(x.create_meqn_arg_metadata(idx, 0),
+                         x.create_meqn_arg_shape(4, 8, 8, Datatype.F32),
+                         x.create_matrix_arg_attributes())
+    x.meqn_push_back_arg(x.create_meqn_arg_metadata(idx, 1),
+                         x.create_meqn_arg_shape(4, 8, 8, Datatype.F32))
+    fn = x.dispatch_meqn(idx, x.create_meqn_arg_shape(4, 8, 8, Datatype.F32))
+    a = np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32)
+    b = np.random.default_rng(1).standard_normal((4, 8)).astype(np.float32)
+    out = np.asarray(fn(a, b))
+    np.testing.assert_allclose(out, a * a + b, rtol=1e-5)
+    x.meqn_destroy(idx)
+
+
+def test_meqn_desc_dispatch():
+    from libxsmm_tpu.descriptor import BinaryType
+    from libxsmm_tpu.dtypes import Datatype
+
+    idx = x.meqn_create()
+    x.meqn_push_back_binary_op(idx, BinaryType.MUL)
+    x.meqn_push_back_arg(idx, 4, 4, 0)
+    x.meqn_push_back_arg(idx, 4, 4, 1)
+    desc = x.MeqnDescriptor(m=4, n=4, ldo=4, datatype=Datatype.F32,
+                            eqn_idx=idx)
+    fn = x.dispatch_meqn_desc(desc)
+    a = np.full((4, 4), 3.0, np.float32)
+    np.testing.assert_allclose(np.asarray(fn(a, a)), np.full((4, 4), 9.0))
+    with pytest.raises(ValueError):
+        x.dispatch_meqn_desc(x.MeqnDescriptor(4, 4, 7, Datatype.F32, idx))
+    x.meqn_destroy(idx)
+
+
+def test_meqn_set_args_rejected():
+    idx = x.meqn_create()
+    from libxsmm_tpu.descriptor import BinaryType
+    x.meqn_push_back_binary_op(idx, BinaryType.ADD)
+    with pytest.raises(NotImplementedError):
+        x.meqn_push_back_arg(
+            x.create_meqn_arg_metadata(idx, 0),
+            x.create_meqn_arg_shape(4, 4, 4),
+            x.create_matrix_arg_attributes(arg_type=1, set_type=2))
+    x.meqn_destroy(idx)
+
+
+# ---------------------------------------------------------------------------
+# typed fsspmdm wrappers
+# ---------------------------------------------------------------------------
+
+def _sparse_a(m, k, dtype, density=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((m, k)).astype(dtype)
+    a[rng.random((m, k)) > density] = 0
+    return a
+
+
+def test_sfsspmdm_roundtrip():
+    a = _sparse_a(16, 32, np.float32)
+    h = x.sfsspmdm_create(n=64, a_dense=a, alpha=2.0, beta=0)
+    b = np.random.default_rng(1).standard_normal((32, 64)).astype(np.float32)
+    out = np.asarray(x.sfsspmdm_execute(h, b))
+    np.testing.assert_allclose(out, 2.0 * (a @ b), rtol=2e-5, atol=2e-5)
+    x.sfsspmdm_destroy(h)
+
+
+def test_dfsspmdm_roundtrip():
+    a = _sparse_a(8, 16, np.float64)
+    h = x.dfsspmdm_create(n=32, a_dense=a, alpha=1.0, beta=1)
+    b = np.random.default_rng(2).standard_normal((16, 32))
+    c = np.random.default_rng(3).standard_normal((8, 32))
+    out = np.asarray(x.dfsspmdm_execute(h, b, c))
+    np.testing.assert_allclose(out, a @ b + c, rtol=1e-12, atol=1e-12)
+    x.dfsspmdm_destroy(h)
+
+
+def test_rng_u32():
+    x.rng_set_seed(7)
+    v = x.rng_u32()
+    assert 0 <= v < 2**32
+    assert isinstance(v, int)
