@@ -16,9 +16,14 @@ src/libxsmm_main.c:2730-2969); the returned kernel is a bare callable.
 from .config import get_config, set_target, set_verbosity
 from .descriptor import (BatchReduceConfig, BatchReduceType, BinaryFlags,
                          BinaryPostops, BinaryType, GemmDescriptor, GemmFlags,
-                         GemmShape, MeltwDescriptor, SparsePattern,
+                         GemmShape, MeltwBinaryShape, MeltwDescriptor,
+                         MeltwTernaryShape, MeltwUnaryShape, SparsePattern,
                          SpgemmConfig, TernaryFlags, TernaryType, UnaryArgops,
-                         UnaryFlags, UnaryType)
+                         UnaryFlags, UnaryType, create_gemm_batch_reduce_config,
+                         create_gemm_ext_binary_postops,
+                         create_gemm_ext_unary_argops, create_gemm_shape,
+                         create_meltw_binary_shape, create_meltw_ternary_shape,
+                         create_meltw_unary_shape)
 from .device import (get_geometry, get_target_archid, on_tpu,
                      set_target_archid)
 from .dtypes import (Datatype, from_jnp, get_typename, to_jnp, typesize)
@@ -28,8 +33,12 @@ from .registry import (Kernel, KernelInfo, finalize, get_kernel_info,
                        get_meltwkernel_info, get_mmkernel_info,
                        get_registry, get_registry_begin, get_registry_next,
                        init)
-from .rng import (RngState, f32_seq as rng_f32_seq, rand_u32 as rng_u32,
-                  rand_u64 as rng_u64, set_seed as rng_set_seed)
+from .rng import (RngState, create_extstate as rng_create_extstate,
+                  destroy_extstate as rng_destroy_extstate,
+                  f32_seq as rng_f32_seq,
+                  get_extstate_size as rng_get_extstate_size,
+                  rand_u32 as rng_u32, rand_u64 as rng_u64,
+                  set_seed as rng_set_seed)
 from .quant import (convert_bf16_fp32, convert_bf8_fp32, convert_f16_fp32,
                     convert_fp32_f16, convert_hf8_fp32, rnaz_convert_fp32_bf16,
                     rne_convert_f16_hf8, rne_convert_fp32_bf16,
@@ -42,8 +51,8 @@ from .utils.mathx import (coprime, coprime2, dsqrt, gcd, isqrt2_u32,
                           ssqrt)
 from .utils.memutil import (aligned, aligned_malloc, diff, diff_n, free,
                             get_malloc_info, hash, hash8, hash16, hash32,
-                            hash_string, memcmp, realloc, strimatch, stristr,
-                            stristrn)
+                            hash_string, memcmp, offset, realloc, strimatch,
+                            stristr, stristrn)
 from .ops.gemm import (brgemm_pack_factor, dgemm, xmmdispatch,
                        dispatch_brgemm,
                        dispatch_brgemm_ext, dispatch_brgemm_ext_packed,

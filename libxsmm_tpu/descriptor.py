@@ -443,3 +443,168 @@ class SparsePattern:
         if values is not None:
             h.update(np.asarray(values).tobytes())
         return int.from_bytes(h.digest(), "little")
+
+
+# ---------------------------------------------------------------------------
+# Shape/config constructor functions (reference libxsmm_create_* family,
+# src/libxsmm_generator.c:323-455). Row-major contract: leading-dimension
+# arguments are accepted for signature parity but must be 0/None or equal
+# to the packed row-major stride (XLA owns layout; CLAUDE.md conventions).
+# ---------------------------------------------------------------------------
+
+def _check_ld(name: str, ld, packed: int) -> None:
+    if ld not in (None, 0, packed):
+        raise ValueError(
+            f"row-major contract: {name} must be 0/None or {packed}, got {ld}")
+
+
+def create_gemm_shape(m: int, n: int, k: int, lda=None, ldb=None, ldc=None,
+                      a_in_type: Datatype = Datatype.F32,
+                      b_in_type: Datatype = Datatype.F32,
+                      out_type: Datatype = Datatype.F32,
+                      comp_type: Datatype = None) -> GemmShape:
+    """libxsmm_create_gemm_shape (src/libxsmm_generator.c:323-341).
+
+    The reference is column-major (lda >= m); here arrays are row-major so
+    the packed leading dims are k/n/n for A/B/C."""
+    _check_ld("lda", lda, k)
+    _check_ld("ldb", ldb, n)
+    _check_ld("ldc", ldc, n)
+    return GemmShape(m=m, n=n, k=k, a_in_type=Datatype(a_in_type),
+                     b_in_type=Datatype(b_in_type),
+                     out_type=Datatype(out_type),
+                     comp_type=None if comp_type is None
+                     else Datatype(comp_type))
+
+
+def create_gemm_batch_reduce_config(br_type: BatchReduceType,
+                                    br_stride_a_hint: int = 0,
+                                    br_stride_b_hint: int = 0,
+                                    br_unroll_hint: int = 0
+                                    ) -> BatchReduceConfig:
+    """libxsmm_create_gemm_batch_reduce_config (src/libxsmm_generator.c:344).
+
+    Byte-stride hints are advisory in the reference; here BRGEMM operands
+    are stacked row-major arrays whose strides XLA derives, so the hints are
+    accepted for signature parity and not used. br_unroll_hint maps to the
+    static batch-count hint."""
+    return BatchReduceConfig(br_type=BatchReduceType(br_type),
+                             br_count_hint=int(br_unroll_hint))
+
+
+def create_gemm_ext_unary_argops(ldap=None, ap_unary_type=UnaryType.NONE,
+                                 ap_unary_flags=UnaryFlags.NONE,
+                                 store_ap: bool = False,
+                                 ldbp=None, bp_unary_type=UnaryType.NONE,
+                                 bp_unary_flags=UnaryFlags.NONE,
+                                 store_bp: bool = False,
+                                 ldcp=None, cp_unary_type=UnaryType.NONE,
+                                 cp_unary_flags=UnaryFlags.NONE,
+                                 store_cp: bool = False) -> UnaryArgops:
+    """libxsmm_create_gemm_ext_unary_argops (src/libxsmm_generator.c:359-379).
+    ld* args accepted for parity (row-major layout is XLA-owned)."""
+    return UnaryArgops(ap_type=UnaryType(ap_unary_type),
+                       ap_flags=UnaryFlags(ap_unary_flags),
+                       store_ap=bool(store_ap),
+                       bp_type=UnaryType(bp_unary_type),
+                       bp_flags=UnaryFlags(bp_unary_flags),
+                       store_bp=bool(store_bp),
+                       cp_type=UnaryType(cp_unary_type),
+                       cp_flags=UnaryFlags(cp_unary_flags),
+                       store_cp=bool(store_cp))
+
+
+def create_gemm_ext_binary_postops(ldd=None,
+                                   d_in_type: Datatype = Datatype.F32,
+                                   d_binary_type=BinaryType.NONE,
+                                   d_binary_flags=BinaryFlags.NONE
+                                   ) -> BinaryPostops:
+    """libxsmm_create_gemm_ext_binary_postops (src/libxsmm_generator.c:382)."""
+    return BinaryPostops(d_type=BinaryType(d_binary_type),
+                         d_flags=BinaryFlags(d_binary_flags),
+                         d_in_type=Datatype(d_in_type))
+
+
+@dataclasses.dataclass(frozen=True)
+class MeltwUnaryShape:
+    """libxsmm_meltw_unary_shape (include/libxsmm_typedefs.h:593-601)."""
+    m: int
+    n: int
+    ldi: Optional[int] = None
+    ldo: Optional[int] = None
+    in0_type: Datatype = Datatype.F32
+    out_type: Datatype = Datatype.IMPLICIT
+    comp_type: Datatype = Datatype.F32
+
+
+@dataclasses.dataclass(frozen=True)
+class MeltwBinaryShape:
+    """libxsmm_meltw_binary_shape (include/libxsmm_typedefs.h:603-613)."""
+    m: int
+    n: int
+    ldi: Optional[int] = None
+    ldi2: Optional[int] = None
+    ldo: Optional[int] = None
+    in0_type: Datatype = Datatype.F32
+    in1_type: Datatype = Datatype.F32
+    out_type: Datatype = Datatype.IMPLICIT
+    comp_type: Datatype = Datatype.F32
+
+
+@dataclasses.dataclass(frozen=True)
+class MeltwTernaryShape:
+    """libxsmm_meltw_ternary_shape (include/libxsmm_typedefs.h:615-627)."""
+    m: int
+    n: int
+    ldi: Optional[int] = None
+    ldi2: Optional[int] = None
+    ldi3: Optional[int] = None
+    ldo: Optional[int] = None
+    in0_type: Datatype = Datatype.F32
+    in1_type: Datatype = Datatype.F32
+    in2_type: Datatype = Datatype.F32
+    out_type: Datatype = Datatype.IMPLICIT
+    comp_type: Datatype = Datatype.F32
+
+
+def create_meltw_unary_shape(m: int, n: int, ldi=None, ldo=None,
+                             in0_type: Datatype = Datatype.F32,
+                             out_type: Datatype = Datatype.IMPLICIT,
+                             comp_type: Datatype = Datatype.F32
+                             ) -> MeltwUnaryShape:
+    """libxsmm_create_meltw_unary_shape (src/libxsmm_generator.c:395)."""
+    _check_ld("ldi", ldi, n)
+    _check_ld("ldo", ldo, n)
+    return MeltwUnaryShape(m, n, ldi, ldo, Datatype(in0_type),
+                           Datatype(out_type), Datatype(comp_type))
+
+
+def create_meltw_binary_shape(m: int, n: int, ldi=None, ldi2=None, ldo=None,
+                              in0_type: Datatype = Datatype.F32,
+                              in1_type: Datatype = Datatype.F32,
+                              out_type: Datatype = Datatype.IMPLICIT,
+                              comp_type: Datatype = Datatype.F32
+                              ) -> MeltwBinaryShape:
+    """libxsmm_create_meltw_binary_shape (src/libxsmm_generator.c:413)."""
+    for nm, ld in (("ldi", ldi), ("ldi2", ldi2), ("ldo", ldo)):
+        _check_ld(nm, ld, n)
+    return MeltwBinaryShape(m, n, ldi, ldi2, ldo, Datatype(in0_type),
+                            Datatype(in1_type), Datatype(out_type),
+                            Datatype(comp_type))
+
+
+def create_meltw_ternary_shape(m: int, n: int, ldi=None, ldi2=None, ldi3=None,
+                               ldo=None,
+                               in0_type: Datatype = Datatype.F32,
+                               in1_type: Datatype = Datatype.F32,
+                               in2_type: Datatype = Datatype.F32,
+                               out_type: Datatype = Datatype.IMPLICIT,
+                               comp_type: Datatype = Datatype.F32
+                               ) -> MeltwTernaryShape:
+    """libxsmm_create_meltw_ternary_shape (src/libxsmm_generator.c:433)."""
+    for nm, ld in (("ldi", ldi), ("ldi2", ldi2), ("ldi3", ldi3),
+                   ("ldo", ldo)):
+        _check_ld(nm, ld, n)
+    return MeltwTernaryShape(m, n, ldi, ldi2, ldi3, ldo, Datatype(in0_type),
+                             Datatype(in1_type), Datatype(in2_type),
+                             Datatype(out_type), Datatype(comp_type))

@@ -628,13 +628,22 @@ def _build_ternary(desc: MeltwDescriptor) -> Kernel:
     return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
 
 
-def dispatch_meltw_unary(op_type: UnaryType, m: int, n: int,
+def dispatch_meltw_unary(op_type: UnaryType, m=None, n: int = None,
                          flags: UnaryFlags = UnaryFlags.NONE,
                          in_type: Datatype = Datatype.F32,
                          out_type: Datatype = Datatype.IMPLICIT,
                          comp_type: Datatype = Datatype.F32,
                          extra=()) -> Kernel:
-    """libxsmm_dispatch_meltw_unary analogue (src/libxsmm_main.c:3472)."""
+    """libxsmm_dispatch_meltw_unary analogue (src/libxsmm_main.c:3472).
+
+    Second arg may be a MeltwUnaryShape (the reference signature
+    `(unary_type, unary_shape, unary_flags)`) instead of flattened
+    m/n/dtypes — in that case pass flags third as in the reference."""
+    from ..descriptor import MeltwUnaryShape
+    if isinstance(m, MeltwUnaryShape):
+        s = m
+        m, n = s.m, s.n
+        in_type, out_type, comp_type = s.in0_type, s.out_type, s.comp_type
     desc = MeltwDescriptor(operation="unary", op_type=op_type,
                            flags=UnaryFlags(flags), m=m, n=n,
                            in_type=in_type, out_type=out_type,
@@ -642,25 +651,41 @@ def dispatch_meltw_unary(op_type: UnaryType, m: int, n: int,
     return get_registry().dispatch(desc, _build_unary)
 
 
-def dispatch_meltw_binary(op_type: BinaryType, m: int, n: int,
+def dispatch_meltw_binary(op_type: BinaryType, m=None, n: int = None,
                           flags: BinaryFlags = BinaryFlags.NONE,
                           in_type: Datatype = Datatype.F32,
                           out_type: Datatype = Datatype.IMPLICIT,
                           comp_type: Datatype = Datatype.F32) -> Kernel:
+    """Second arg may be a MeltwBinaryShape (reference v2 signature)."""
+    from ..descriptor import MeltwBinaryShape
+    in1 = None
+    if isinstance(m, MeltwBinaryShape):
+        s = m
+        m, n = s.m, s.n
+        in_type, out_type, comp_type = s.in0_type, s.out_type, s.comp_type
+        in1 = s.in1_type
     desc = MeltwDescriptor(operation="binary", op_type=op_type,
                            flags=BinaryFlags(flags), m=m, n=n,
                            in_type=in_type, out_type=out_type,
-                           comp_type=comp_type)
+                           comp_type=comp_type, in1_type=in1)
     return get_registry().dispatch(desc, _build_binary)
 
 
-def dispatch_meltw_ternary(op_type: TernaryType, m: int, n: int,
+def dispatch_meltw_ternary(op_type: TernaryType, m=None, n: int = None,
                            flags: TernaryFlags = TernaryFlags.NONE,
                            in_type: Datatype = Datatype.F32,
                            out_type: Datatype = Datatype.IMPLICIT,
                            comp_type: Datatype = Datatype.F32) -> Kernel:
+    """Second arg may be a MeltwTernaryShape (reference v2 signature)."""
+    from ..descriptor import MeltwTernaryShape
+    in1 = in2 = None
+    if isinstance(m, MeltwTernaryShape):
+        s = m
+        m, n = s.m, s.n
+        in_type, out_type, comp_type = s.in0_type, s.out_type, s.comp_type
+        in1, in2 = s.in1_type, s.in2_type
     desc = MeltwDescriptor(operation="ternary", op_type=op_type,
                            flags=TernaryFlags(flags), m=m, n=n,
                            in_type=in_type, out_type=out_type,
-                           comp_type=comp_type)
+                           comp_type=comp_type, in1_type=in1, in2_type=in2)
     return get_registry().dispatch(desc, _build_ternary)

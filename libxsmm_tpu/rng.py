@@ -65,3 +65,21 @@ def rand_u64(state: RngState = None) -> int:
     sub = st.split()
     return int(jax.random.bits(sub.key, (), jnp.uint32)) << 32 | int(
         jax.random.bits(sub.split().key, (), jnp.uint32))
+
+
+def create_extstate(seed: int) -> RngState:
+    """libxsmm_rng_create_extstate (src/libxsmm_rng.c:172-189): an explicit
+    state handle independent of the process-default stream."""
+    return RngState(seed)
+
+
+def get_extstate_size() -> int:
+    """libxsmm_rng_get_extstate_size: bytes of the external state (the
+    threefry key is 2 x u32; the reference's AVX-512 xoshiro state is
+    16 x 4 x u32 — size reflects OUR state, not the reference's)."""
+    return 8
+
+
+def destroy_extstate(state: RngState) -> None:
+    """libxsmm_rng_destroy_extstate: GC-managed; kept for API parity."""
+    state.key = None

@@ -271,3 +271,20 @@ def get_malloc_info(buf) -> dict:
     ok, align = aligned(arr)
     return {"size": int(arr.nbytes), "alignment": align,
             "address": int(arr.ctypes.data)}
+
+
+def offset(offsets, shape, ndims: Optional[int] = None):
+    """libxsmm_offset (src/libxsmm_memory.c:67-81): linearize a multi-dim
+    index against `shape` (first dimension fastest, dims beyond the first
+    1-based as in the reference). Returns (linear_offset, total_size) — the
+    C API writes total_size through a pointer."""
+    if not shape or ndims == 0:
+        return 0, 0
+    n = ndims if ndims is not None else len(shape)
+    result = offsets[0] if offsets else 0
+    size1 = shape[0]
+    for i in range(1, n):
+        oi = offsets[i] if offsets and offsets[i] else 0
+        result += (oi - 1 if oi else 0) * size1
+        size1 *= shape[i]
+    return int(result), int(size1)

@@ -339,3 +339,80 @@ def test_rng_u32():
     v = x.rng_u32()
     assert 0 <= v < 2**32
     assert isinstance(v, int)
+
+
+# ---------------------------------------------------------------------------
+# shape/config constructors + offset + rng extstate
+# ---------------------------------------------------------------------------
+
+def test_create_gemm_shape_and_dispatch():
+    import jax.numpy as jnp
+    from libxsmm_tpu.dtypes import Datatype
+    s = x.create_gemm_shape(8, 16, 32, 32, 16, 16,
+                            Datatype.F32, Datatype.F32, Datatype.F32)
+    assert (s.m, s.n, s.k) == (8, 16, 32)
+    k = x.dispatch_gemm(s, x.GemmFlags.BETA_0)
+    a = jnp.ones((8, 32), jnp.float32)
+    b = jnp.ones((32, 16), jnp.float32)
+    assert float(np.asarray(k(a, b))[0, 0]) == 32.0
+    with pytest.raises(ValueError):
+        x.create_gemm_shape(8, 16, 32, lda=99)  # row-major ld contract
+
+
+def test_create_batch_reduce_config():
+    from libxsmm_tpu.descriptor import BatchReduceType
+    cfg = x.create_gemm_batch_reduce_config(BatchReduceType.STRIDE, 0, 0, 4)
+    assert cfg.br_type == BatchReduceType.STRIDE
+    assert cfg.br_count_hint == 4
+
+
+def test_create_ext_argops_postops():
+    from libxsmm_tpu.descriptor import BinaryType, UnaryType
+    ao = x.create_gemm_ext_unary_argops(
+        None, UnaryType.NONE, x.UnaryFlags.NONE, False,
+        None, UnaryType.NONE, x.UnaryFlags.NONE, False,
+        None, UnaryType.RELU, x.UnaryFlags.NONE, False)
+    assert ao.cp_type == UnaryType.RELU
+    po = x.create_gemm_ext_binary_postops(None, x.Datatype.F32,
+                                          BinaryType.ADD)
+    assert po.d_type == BinaryType.ADD
+
+
+def test_meltw_shape_dispatch():
+    import jax.numpy as jnp
+    from libxsmm_tpu.descriptor import BinaryType, UnaryType
+    from libxsmm_tpu.ops.eltwise import (dispatch_meltw_binary,
+                                         dispatch_meltw_unary)
+    us = x.create_meltw_unary_shape(4, 8, 8, 8)
+    k = dispatch_meltw_unary(UnaryType.RELU, us)
+    v = jnp.array([[-1.0, 2.0] * 4] * 4, jnp.float32)
+    out = np.asarray(k(v))
+    assert out.min() == 0.0 and out.max() == 2.0
+    bs = x.create_meltw_binary_shape(4, 8)
+    kb = dispatch_meltw_binary(BinaryType.ADD, bs)
+    np.testing.assert_allclose(np.asarray(kb(v, v)), np.asarray(v) * 2)
+    with pytest.raises(ValueError):
+        x.create_meltw_unary_shape(4, 8, ldi=5)
+
+
+def test_offset():
+    # reference semantics: first dim fastest; dims beyond the first are
+    # 1-based (offset[i]-1 scaled), zeros contribute nothing
+    lin, size = x.offset([2, 0, 0], [4, 5, 6])
+    assert (lin, size) == (2, 120)
+    lin, _ = x.offset([1, 2, 1], [4, 5, 6])
+    assert lin == 1 + (2 - 1) * 4 + 0  # third index 1 -> (1-1)*20 = 0
+    lin, size = x.offset(None, [3, 3])
+    assert (lin, size) == (0, 9)
+
+
+def test_rng_extstate():
+    st = x.rng_create_extstate(123)
+    v1 = x.rng_u32(st)
+    v2 = x.rng_u32(st)
+    assert v1 != v2  # state advances
+    assert x.rng_get_extstate_size() == 8
+    x.rng_destroy_extstate(st)
+    # same seed reproduces the stream
+    st2 = x.rng_create_extstate(123)
+    assert x.rng_u32(st2) == v1
