@@ -24,7 +24,12 @@ from .descriptor import (BatchReduceConfig, BatchReduceType, BinaryFlags,
                          create_gemm_ext_unary_argops, create_gemm_shape,
                          create_meltw_binary_shape, create_meltw_ternary_shape,
                          create_meltw_unary_shape)
-from .device import (get_geometry, get_target_archid, on_tpu,
+from .descriptor import (gemm_descriptor_init, gemm_descriptor_init_brgemm,
+                         gemm_descriptor_init_brgemm_ext,
+                         gemm_descriptor_init_gemm, meltw_descriptor_init,
+                         meltw_descriptor_init2, meqn_descriptor_init)
+from .device import (cpuid_dot_pack_factor, cpuid_id, cpuid_name,
+                     cpuid_vlen32, get_geometry, get_target_archid, on_tpu,
                      set_target_archid)
 from .dtypes import (Datatype, from_jnp, get_typename, to_jnp, typesize)
 from .matdiff import (MatdiffInfo, matdiff, matdiff_clear, matdiff_epsilon,
@@ -37,18 +42,30 @@ from .rng import (RngState, create_extstate as rng_create_extstate,
                   destroy_extstate as rng_destroy_extstate,
                   f32_seq as rng_f32_seq,
                   get_extstate_size as rng_get_extstate_size,
-                  rand_u32 as rng_u32, rand_u64 as rng_u64,
-                  set_seed as rng_set_seed)
-from .quant import (convert_bf16_fp32, convert_bf8_fp32, convert_f16_fp32,
-                    convert_fp32_f16, convert_hf8_fp32, rnaz_convert_fp32_bf16,
+                  lsfr_i32, rand_u32 as rng_u32, rand_u64 as rng_u64,
+                  rng_f64, rng_seq, set_seed as rng_set_seed)
+from .quant import (convert_bf16_f32, convert_bf16_fp32, convert_bf8_f32,
+                    convert_bf8_fp32, convert_f16_f32, convert_f16_fp32,
+                    convert_fp32_f16, convert_hf8_f32, convert_hf8_fp32,
+                    dequantize_i16, quantize_i16, rnaz_convert_fp32_bf16,
                     rne_convert_f16_hf8, rne_convert_fp32_bf16,
-                    rne_convert_fp32_bf8, rne_convert_fp32_hf8,
-                    stochastic_convert_fp32_bf16, stochastic_convert_fp32_bf8,
+                    rne_convert_fp32_bf8, rne_convert_fp32_f16,
+                    rne_convert_fp32_hf8, stochastic_convert_fp32_bf16,
+                    stochastic_convert_fp32_bf8, truncate_convert_f32_bf16,
                     truncate_convert_fp32_bf16)
-from .utils.mathx import (coprime, coprime2, dsqrt, gcd, isqrt2_u32,
-                          isqrt_u32, isqrt_u64, kahan_sum, lcm, nearbyint,
-                          nearbyintf, primes_u32, product_limit, remainder,
-                          ssqrt)
+from .utils.mathx import (coprime, coprime2, dsqrt, gcd, icbrt_u32,
+                          icbrt_u64, isqrt2_u32, isqrt_u32, isqrt_u64,
+                          kahan_sum, lcm, nearbyint, nearbyintf, primes_u32,
+                          product_limit, remainder, sexp2, sexp2_i8,
+                          sexp2_i8i, sexp2_u8, ssqrt, stanh_pade78,
+                          widen_u32i64, widen_u32u64)
+from .utils.sync import (Barrier, barrier_create, barrier_destroy,
+                         barrier_init, barrier_wait, get_pid, get_tid,
+                         stdio_acquire, stdio_release)
+from .utils.timer import (TimerInfo, get_timer_info,
+                          tick as timer_tick, duration as timer_duration,
+                          tickint as timer_tickint,
+                          ncycles as timer_ncycles)
 from .utils.memutil import (aligned, aligned_malloc, diff, diff_n, free,
                             get_malloc_info, hash, hash8, hash16, hash32,
                             hash_string, memcmp, offset, realloc, strimatch,

@@ -608,3 +608,93 @@ def create_meltw_ternary_shape(m: int, n: int, ldi=None, ldi2=None, ldi3=None,
     return MeltwTernaryShape(m, n, ldi, ldi2, ldi3, ldo, Datatype(in0_type),
                              Datatype(in1_type), Datatype(in2_type),
                              Datatype(out_type), Datatype(comp_type))
+
+
+# ---------------------------------------------------------------------------
+# Descriptor constructor functions (reference libxsmm_*_descriptor_init
+# family, include/libxsmm_generator.h:40-75). The reference writes into a
+# caller-provided descriptor blob; here descriptors are immutable values,
+# so each init returns the descriptor directly. No prefetch argument: XLA
+# owns prefetching (the reference's prefetch strategies are JIT knobs).
+# ---------------------------------------------------------------------------
+
+def gemm_descriptor_init(a_type: Datatype, b_type: Datatype,
+                         comp_type: Datatype, c_type: Datatype,
+                         m: int, n: int, k: int,
+                         lda=None, ldb=None, ldc=None,
+                         flags: GemmFlags = GemmFlags.NONE) -> GemmDescriptor:
+    """libxsmm_gemm_descriptor_init (include/libxsmm_generator.h:42):
+    generic dtype-explicit constructor."""
+    shape = create_gemm_shape(m, n, k, lda, ldb, ldc, a_type, b_type,
+                              c_type, comp_type)
+    return GemmDescriptor(shape, GemmFlags(flags))
+
+
+def gemm_descriptor_init_gemm(shape: GemmShape,
+                              flags: GemmFlags = GemmFlags.NONE
+                              ) -> GemmDescriptor:
+    """libxsmm_gemm_descriptor_init_gemm (include/libxsmm_generator.h:65)."""
+    return GemmDescriptor(shape, GemmFlags(flags))
+
+
+def gemm_descriptor_init_brgemm(shape: GemmShape, flags: GemmFlags,
+                                brgemm_config: BatchReduceConfig
+                                ) -> GemmDescriptor:
+    """libxsmm_gemm_descriptor_init_brgemm (libxsmm_generator.h:67)."""
+    return GemmDescriptor(shape, GemmFlags(flags), brgemm_config)
+
+
+def gemm_descriptor_init_brgemm_ext(shape: GemmShape, flags: GemmFlags,
+                                    brgemm_config: BatchReduceConfig,
+                                    unary_argops: "UnaryArgops" = None,
+                                    binary_postops: "BinaryPostops" = None
+                                    ) -> GemmExtDescriptor:
+    """libxsmm_gemm_descriptor_init_brgemm_ext (libxsmm_generator.h:70)."""
+    return GemmExtDescriptor(
+        GemmDescriptor(shape, GemmFlags(flags), brgemm_config),
+        unary_argops or UnaryArgops(), binary_postops or BinaryPostops())
+
+
+def meltw_descriptor_init(in_type: Datatype, out_type: Datatype,
+                          m: int, n: int, ldo=None, ldi=None,
+                          flags=0, op_type=None, operation: str = "unary"
+                          ) -> MeltwDescriptor:
+    """libxsmm_meltw_descriptor_init (include/libxsmm_generator.h:48). The
+    reference's numeric `param` is the op enum; pass the typed enum member
+    as op_type."""
+    return meltw_descriptor_init2(in_type, None, None, Datatype.F32,
+                                  out_type, m, n, ldi, ldo, None, None,
+                                  flags, op_type, operation)
+
+
+def meltw_descriptor_init2(in0_type: Datatype, in1_type, in2_type,
+                           comp_type: Datatype, out_type: Datatype,
+                           m: int, n: int, ldi=None, ldo=None,
+                           ldi2=None, ldi3=None,
+                           flags=0, op_type=None, operation: str = "unary"
+                           ) -> MeltwDescriptor:
+    """libxsmm_meltw_descriptor_init2 (include/libxsmm_generator.h:53)."""
+    if op_type is None:
+        raise ValueError("op_type (the reference's `param`) is required")
+    for nm, ld in (("ldi", ldi), ("ldo", ldo), ("ldi2", ldi2),
+                   ("ldi3", ldi3)):
+        _check_ld(nm, ld, n)
+    default_flags = {"unary": UnaryFlags, "binary": BinaryFlags,
+                     "ternary": TernaryFlags}
+    if operation not in default_flags:
+        raise ValueError(f"operation must be one of {list(default_flags)}")
+    return MeltwDescriptor(
+        operation=operation, op_type=op_type,
+        flags=default_flags[operation](flags), m=m, n=n,
+        in_type=Datatype(in0_type), out_type=Datatype(out_type),
+        comp_type=Datatype(comp_type),
+        in1_type=None if in1_type is None else Datatype(in1_type),
+        in2_type=None if in2_type is None else Datatype(in2_type))
+
+
+def meqn_descriptor_init(out_type: Datatype, m: int, n: int, ldo=None,
+                         eqn_idx: int = 0):
+    """libxsmm_meqn_descriptor_init (include/libxsmm_generator.h:60):
+    (eqn_idx, out shape/type) pair consumed by dispatch_meqn_desc."""
+    _check_ld("ldo", ldo, n)
+    return (int(eqn_idx), m, n, Datatype(out_type))

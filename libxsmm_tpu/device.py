@@ -129,6 +129,47 @@ def set_target_archid(archid: int) -> None:
     set_target(name)
 
 
+def cpuid_name(archid: int) -> str:
+    """libxsmm_cpuid_name analogue (src/libxsmm_cpuid_x86.c:443): numeric
+    target id -> generation name string."""
+    name = _ARCHID_NAMES.get(int(archid))
+    if name is None:
+        raise ValueError(f"unknown archid {archid}; known: {ARCHIDS}")
+    return name
+
+
+def cpuid_id(arch: str) -> int:
+    """libxsmm_cpuid_id analogue (src/libxsmm_cpuid_x86.c:552): generation
+    name -> numeric target id (0 == unknown, like the reference's
+    LIBXSMM_TARGET_ARCH_UNKNOWN)."""
+    return ARCHIDS.get(str(arch).lower(), 0)
+
+
+def cpuid_dot_pack_factor(itemsize_or_dtype) -> int:
+    """libxsmm_cpuid_dot_pack_factor analogue (src/libxsmm_cpuid_x86.c:775):
+    elements of the given dtype packed per 32-bit contraction lane. On x86
+    this is the VNNI pack factor; on TPU it is the sublane packing the MXU
+    applies to narrow inputs (f32 -> 1, bf16/f16 -> 2, 8-bit -> 4), the
+    same quantity min_sublane() scales tiles by. Accepts an itemsize, a
+    numpy/jnp dtype, or a Datatype enum member."""
+    item = itemsize_or_dtype
+    if hasattr(item, "value") and isinstance(getattr(item, "value"), str):
+        from .dtypes import to_jnp
+        item = to_jnp(item)
+    if not isinstance(item, int):
+        import numpy as np
+        item = np.dtype(item).itemsize
+    return {4: 1, 2: 2, 1: 4}.get(item, 1)
+
+
+def cpuid_vlen32(archid: Optional[int] = None) -> int:
+    """libxsmm_cpuid_vlen32 analogue (include/libxsmm_cpuid.h:123): 32-bit
+    elements per vector register -> per VPU lane row here (always 128
+    lanes; archid accepted for signature parity)."""
+    del archid
+    return get_geometry().vpu[1]
+
+
 def on_tpu() -> bool:
     """True when the default JAX backend is real TPU hardware."""
     try:

@@ -575,3 +575,24 @@ def unpack_fp4(packed, fmt: str = "mxfp4"):
     mag = g[code & 0x7]
     sign = jnp.where((code >> 3) & 1 == 1, -1.0, 1.0)
     return sign * mag
+
+
+# ---------------------------------------------------------------------------
+# Reference-spelling aliases. The reference exposes the convert family under
+# TWO public names each (libxsmm.h `*_to_*` style and the short
+# include/utils/libxsmm_lpflt_quant.h style); keep both resolvable so ports
+# from either header work unchanged.
+# ---------------------------------------------------------------------------
+convert_bf16_f32 = convert_bf16_to_f32 = convert_bf16_fp32
+convert_bf8_f32 = convert_bf8_to_f32 = convert_bf8_fp32
+convert_f16_f32 = convert_f16_to_f32 = convert_f16_fp32
+convert_hf8_f32 = convert_hf8_to_f32 = convert_hf8_fp32
+convert_f32_to_f16 = rne_convert_fp32_f16 = convert_fp32_f16
+convert_f32_to_bf16_rne = rne_convert_fp32_bf16
+convert_f32_to_bf16_rnaz = rnaz_convert_fp32_bf16
+convert_f32_to_bf16_truncate = truncate_convert_f32_bf16 = (
+    truncate_convert_fp32_bf16)
+convert_f32_to_bf8_rne = rne_convert_fp32_bf8
+convert_f32_to_bf8_stochastic = stochastic_convert_fp32_bf8
+convert_f32_to_hf8_rne = rne_convert_fp32_hf8
+convert_f16_to_hf8_rne = rne_convert_f16_hf8

@@ -83,3 +83,52 @@ def get_extstate_size() -> int:
 def destroy_extstate(state: RngState) -> None:
     """libxsmm_rng_destroy_extstate: GC-managed; kept for API parity."""
     state.key = None
+
+
+def rng_f64(state: RngState = None) -> float:
+    """libxsmm_rng_f64 (src/libxsmm_utils.c:76): one uniform double in
+    [0,1). Drawn from the same stream machinery as f32_seq."""
+    st = state or _default_state
+    sub = st.split()
+    return float(jax.random.uniform(sub.key, (), jnp.float64
+                                    if jax.config.jax_enable_x64
+                                    else jnp.float32))
+
+
+def rng_seq(nbytes: int, state: RngState = None) -> bytes:
+    """libxsmm_rng_seq (src/libxsmm_utils.c:50): nbytes of pseudo-random
+    bytes (returned, not written through a pointer — Python contract)."""
+    if nbytes <= 0:
+        return b""
+    st = state or _default_state
+    sub = st.split()
+    words = (nbytes + 3) // 4
+    buf = np.asarray(jax.random.bits(sub.key, (words,), jnp.uint32))
+    return buf.tobytes()[:nbytes]
+
+
+def lsfr_i32(rng_state: np.ndarray, seed_idx: int = 0):
+    """libxsmm_lsfr_i32 (src/libxsmm_lpflt_quant.c:303): one xoshiro128+
+    step over the reference's 16-lane strided state block (4 state words at
+    stride 16 starting at seed_idx). Mutates rng_state IN PLACE and returns
+    the u32 draw — bit-exact to the reference recurrence; this is the host
+    oracle for the stochastic-rounding kernels' PRNG contract."""
+    s = np.asarray(rng_state, np.uint32)
+    ld = 16
+    s0, s1, s2, s3 = (s[seed_idx + 0 * ld], s[seed_idx + 1 * ld],
+                      s[seed_idx + 2 * ld], s[seed_idx + 3 * ld])
+    with np.errstate(over="ignore"):
+        t = np.uint32(s0 + s3)
+        out = np.uint32(((t << np.uint32(7)) | (t >> np.uint32(25))) + s0)
+        t1 = np.uint32(s1 << np.uint32(9))
+        s2 ^= s0
+        s3 ^= s1
+        s1 ^= s2
+        s0 ^= s3
+        s2 ^= t1
+        s3 = np.uint32((s3 << np.uint32(11)) | (s3 >> np.uint32(21)))
+    rng_state[seed_idx + 0 * ld] = s0
+    rng_state[seed_idx + 1 * ld] = s1
+    rng_state[seed_idx + 2 * ld] = s2
+    rng_state[seed_idx + 3 * ld] = s3
+    return int(out)

@@ -46,6 +46,74 @@ def sexp2(n: int) -> float:
     return float(2.0 ** n)
 
 
+def sexp2_u8(x: int) -> float:
+    """libxsmm_sexp2_u8 (include/utils/libxsmm_math.h:44): 2^x for an
+    unsigned 8-bit exponent, bit-accurate in f32 (inf beyond f32 range)."""
+    if not 0 <= x <= 255:
+        raise ValueError("sexp2_u8 takes an unsigned 8-bit value")
+    import numpy as np
+    with np.errstate(over="ignore"):
+        return float(np.exp2(np.float32(x)))
+
+
+def sexp2_i8(x: int) -> float:
+    """libxsmm_sexp2_i8 (src/libxsmm_utils.c:219): 2^x for a signed 8-bit
+    exponent; subnormal/zero below f32 range, inf above."""
+    if not -128 <= x <= 127:
+        raise ValueError("sexp2_i8 takes a signed 8-bit value")
+    import numpy as np
+    with np.errstate(over="ignore", under="ignore"):
+        return float(np.exp2(np.float32(x)))
+
+
+def sexp2_i8i(x: int) -> float:
+    """libxsmm_sexp2_i8i (src/libxsmm_utils.c:248): int-typed convenience
+    over sexp2_i8 with the same 8-bit domain check."""
+    return sexp2_i8(x)
+
+
+def icbrt_u32(x: int) -> int:
+    """libxsmm_icbrt_u32 semantics (src/libxsmm_utils.c:99): floor cube
+    root of an unsigned 32-bit integer (the reference uses the classic
+    shift-subtract digit recurrence; exact floor is the contract)."""
+    return icbrt2(int(x) & 0xFFFFFFFF)
+
+
+def icbrt_u64(x: int) -> int:
+    """libxsmm_icbrt_u64 semantics (src/libxsmm_utils.c:88): floor cube
+    root of an unsigned 64-bit integer."""
+    return icbrt2(int(x) & 0xFFFFFFFFFFFFFFFF)
+
+
+def stanh_pade78(x: float) -> float:
+    """libxsmm_stanh_pade78 (include/utils/libxsmm_math.h:57): fast tanh
+    via the degree-7/8 Pade rational with hard +-1 clamps beyond |x|>4.97.
+    Accepts scalars or arrays (the TPU-side fast-tanh is XLA's own; this is
+    the host-side oracle used by tests and CLI tools)."""
+    import numpy as np
+    xf = np.asarray(x, np.float32)
+    x2 = xf * xf
+    nom = ((np.float32(36.0) * x2 + np.float32(6930.0)) * x2
+           + np.float32(270270.0)) * x2 + np.float32(2027025.0)
+    nom = nom * xf
+    den = (((x2 + np.float32(630.0)) * x2 + np.float32(51975.0)) * x2
+           + np.float32(945945.0)) * x2 + np.float32(2027025.0)
+    r = nom / den
+    r = np.where(r > np.float32(4.97), np.float32(1.0), r)
+    r = np.where(r < np.float32(-4.97), np.float32(-1.0), r)
+    return float(r) if np.isscalar(x) or getattr(x, "ndim", 0) == 0 else r
+
+
+def widen_u32i64(value: int) -> int:
+    """libxsmm_widen_u32i64 (include/libxsmm_macros.h:652): u32 -> i64."""
+    return int(value) & 0xFFFFFFFF
+
+
+def widen_u32u64(value: int) -> int:
+    """libxsmm_widen_u32u64 (include/libxsmm_macros.h:653): u32 -> u64."""
+    return int(value) & 0xFFFFFFFF
+
+
 def isqrt_u64(x: int) -> int:
     """Largest y with y*y <= x (libxsmm_isqrt_u64,
     /root/reference/src/libxsmm_math.c:508-515)."""

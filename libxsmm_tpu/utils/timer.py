@@ -233,3 +233,19 @@ def ncycles(t0: int, t1: int) -> int:
     the reference returns TSC cycles — there is no user-visible cycle
     counter on the TPU host path)."""
     return max(0, int(t1) - int(t0))
+
+
+class TimerInfo:
+    """libxsmm_timer_info analogue (include/utils/libxsmm_timer.h): tsc=1
+    means tickint() counts raw hardware cycles; our host path is always the
+    OS monotonic nanosecond clock, so tsc is always 0."""
+
+    __slots__ = ("tsc",)
+
+    def __init__(self, tsc: int = 0):
+        self.tsc = tsc
+
+
+def get_timer_info() -> TimerInfo:
+    """libxsmm_get_timer_info (src/libxsmm_timer.c:21)."""
+    return TimerInfo(tsc=0)

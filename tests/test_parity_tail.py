@@ -416,3 +416,168 @@ def test_rng_extstate():
     # same seed reproduces the stream
     st2 = x.rng_create_extstate(123)
     assert x.rng_u32(st2) == v1
+
+
+# ---------------------------------------------------------------------------
+# L0 tail round 2: icbrt/sexp2/stanh/widen, lsfr/rng_seq, sync/barrier,
+# timer info, cpuid helpers, descriptor_init constructors
+# (include/utils/libxsmm_math.h, src/libxsmm_utils.c, src/libxsmm_sync.c,
+# include/utils/libxsmm_barrier.h, include/libxsmm_generator.h:40-75)
+# ---------------------------------------------------------------------------
+
+def test_icbrt_family():
+    for v in (0, 1, 7, 8, 26, 27, 63, 64, 2**30, 2**32 - 1):
+        r = x.icbrt_u32(v)
+        assert r**3 <= v < (r + 1)**3
+    for v in (0, 2**40, 2**60, 2**64 - 1):
+        r = x.icbrt_u64(v)
+        assert r**3 <= v < (r + 1)**3
+
+
+def test_sexp2_family():
+    assert x.sexp2_u8(0) == 1.0 and x.sexp2_u8(10) == 1024.0
+    assert x.sexp2_u8(200) == float("inf")     # beyond f32 range
+    assert x.sexp2_i8(-3) == 0.125 and x.sexp2_i8(4) == 16.0
+    assert x.sexp2_i8i(-126) == 2.0**-126      # smallest f32 normal
+    with pytest.raises(ValueError):
+        x.sexp2_i8i(128)
+    with pytest.raises(ValueError):
+        x.sexp2_u8(-1)
+
+
+def test_stanh_pade78():
+    # accurate region: matches tanh to ~1e-4; Pade 7/8 contract
+    for v in (-3.0, -1.0, -0.25, 0.0, 0.5, 2.0, 4.0):
+        assert abs(x.stanh_pade78(v) - math.tanh(v)) < 5e-4
+    # vectorized path
+    arr = np.linspace(-4, 4, 33, dtype=np.float32)
+    out = x.stanh_pade78(arr)
+    assert np.allclose(out, np.tanh(arr), atol=5e-4)
+
+
+def test_widen_u32():
+    assert x.widen_u32u64(0xFFFFFFFF) == 0xFFFFFFFF
+    assert x.widen_u32i64(0x80000000) == 0x80000000   # stays unsigned
+    assert x.widen_u32u64(2**32 + 5) == 5             # masked to u32
+
+
+def test_lsfr_i32_recurrence():
+    # independent xoshiro128+ oracle over the strided state block
+    state = np.arange(64, dtype=np.uint32) + 1
+    s = [int(state[i * 16]) for i in range(4)]
+    M = 0xFFFFFFFF
+
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & M
+
+    expect = (rotl((s[0] + s[3]) & M, 7) + s[0]) & M
+    got = x.lsfr_i32(state, 0)
+    assert got == expect
+    # state must advance exactly like the reference recurrence
+    t = (s[1] << 9) & M
+    s2 = s[2] ^ s[0]
+    s3 = s[3] ^ s[1]
+    s1 = s[1] ^ s2
+    s0 = s[0] ^ s3
+    s2 ^= t
+    s3 = rotl(s3, 11)
+    assert [int(state[i * 16]) for i in range(4)] == [s0, s1, s2, s3]
+    # other lanes untouched
+    assert state[1] == 2 and state[17] == 18
+
+
+def test_rng_seq_f64():
+    b = x.rng_seq(13)
+    assert isinstance(b, bytes) and len(b) == 13
+    assert x.rng_seq(0) == b""
+    v = x.rng_f64()
+    assert 0.0 <= v < 1.0
+
+
+def test_sync_pid_tid_stdio():
+    assert x.get_pid() > 0
+    t0 = x.get_tid()
+    assert 0 <= t0 < 1024 and x.get_tid() == t0   # stable per thread
+    x.stdio_acquire()
+    x.stdio_acquire()       # reentrant
+    x.stdio_release()
+    x.stdio_release()
+
+
+def test_barrier_team():
+    import threading
+    b = x.barrier_create(2, 2)
+    hits = []
+    lock = threading.Lock()
+
+    def worker(tid):
+        x.barrier_init(b, tid)
+        x.barrier_wait(b, tid)
+        with lock:
+            hits.append(tid)
+        x.barrier_wait(b, tid)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(5)
+    assert sorted(hits) == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        x.barrier_wait(b, 4)
+    x.barrier_destroy(b)
+    with pytest.raises(ValueError):
+        x.barrier_create(0, 1)
+
+
+def test_timer_info():
+    info = x.get_timer_info()
+    assert info.tsc == 0                 # host path is the OS clock
+    t0 = x.timer_tickint()
+    t1 = x.timer_tickint()
+    assert x.timer_ncycles(t0, t1) >= 0
+
+
+def test_cpuid_helpers():
+    assert x.cpuid_name(x.cpuid_id("v5e")) == "v5e"
+    assert x.cpuid_id("nosucharch") == 0
+    with pytest.raises(ValueError):
+        x.cpuid_name(99999)
+    assert x.cpuid_dot_pack_factor(x.Datatype.F32) == 1
+    assert x.cpuid_dot_pack_factor(x.Datatype.BF16) == 2
+    assert x.cpuid_dot_pack_factor(x.Datatype.I8) == 4
+    assert x.cpuid_dot_pack_factor(np.float16) == 2
+    assert x.cpuid_vlen32() == 128
+
+
+def test_descriptor_init_family():
+    d = x.gemm_descriptor_init(x.Datatype.BF16, x.Datatype.BF16,
+                               x.Datatype.F32, x.Datatype.F32,
+                               16, 8, 32, flags=x.GemmFlags.BETA_0)
+    assert d.shape.m == 16 and d.beta == 0
+    assert d.shape.a_in_type == x.Datatype.BF16
+    shape = x.create_gemm_shape(8, 8, 8)
+    d2 = x.gemm_descriptor_init_gemm(shape, x.GemmFlags.BETA_0)
+    k = x.xmmdispatch(d2)
+    a = np.ones((8, 8), np.float32)
+    assert np.allclose(np.asarray(k(a, a)), a @ a)
+    br = x.create_gemm_batch_reduce_config(x.BatchReduceType.STRIDE,
+                                           br_unroll_hint=4)
+    d3 = x.gemm_descriptor_init_brgemm(shape, x.GemmFlags.BETA_0, br)
+    assert d3.br.br_type == x.BatchReduceType.STRIDE
+    d4 = x.gemm_descriptor_init_brgemm_ext(shape, x.GemmFlags.BETA_0, br)
+    assert d4.base.br.br_count_hint == 4
+    m1 = x.meltw_descriptor_init(x.Datatype.F32, x.Datatype.F32, 8, 16,
+                                 op_type=x.UnaryType.RELU)
+    assert m1.operation == "unary" and m1.op_type == x.UnaryType.RELU
+    m2 = x.meltw_descriptor_init2(
+        x.Datatype.F32, x.Datatype.F32, None, x.Datatype.F32,
+        x.Datatype.F32, 8, 16, op_type=x.BinaryType.ADD,
+        operation="binary")
+    assert m2.in1_type == x.Datatype.F32
+    with pytest.raises(ValueError):
+        x.meltw_descriptor_init2(x.Datatype.F32, None, None,
+                                 x.Datatype.F32, x.Datatype.F32, 8, 16,
+                                 op_type=x.UnaryType.RELU, operation="bad")
+    q = x.meqn_descriptor_init(x.Datatype.F32, 4, 8, eqn_idx=3)
+    assert q == (3, 4, 8, x.Datatype.F32)
