@@ -642,6 +642,8 @@ def dispatch_meltw_unary(op_type: UnaryType, m=None, n: int = None,
     from ..descriptor import MeltwUnaryShape
     if isinstance(m, MeltwUnaryShape):
         s = m
+        if n is not None:        # reference v2 call form: flags ride third
+            flags = UnaryFlags(n)
         m, n = s.m, s.n
         in_type, out_type, comp_type = s.in0_type, s.out_type, s.comp_type
     desc = MeltwDescriptor(operation="unary", op_type=op_type,
@@ -661,6 +663,8 @@ def dispatch_meltw_binary(op_type: BinaryType, m=None, n: int = None,
     in1 = None
     if isinstance(m, MeltwBinaryShape):
         s = m
+        if n is not None:        # reference v2 call form: flags ride third
+            flags = BinaryFlags(n)
         m, n = s.m, s.n
         in_type, out_type, comp_type = s.in0_type, s.out_type, s.comp_type
         in1 = s.in1_type
@@ -681,6 +685,8 @@ def dispatch_meltw_ternary(op_type: TernaryType, m=None, n: int = None,
     in1 = in2 = None
     if isinstance(m, MeltwTernaryShape):
         s = m
+        if n is not None:        # reference v2 call form: flags ride third
+            flags = TernaryFlags(n)
         m, n = s.m, s.n
         in_type, out_type, comp_type = s.in0_type, s.out_type, s.comp_type
         in1, in2 = s.in1_type, s.in2_type

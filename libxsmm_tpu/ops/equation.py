@@ -54,6 +54,10 @@ class EqnNode:
     m: int = 0
     n: int = 0
     in_pos: int = -1
+    # secondary-operand argument slot (reference: op_metadata.op_arg_pos /
+    # the exec-time arg.secondary pointer): GATHER / REDUCE_COLS_IDX nodes
+    # read their index vector from the kernel argument at this position.
+    op_arg_pos: int = -1
     children: List["EqnNode"] = dataclasses.field(default_factory=list)
 
     def is_complete(self) -> bool:
@@ -223,12 +227,38 @@ def _meta_idx(idx) -> int:
     return idx.eqn_idx if isinstance(idx, MeqnOpMetadata) else idx
 
 
+_IDX_OPS = None
+
+
+def _needs_idx(op) -> bool:
+    global _IDX_OPS
+    if _IDX_OPS is None:
+        _IDX_OPS = (UnaryType.GATHER, UnaryType.REDUCE_COLS_IDX_OP_ADD,
+                    UnaryType.REDUCE_COLS_IDX_OP_MAX,
+                    UnaryType.REDUCE_COLS_IDX_OP_MIN)
+    return op in _IDX_OPS
+
+
 def meqn_push_back_unary_op(idx, op: UnaryType,
                             dtype: Datatype = Datatype.F32,
-                            flags: UnaryFlags = UnaryFlags.NONE) -> None:
-    """Accepts an int handle or a MeqnOpMetadata (reference v2 form)."""
-    _eqn(_meta_idx(idx))._attach(
-        EqnNode(kind="unary", op=op, flags=UnaryFlags(flags), dtype=dtype))
+                            flags: UnaryFlags = UnaryFlags.NONE,
+                            op_arg_pos: int = -1) -> None:
+    """Accepts an int handle or a MeqnOpMetadata (reference v2 form).
+
+    Index-consuming ops (GATHER, REDUCE_COLS_IDX_*) read their index vector
+    from the kernel argument at `op_arg_pos` — the reference routes this
+    through op_metadata.op_arg_pos / the exec-time arg.secondary pointer
+    (samples/equation/equation_gather_reduce.c:151,165)."""
+    if isinstance(idx, MeqnOpMetadata) and op_arg_pos < 0:
+        op_arg_pos = idx.op_arg_pos
+    if _needs_idx(op) and op_arg_pos < 0:
+        raise ValueError(f"{op.name} equation node needs op_arg_pos (the "
+                         "argument slot carrying the index vector)")
+    eqn = _eqn(_meta_idx(idx))
+    eqn._attach(EqnNode(kind="unary", op=op, flags=UnaryFlags(flags),
+                        dtype=dtype, op_arg_pos=op_arg_pos))
+    if op_arg_pos >= 0:
+        eqn.nargs = max(eqn.nargs, op_arg_pos + 1)
 
 
 def meqn_push_back_binary_op(idx, op: BinaryType,
@@ -299,7 +329,41 @@ def _eval(node: EqnNode, args: tuple, memo: dict, sig_cache: dict):
         memo[sig] = res
         return res
     kids = [_eval(c, args, memo, sig_cache) for c in node.children]
-    if node.kind == "unary":
+    for k in kids:
+        if isinstance(k, tuple):
+            raise ValueError("UNZIP nodes are root-only in equation trees "
+                             "(multi-output, like the reference's DUMP)")
+    if node.kind == "unary" and node.op == UnaryType.UNZIP:
+        # raw-bit split (splitSGD family, equation_splitSGD.c:180): NO comp
+        # cast — operate on the child's f32 bit pattern directly
+        bits = jax.lax.bitcast_convert_type(kids[0].astype(jnp.float32),
+                                            jnp.uint32)
+        res = ((bits & 0xFFFF).astype(jnp.uint16),
+               (bits >> 16).astype(jnp.uint16))
+        memo[sig] = res
+        return res
+    if node.kind == "binary" and node.op == BinaryType.ZIP:
+        # raw-bit merge of (lo16, hi16) uint16 operands back into f32
+        lo = kids[0].astype(jnp.uint32)
+        hi = kids[1].astype(jnp.uint32)
+        res = jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+        memo[sig] = res
+        return res
+    if node.kind == "unary" and _needs_idx(node.op):
+        # index-consuming nodes: the index vector rides on a dedicated
+        # kernel argument (reference arg.secondary, op_arg_pos metadata)
+        idx_arr = args[node.op_arg_pos]
+        x = kids[0].astype(comp)
+        if node.op == UnaryType.GATHER:
+            axis = 1 if UnaryFlags(node.flags) & UnaryFlags.GS_COLS else 0
+            res = jnp.take(x, idx_arr.reshape(-1), axis=axis)
+        else:
+            rows = jnp.take(x, idx_arr.reshape(-1), axis=0)
+            red = {UnaryType.REDUCE_COLS_IDX_OP_ADD: jnp.sum,
+                   UnaryType.REDUCE_COLS_IDX_OP_MAX: jnp.max,
+                   UnaryType.REDUCE_COLS_IDX_OP_MIN: jnp.min}[node.op]
+            res = red(rows, axis=0, keepdims=True)
+    elif node.kind == "unary":
         # BCAST_* flags are resolved by jnp broadcasting at the consumer op
         res = apply_unary_op(node.op, UnaryFlags(node.flags),
                              kids[0].astype(comp))
@@ -331,6 +395,7 @@ def _tree_signature(node: EqnNode):
     if node.kind == "arg":
         return ("arg", node.m, node.n, node.in_pos, node.dtype)
     return (node.kind, node.op, int(node.flags), node.dtype,
+            node.op_arg_pos,
             tuple(_tree_signature(c) for c in node.children))
 
 

@@ -6,8 +6,8 @@ splitSGD) rebuilt through the tree-builder API, checked vs NumPy.
 import numpy as np
 import pytest
 
-from libxsmm_tpu.descriptor import (BinaryFlags, BinaryType, TernaryType,
-                                    UnaryFlags, UnaryType)
+from libxsmm_tpu.descriptor import (BinaryFlags, BinaryType, TernaryFlags,
+                                    TernaryType, UnaryFlags, UnaryType)
 from libxsmm_tpu.dtypes import Datatype
 from libxsmm_tpu.matdiff import check
 from libxsmm_tpu.ops.equation import (dispatch_meqn, meqn_create,
@@ -392,3 +392,102 @@ def test_equation_nflops_nested_matmul():
     np.testing.assert_allclose(np.asarray(kern(a, b, c)), a @ (b @ c),
                                rtol=1e-4)
     meqn_destroy(idx)
+
+
+def test_equation_gather_node():
+    # in-tree UNARY_GATHER with op_arg_pos index binding
+    # (equation_gather_reduce.c:150-152: indices ride arg.secondary)
+    m, n, ncols = 16, 64, 10
+    x = _r(m, n)
+    cols = np.random.default_rng(3).choice(n, ncols,
+                                           replace=False).astype(np.int32)
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.REDUCE_X_OP_ADD,
+                            flags=UnaryFlags.REDUCE_COLS)
+    meqn_push_back_unary_op(idx, UnaryType.GATHER,
+                            flags=UnaryFlags.GS_COLS, op_arg_pos=1)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    kern = dispatch_meqn(idx, 1, ncols)
+    out = np.asarray(kern(x, cols))
+    check(x[:, cols].sum(axis=0, keepdims=True), out)
+    # rows flavor
+    idx2 = meqn_create()
+    meqn_push_back_unary_op(idx2, UnaryType.GATHER,
+                            flags=UnaryFlags.GS_ROWS, op_arg_pos=1)
+    meqn_push_back_arg(idx2, m, n, in_pos=0)
+    rows = np.asarray([3, 1, 7], np.int32)
+    k2 = dispatch_meqn(idx2, 3, n)
+    check(x[rows], np.asarray(k2(x, rows)))
+    # missing op_arg_pos is a build-time error
+    idx3 = meqn_create()
+    with pytest.raises(ValueError):
+        meqn_push_back_unary_op(idx3, UnaryType.GATHER)
+
+
+def test_equation_reduce_cols_idx_node():
+    m, n = 16, 32
+    x = _r(m, n)
+    rows = np.asarray([0, 5, 9, 2], np.int32)
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.REDUCE_COLS_IDX_OP_ADD,
+                            op_arg_pos=1)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    kern = dispatch_meqn(idx, 1, n)
+    check(x[rows].sum(axis=0, keepdims=True), np.asarray(kern(x, rows)))
+
+
+def test_equation_zip_unzip_split_sgd():
+    # raw-bit splitSGD: UNZIP(NMULADD(lr, g, ZIP(lo, hi)))
+    # (equation_splitSGD.c:180-193)
+    m, n = 16, 32
+    w, g = _r(m, n), _r(m, n)
+    lr = np.asarray([[0.01]], np.float32)
+    bits = w.view(np.uint32)
+    lo = (bits & 0xFFFF).astype(np.uint16)
+    hi = (bits >> 16).astype(np.uint16)
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.UNZIP)
+    meqn_push_back_ternary_op(idx, TernaryType.NMULADD,
+                              flags=TernaryFlags.BCAST_SCALAR_IN_0)
+    meqn_push_back_arg(idx, 1, 1, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=1)
+    meqn_push_back_binary_op(idx, BinaryType.ZIP)
+    meqn_push_back_arg(idx, m, n, in_pos=2, dtype=Datatype.U16)
+    meqn_push_back_arg(idx, m, n, in_pos=3, dtype=Datatype.U16)
+    kern = dispatch_meqn(idx, m, n, out_type=Datatype.U16)
+    lo2, hi2 = kern(lr, g, lo, hi)
+    wnew = ((np.asarray(hi2).astype(np.uint32) << 16)
+            | np.asarray(lo2).astype(np.uint32)).view(np.float32)
+    check(w - 0.01 * g, wnew)
+
+
+def test_equation_unzip_root_only():
+    m, n = 8, 16
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.X2)      # consumes the UNZIP pair
+    meqn_push_back_unary_op(idx, UnaryType.UNZIP)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    kern = dispatch_meqn(idx, m, n)
+    with pytest.raises(ValueError, match="root-only"):
+        kern(_r(m, n))
+
+
+def test_meltw_shape_form_flags_honored():
+    # regression: flags passed third with the v2 shape form were silently
+    # dropped (overwritten by the n-slot unpack)
+    from libxsmm_tpu.descriptor import (create_meltw_binary_shape,
+                                        create_meltw_unary_shape)
+    import libxsmm_tpu as xt
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    cols = np.asarray([2, 0], np.int32)
+    k = xt.dispatch_meltw_unary(UnaryType.GATHER,
+                                create_meltw_unary_shape(3, 4),
+                                UnaryFlags.GS_COLS)
+    out = np.asarray(k(x, cols))
+    assert out.shape == (3, 2)
+    np.testing.assert_allclose(out, x[:, [2, 0]])
+    kb = xt.dispatch_meltw_binary(BinaryType.MUL,
+                                  create_meltw_binary_shape(3, 4),
+                                  BinaryFlags.BCAST_COL_IN_1)
+    outb = np.asarray(kb(x, np.asarray([[1., 2., 3., 4.]], np.float32)))
+    np.testing.assert_allclose(outb, x * np.asarray([1, 2, 3, 4.]))
