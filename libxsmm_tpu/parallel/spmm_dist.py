@@ -368,11 +368,29 @@ class DistributedBsrSpmm:
                     self.vals, x)
         else:
             args = (self.a_dense, x)
-        compiled = jax.jit(self._shmapped).lower(*args).compile()
+        lowered = jax.jit(self._shmapped).lower(*args)
+        # Backend-INDEPENDENT structural evidence: in the pre-optimization
+        # program (StableHLO issue order), does the loop body's
+        # collective_permute get issued BEFORE the dot that consumes the
+        # resident segment? ring2 constructs exactly this (prefetch shifted
+        # one step), so the permute and dot share no dependency and ANY
+        # backend with async collectives can overlap them; the plain ring
+        # leaves the reordering to the latency-hiding scheduler.
+        prefetch_order = False
+        try:
+            pre = lowered.as_text()
+            body = pre[pre.index("while"):] if "while" in pre else pre
+            p = body.find("collective_permute")
+            d = body.find("dot_general")
+            prefetch_order = 0 <= p < d if d >= 0 else p >= 0
+        except Exception:
+            pass
+        compiled = lowered.compile()
         try:
             hlo = compiled.as_text()
         except Exception:
             return {"async_split": False, "overlap_verified": False,
+                    "prefetch_issue_order": prefetch_order,
                     "n_start": 0, "hlo_available": False}
         lines = hlo.splitlines()
         n_start = sum("collective-permute-start" in ln for ln in lines)
@@ -387,6 +405,7 @@ class DistributedBsrSpmm:
                                    or "fusion" in ln or " dot-" in ln):
                 overlap = True
         return {"async_split": n_start > 0, "overlap_verified": overlap,
+                "prefetch_issue_order": prefetch_order,
                 "n_start": n_start, "hlo_available": True}
 
     def __call__(self, x):

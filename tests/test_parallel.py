@@ -209,5 +209,12 @@ def test_dist_spmm_overlap_report():
     ring = DistributedBsrSpmm(bsr, n, mesh, comm="ring")
     x = RNG.standard_normal((k, n)).astype(np.float32)
     rep = ring.overlap_report(x)
-    assert set(rep) >= {"async_split", "overlap_verified", "n_start"}
+    assert set(rep) >= {"async_split", "overlap_verified", "n_start",
+                        "prefetch_issue_order"}
     assert isinstance(rep["overlap_verified"], bool)
+    # backend-independent structural evidence: ring2 issues the next
+    # segment's collective BEFORE the dot that consumes the resident one
+    # (overlap by construction); the plain ring does not
+    ring2 = DistributedBsrSpmm(bsr, n, mesh, comm="ring2")
+    assert ring2.overlap_report(x)["prefetch_issue_order"] is True
+    assert rep["prefetch_issue_order"] is False
