@@ -74,6 +74,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.xsmm_kv_lookup.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64,
             ctypes.c_void_p, ctypes.c_uint64]
+        lib.xsmm_mtx_open.restype = ctypes.c_int
+        lib.xsmm_mtx_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.xsmm_mtx_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_void_p]
+        lib.xsmm_mtx_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -152,3 +160,39 @@ class PersistentKv:
             self.path, ctypes.cast(kbuf, ctypes.c_void_p), len(key),
             ctypes.cast(out, ctypes.c_void_p), int(n))
         return out.raw
+
+
+def read_mtx_coo(path: str):
+    """Parse a MatrixMarket file with the native reader (the counterpart of
+    the reference's generator_spgemm_{csr,csc}_reader.c). Returns
+    (m, n, rows, cols, vals) COO arrays (0-based, symmetric/pattern storage
+    expanded) or None when the native library is unavailable or the format
+    needs the Python fallback (complex fields, malformed files)."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+
+    handle = ctypes.c_void_p()
+    m = ctypes.c_int64()
+    n = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.xsmm_mtx_open(os.fsencode(str(path)), ctypes.byref(handle),
+                           ctypes.byref(m), ctypes.byref(n),
+                           ctypes.byref(nnz))
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        return None
+    try:
+        rows = np.empty(nnz.value, np.int32)
+        cols = np.empty(nnz.value, np.int32)
+        vals = np.empty(nnz.value, np.float64)
+        if nnz.value:
+            lib.xsmm_mtx_fill(
+                handle, rows.ctypes.data_as(ctypes.c_void_p),
+                cols.ctypes.data_as(ctypes.c_void_p),
+                vals.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.xsmm_mtx_close(handle)
+    return int(m.value), int(n.value), rows, cols, vals

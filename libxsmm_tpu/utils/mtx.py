@@ -12,7 +12,26 @@ import numpy as np
 
 
 def read_mtx(path: str) -> np.ndarray:
-    """Read a MatrixMarket file into a dense ndarray."""
+    """Read a MatrixMarket file into a dense ndarray.
+
+    Fast path: the native C++ parser (native/xsmm_native.cpp
+    xsmm_mtx_open, the counterpart of the reference's C readers) —
+    pointer-walk parse of the slurped file, symmetric/pattern expansion.
+    Falls back to scipy.io.mmread, then to the pure-Python parser below.
+    """
+    try:
+        from ..native_bridge import read_mtx_coo
+        coo = read_mtx_coo(path)
+    except FileNotFoundError:
+        raise
+    except Exception:
+        coo = None
+    if coo is not None:
+        m, n, rows, cols, vals = coo
+        out = np.zeros((m, n))
+        # duplicate entries accumulate, per the MM convention scipy uses
+        np.add.at(out, (rows, cols), vals)
+        return out
     try:
         from scipy.io import mmread
         mat = mmread(path)

@@ -15,6 +15,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -217,5 +218,133 @@ int64_t xsmm_kv_lookup(const char* path, const void* key, uint64_t keylen,
   if (n) std::memcpy(buf, found.data(), n);
   return static_cast<int64_t>(found.size());
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MatrixMarket (.mtx) reader.
+// Native counterpart of the reference's CSR/CSC readers feeding the sparse
+// generators and the PyFR/EDGE drivers (/root/reference/src/
+// generator_spgemm_csr_reader.c, generator_spgemm_csc_reader.c): slurp the
+// file once, pointer-walk with strtol/strtod (no per-line I/O), expand
+// symmetric/skew/pattern storage. Handle protocol for ctypes:
+//   open -> (m, n, nnz after expansion), fill -> COO arrays, close.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MtxData {
+  int64_t m = 0, n = 0;
+  std::vector<int32_t> rows, cols;
+  std::vector<double> vals;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 I/O error, -2 parse/format error.
+int xsmm_mtx_open(const char* path, void** handle, int64_t* m, int64_t* n,
+                  int64_t* nnz) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  const long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::string buf(static_cast<size_t>(fsize), '\0');
+  const size_t got = std::fread(&buf[0], 1, buf.size(), f);
+  std::fclose(f);
+  if (got != buf.size()) return -1;
+
+  // header: %%MatrixMarket matrix <coordinate|array> <field> <symmetry>
+  if (buf.compare(0, 14, "%%MatrixMarket") != 0) return -2;
+  const size_t eol = buf.find('\n');
+  if (eol == std::string::npos) return -2;
+  const std::string header = buf.substr(0, eol);
+  const bool coord = header.find("coordinate") != std::string::npos;
+  const bool pattern = header.find("pattern") != std::string::npos;
+  const bool symmetric = header.find("symmetric") != std::string::npos;
+  const bool skew = header.find("skew-symmetric") != std::string::npos;
+  const bool hermitian = header.find("hermitian") != std::string::npos;
+  if (header.find("complex") != std::string::npos) return -2;
+
+  const char* p = buf.c_str() + eol + 1;
+  const char* end = buf.c_str() + buf.size();
+  while (p < end && *p == '%') {              // comment lines
+    while (p < end && *p != '\n') ++p;
+    if (p < end) ++p;
+  }
+  char* q = nullptr;
+  const long mm = std::strtol(p, &q, 10);
+  const long nn = std::strtol(q, &q, 10);
+  if (q == p || mm < 0 || nn < 0) return -2;
+  auto* d = new MtxData();
+  d->m = mm;
+  d->n = nn;
+
+  if (coord) {
+    const long declared = std::strtol(q, &q, 10);
+    if (declared < 0) { delete d; return -2; }
+    const size_t reserve = static_cast<size_t>(declared)
+                           * ((symmetric || skew || hermitian) ? 2 : 1);
+    d->rows.reserve(reserve);
+    d->cols.reserve(reserve);
+    d->vals.reserve(reserve);
+    p = q;
+    for (long e = 0; e < declared; ++e) {
+      const long i = std::strtol(p, &q, 10);
+      if (q == p) { delete d; return -2; }    // truncated file
+      const long j = std::strtol(q, &q, 10);
+      double v = 1.0;
+      if (!pattern) v = std::strtod(q, &q);
+      p = q;
+      if (i < 1 || j < 1 || i > mm || j > nn) { delete d; return -2; }
+      d->rows.push_back(static_cast<int32_t>(i - 1));
+      d->cols.push_back(static_cast<int32_t>(j - 1));
+      d->vals.push_back(v);
+      if ((symmetric || skew || hermitian) && i != j) {
+        d->rows.push_back(static_cast<int32_t>(j - 1));
+        d->cols.push_back(static_cast<int32_t>(i - 1));
+        d->vals.push_back(skew ? -v : v);
+      }
+    }
+  } else {
+    // array format: dense, column-major element order per the MM spec;
+    // symmetric/skew variants store only the lower triangle
+    if (pattern) { delete d; return -2; }
+    const bool tri = symmetric || skew || hermitian;
+    p = q;
+    for (long col = 0; col < nn; ++col) {
+      for (long row = tri ? col : 0; row < mm; ++row) {
+        const double v = std::strtod(p, &q);
+        if (q == p) { delete d; return -2; }
+        p = q;
+        d->rows.push_back(static_cast<int32_t>(row));
+        d->cols.push_back(static_cast<int32_t>(col));
+        d->vals.push_back(v);
+        if (tri && row != col) {
+          d->rows.push_back(static_cast<int32_t>(col));
+          d->cols.push_back(static_cast<int32_t>(row));
+          d->vals.push_back(skew ? -v : v);
+        }
+      }
+    }
+  }
+  *handle = d;
+  *m = d->m;
+  *n = d->n;
+  *nnz = static_cast<int64_t>(d->vals.size());
+  return 0;
+}
+
+void xsmm_mtx_fill(void* handle, int32_t* rows, int32_t* cols,
+                   double* vals) {
+  const MtxData& d = *static_cast<MtxData*>(handle);
+  std::memcpy(rows, d.rows.data(), d.rows.size() * sizeof(int32_t));
+  std::memcpy(cols, d.cols.data(), d.cols.size() * sizeof(int32_t));
+  std::memcpy(vals, d.vals.data(), d.vals.size() * sizeof(double));
+}
+
+void xsmm_mtx_close(void* handle) { delete static_cast<MtxData*>(handle); }
 
 }  // extern "C"

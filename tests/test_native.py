@@ -130,3 +130,80 @@ print("AOT-OK")
                             cwd=str(__import__("pathlib").Path(
                                 __file__).resolve().parents[1]))
     assert "AOT-OK" in result.stdout, result.stderr[-2000:]
+
+
+# ---------------------------------------------------------------------------
+# native MatrixMarket reader (xsmm_mtx_open; the counterpart of the
+# reference's generator_spgemm_{csr,csc}_reader.c)
+# ---------------------------------------------------------------------------
+
+def _native_or_skip():
+    if native_bridge.load() is None:
+        pytest.skip("native toolchain unavailable")
+
+
+def test_mtx_native_roundtrip(tmp_path):
+    _native_or_skip()
+    from libxsmm_tpu.utils.mtx import read_mtx, write_mtx
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((29, 31))
+    a[rng.random(a.shape) > 0.3] = 0.0
+    p = str(tmp_path / "t.mtx")
+    write_mtx(p, a)
+    np.testing.assert_allclose(read_mtx(p), a, rtol=1e-12)
+    m, n, rows, cols, vals = native_bridge.read_mtx_coo(p)
+    assert (m, n) == a.shape
+    assert len(vals) == np.count_nonzero(a)
+    assert rows.dtype == np.int32 and vals.dtype == np.float64
+
+
+def test_mtx_native_symmetric_pattern_array(tmp_path):
+    _native_or_skip()
+    from libxsmm_tpu.utils.mtx import read_mtx
+    sym = tmp_path / "s.mtx"
+    sym.write_text("%%MatrixMarket matrix coordinate real symmetric\n"
+                   "% comment\n3 3 4\n1 1 2.0\n2 1 -1.5\n3 2 4.0\n3 3 1\n")
+    np.testing.assert_allclose(
+        read_mtx(str(sym)),
+        [[2, -1.5, 0], [-1.5, 0, 4], [0, 4, 1.0]])
+    pat = tmp_path / "p.mtx"
+    pat.write_text("%%MatrixMarket matrix coordinate pattern general\n"
+                   "2 2 2\n1 2\n2 1\n")
+    np.testing.assert_allclose(read_mtx(str(pat)), [[0, 1], [1, 0]])
+    arr = tmp_path / "a.mtx"
+    arr.write_text("%%MatrixMarket matrix array real general\n"
+                   "2 3\n1\n2\n3\n4\n5\n6\n")   # column-major per spec
+    np.testing.assert_allclose(read_mtx(str(arr)), [[1, 3, 5], [2, 4, 6]])
+    skw = tmp_path / "k.mtx"
+    skw.write_text("%%MatrixMarket matrix coordinate real skew-symmetric\n"
+                   "3 3 2\n2 1 5.0\n3 1 -2.0\n")
+    np.testing.assert_allclose(
+        read_mtx(str(skw)), [[0, -5, 2], [5, 0, 0], [-2, 0, 0]])
+
+
+def test_mtx_native_errors(tmp_path):
+    _native_or_skip()
+    with pytest.raises(FileNotFoundError):
+        native_bridge.read_mtx_coo(str(tmp_path / "missing.mtx"))
+    bad = tmp_path / "bad.mtx"
+    bad.write_text("not a matrix market file\n1 1 1\n")
+    assert native_bridge.read_mtx_coo(str(bad)) is None
+    trunc = tmp_path / "tr.mtx"
+    trunc.write_text("%%MatrixMarket matrix coordinate real general\n"
+                     "3 3 5\n1 1 2.0\n")       # declares 5, has 1
+    assert native_bridge.read_mtx_coo(str(trunc)) is None
+
+
+def test_mtx_native_matches_reference_matrix():
+    _native_or_skip()
+    path = ("/root/reference/samples/xgemm_sparse_Ainregs/mats/p4/hex/"
+            "m0-sp.mtx")
+    if not os.path.exists(path):
+        pytest.skip("reference mats not present")
+    from libxsmm_tpu.utils.mtx import read_mtx
+    nat = read_mtx(path)
+    try:
+        from scipy.io import mmread
+    except ImportError:
+        pytest.skip("scipy unavailable")
+    np.testing.assert_allclose(nat, np.asarray(mmread(path).todense()))
