@@ -58,6 +58,9 @@ class EqnNode:
     # the exec-time arg.secondary pointer): GATHER / REDUCE_COLS_IDX nodes
     # read their index vector from the kernel argument at this position.
     op_arg_pos: int = -1
+    # MATRIX_ARG_TYPE_SET cardinality hint (>0 = this arg is a stacked
+    # (count, m, n) tensor set; 0 = singular). Validated at call time.
+    set_card: int = 0
     children: List["EqnNode"] = dataclasses.field(default_factory=list)
 
     def is_complete(self) -> bool:
@@ -214,12 +217,21 @@ def meqn_push_back_arg(idx, m=None, n=None, in_pos=None,
             arg_attr = n
         idx, m, n, in_pos, dtype = (meta.eqn_idx, shape.m, shape.n,
                                     meta.in_arg_pos, shape.type)
+    set_card = 0
     if arg_attr is not None and arg_attr.arg_type != 0:
-        # SET-type (tensor-set / BRGEMM) equation args: unsupported tail,
-        # like the reference rejects malformed arg attributes.
-        raise NotImplementedError("MATRIX_ARG_TYPE_SET equation args")
+        # MATRIX_ARG_TYPE_SET (tensor-set args feeding BRGEMM nodes,
+        # typedefs.h:641-646): the reference's three addressing modes
+        # (ABS_ADDRESS pointer array / OFFSET_BASE / STRIDE_BASE) all
+        # collapse to ONE functional contract here — the argument is a
+        # stacked (count, m, n) array whose leading axis the BRGEMM node
+        # reduces (same design as BatchReduceConfig). The cardinality hint
+        # is kept and validated against the leading dim at call time.
+        if arg_attr.set_type not in (0, 1, 2, 3):
+            raise ValueError(f"unknown set_type {arg_attr.set_type}")
+        set_card = max(0, int(arg_attr.set_cardinality_hint))
     eqn = _eqn(idx)
-    eqn._attach(EqnNode(kind="arg", m=m, n=n, in_pos=in_pos, dtype=dtype))
+    eqn._attach(EqnNode(kind="arg", m=m, n=n, in_pos=in_pos, dtype=dtype,
+                        set_card=set_card))
     eqn.nargs = max(eqn.nargs, in_pos + 1)
 
 
@@ -325,7 +337,13 @@ def _eval(node: EqnNode, args: tuple, memo: dict, sig_cache: dict):
         return hit
     comp = to_jnp(node.dtype)
     if node.kind == "arg":
-        res = args[node.in_pos].astype(comp)
+        a = args[node.in_pos]
+        if node.set_card and (a.ndim != 3 or a.shape[0] != node.set_card):
+            raise ValueError(
+                f"arg {node.in_pos} is a tensor set of cardinality "
+                f"{node.set_card}: expected shape ({node.set_card}, "
+                f"{node.m}, {node.n}), got {a.shape}")
+        res = a.astype(comp)
         memo[sig] = res
         return res
     kids = [_eval(c, args, memo, sig_cache) for c in node.children]
@@ -393,7 +411,8 @@ def _eval(node: EqnNode, args: tuple, memo: dict, sig_cache: dict):
 
 def _tree_signature(node: EqnNode):
     if node.kind == "arg":
-        return ("arg", node.m, node.n, node.in_pos, node.dtype)
+        return ("arg", node.m, node.n, node.in_pos, node.dtype,
+                node.set_card)
     return (node.kind, node.op, int(node.flags), node.dtype,
             node.op_arg_pos,
             tuple(_tree_signature(c) for c in node.children))

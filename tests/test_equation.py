@@ -491,3 +491,34 @@ def test_meltw_shape_form_flags_honored():
                                   BinaryFlags.BCAST_COL_IN_1)
     outb = np.asarray(kb(x, np.asarray([[1., 2., 3., 4.]], np.float32)))
     np.testing.assert_allclose(outb, x * np.asarray([1, 2, 3, 4.]))
+
+
+def test_equation_set_args_brgemm():
+    # MATRIX_ARG_TYPE_SET tensor-set args feeding an in-tree BRGEMM
+    # (typedefs.h:641-646; all reference set addressing modes collapse to
+    # the stacked (count, m, n) array contract here)
+    from libxsmm_tpu.ops.equation import (create_matrix_arg_attributes,
+                                          create_meqn_arg_metadata,
+                                          create_meqn_arg_shape)
+    br, m, k, n = 4, 8, 6, 10
+    a, b = _r(br, m, k), _r(br, k, n)
+    idx = meqn_create()
+    set_attr = create_matrix_arg_attributes(
+        arg_type=1, set_type=3, set_cardinality_hint=br)
+    meqn_push_back_binary_op(idx, BinaryType.BRGEMM)
+    meqn_push_back_arg(create_meqn_arg_metadata(idx, 0),
+                       create_meqn_arg_shape(m, k, 0), set_attr)
+    meqn_push_back_arg(create_meqn_arg_metadata(idx, 1),
+                       create_meqn_arg_shape(k, n, 0), set_attr)
+    kern = dispatch_meqn(idx, m, n)
+    check(np.einsum("bmk,bkn->mn", a, b), np.asarray(kern(a, b)),
+          margin=1e-5)
+    # cardinality mismatch is a call-time error
+    with pytest.raises(ValueError, match="cardinality"):
+        kern(a[:2], b)
+    # unknown set_type is a build-time error
+    with pytest.raises(ValueError):
+        meqn_push_back_arg(
+            create_meqn_arg_metadata(meqn_create(), 0),
+            create_meqn_arg_shape(m, k, 0),
+            create_matrix_arg_attributes(arg_type=1, set_type=9))

@@ -292,15 +292,23 @@ def test_meqn_desc_dispatch():
     x.meqn_destroy(idx)
 
 
-def test_meqn_set_args_rejected():
+def test_meqn_set_args_accepted():
+    # MATRIX_ARG_TYPE_SET args are supported (stacked (count, m, n) array
+    # contract; see tests/test_equation.py::test_equation_set_args_brgemm
+    # for the BRGEMM semantics) — only an unknown set_type rejects.
     idx = x.meqn_create()
     from libxsmm_tpu.descriptor import BinaryType
-    x.meqn_push_back_binary_op(idx, BinaryType.ADD)
-    with pytest.raises(NotImplementedError):
+    x.meqn_push_back_binary_op(idx, BinaryType.BRGEMM)
+    x.meqn_push_back_arg(
+        x.create_meqn_arg_metadata(idx, 0),
+        x.create_meqn_arg_shape(4, 4, 4),
+        x.create_matrix_arg_attributes(arg_type=1, set_type=2,
+                                       set_cardinality_hint=3))
+    with pytest.raises(ValueError):
         x.meqn_push_back_arg(
-            x.create_meqn_arg_metadata(idx, 0),
+            x.create_meqn_arg_metadata(idx, 1),
             x.create_meqn_arg_shape(4, 4, 4),
-            x.create_matrix_arg_attributes(arg_type=1, set_type=2))
+            x.create_matrix_arg_attributes(arg_type=1, set_type=7))
     x.meqn_destroy(idx)
 
 
