@@ -99,12 +99,25 @@ def _bench_candidates(cands, reps: int, rounds: int = 3,
     fixed-arg loops are memoized by the runtime and block_until_ready does
     not actually sync (CLAUDE.md). A candidate that fails to compile or
     errors mid-run yields None (the interleaved bencher's contract).
-    Module-level for test injection."""
+    Module-level for test injection. Returns (times_us, ratio_1_over_0):
+    the ratio is the MEDIAN of same-round time(cand0)/time(cand1) pairs —
+    for a marginal decision (sparse ~15% past a 10% bias) the min-of-
+    rounds comparison flips on one lucky draw; the paired-round median
+    does not (the bench.py paired_ratio discipline, observed: the r3
+    bench's autotuned pick disagreed with its own interleaved
+    measurement)."""
     from ..utils.timer import bench_chain_interleaved
-    times = bench_chain_interleaved([(fn, args, 0) for fn, args in cands],
-                                    reps=reps, rounds=rounds,
-                                    min_launch_s=min_launch_s)
-    return [None if t is None else t * 1e6 for t in times]
+    times, rows = bench_chain_interleaved(
+        [(fn, args, 0) for fn, args in cands],
+        reps=reps, rounds=rounds, min_launch_s=min_launch_s,
+        per_round=True)
+    ratio = None
+    if len(rows) == 2:
+        pairs = sorted(a / b for a, b in zip(rows[0], rows[1])
+                       if a is not None and b is not None and b > 0)
+        if pairs:
+            ratio = pairs[len(pairs) // 2]
+    return [None if t is None else t * 1e6 for t in times], ratio
 
 
 def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
@@ -203,7 +216,7 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
     def _full_tune():
         args = _tune_args()
         reps = max(1, CONFIG.fsspmdm_ntune)
-        times = _bench_candidates(
+        times, ratio = _bench_candidates(
             [(dense_kernel.fn, args), (sparse_kernel.fn, args)], reps)
         if times[0] is None and times[1] is None:
             return dense_kernel, "dense"   # transient device failure: the
@@ -212,9 +225,15 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         if times[1] is None:            # sparse candidate failed
             return dense_kernel, "dense"
         tuned["dense_us"], tuned["sparse_us"] = times
-        # dense bias: prefer dense unless sparse is >bias faster (:311-330)
+        # dense bias: prefer dense unless sparse is >bias faster (:311-330).
+        # Decide on the MEDIAN paired-round dense/sparse ratio, not the
+        # min times: best-window times come from different windows and a
+        # marginal margin flips on one draw (r3 bench disagreement).
         bias = 1.0 + CONFIG.fsspmdm_dense_bias
-        if tuned["sparse_us"] * bias < tuned["dense_us"]:
+        if ratio is None:
+            ratio = tuned["dense_us"] / max(tuned["sparse_us"], 1e-9)
+        tuned["dense_over_sparse"] = round(ratio, 4)
+        if ratio > bias:
             p, kd = sparse_kernel, "sparse"
         else:
             p, kd = dense_kernel, "dense"
@@ -238,17 +257,17 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         # ratios of interleaved candidates survive any window. Agreement
         # keeps the cached entry; disagreement (or a candidate failing in
         # this process) escalates to the full tune and refreshes it.
-        probes = _bench_candidates(
+        probes, probe_ratio = _bench_candidates(
             [(dense_kernel.fn, _tune_args()),
              (sparse_kernel.fn, _tune_args())],
-            reps=8, rounds=2, min_launch_s=0.02)
+            reps=8, rounds=3, min_launch_s=0.02)
         tuned["cached"] = True
         tuned["probe_dense_us"], tuned["probe_sparse_us"] = probes
         probe_kind = None
-        if probes[0] is not None and probes[1] is not None:
+        if probe_ratio is not None:
             bias = 1.0 + CONFIG.fsspmdm_dense_bias
-            probe_kind = ("sparse" if probes[1] * bias < probes[0]
-                          else "dense")
+            tuned["probe_dense_over_sparse"] = round(probe_ratio, 4)
+            probe_kind = "sparse" if probe_ratio > bias else "dense"
         if probe_kind == kind:
             pick = dense_kernel if kind == "dense" else sparse_kernel
         else:

@@ -180,7 +180,8 @@ def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
 
 
 def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
-                            min_launch_s: float = 0.05):
+                            min_launch_s: float = 0.05,
+                            per_round: bool = False):
     """Best seconds per call for SEVERAL candidates with their timed
     launches INTERLEAVED round by round: candidate i's round-r launch runs
     adjacent to candidate j's, so every candidate samples the same
@@ -192,6 +193,14 @@ def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
     cands: iterable of (fn, args, chain_idx). Returns [sec_per_call,...]
     in candidate order; a candidate that fails to build/compile or errors
     mid-run yields None instead of poisoning the others.
+
+    per_round=True additionally returns the raw per-round times
+    ([[sec,...] per candidate], None on a failed round) so callers can
+    decide on the MEDIAN of same-window paired ratios — a pair of
+    candidates measured adjacently within one round shares a window, and
+    the median over rounds drops the outlier windows (the bench.py
+    paired_ratio discipline; min-of-rounds ratios flip on a single lucky
+    draw when the margin is small).
     """
     runners = []
     for fn, args, chain_idx in cands:
@@ -201,6 +210,7 @@ def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
         except Exception:
             runners.append(None)
     best = [float("inf") if r is not None else None for r in runners]
+    rows = [[] for _ in runners]
     for _ in range(max(1, rounds)):
         # one null per round, shared by every candidate: runner construction
         # is sequential and slow (tunnel compiles), so construction-time
@@ -210,12 +220,18 @@ def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
         null = launch_overhead(refresh=True)
         for i, r in enumerate(runners):
             if r is None:
+                rows[i].append(None)
                 continue
             try:
-                best[i] = min(best[i], r.run_once(null))
+                t = r.run_once(null)
+                best[i] = min(best[i], t)
+                rows[i].append(t)
             except Exception:
                 runners[i] = None
                 best[i] = None
+                rows[i].append(None)
+    if per_round:
+        return best, rows
     return best
 
 

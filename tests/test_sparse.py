@@ -621,7 +621,10 @@ def test_fsspmdm_autotune_interleaved_and_revalidates(tmp_path, monkeypatch):
 
     def fake_bench(cands, reps, rounds=3, **kw):
         calls.append(len(cands))
-        return script.pop(0)
+        times = script.pop(0)
+        # the real bencher also returns the median paired-round
+        # dense/sparse ratio; derive it from the scripted times
+        return times, times[0] / times[1]
 
     monkeypatch.setattr(fmod, "_bench_candidates", fake_bench)
 
