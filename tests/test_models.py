@@ -88,3 +88,90 @@ def test_sharded_train_step_runs():
                        NamedSharding(mesh, P("dp", None)))
     params, loss = step(params, x, y)
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# TPP-GCN (second model family: the sparse propagate in a train step)
+# ---------------------------------------------------------------------------
+
+def _ring_graph(n):
+    a = np.zeros((n, n), np.float32)
+    for i in range(n):
+        a[i, (i + 1) % n] = a[(i + 1) % n, i] = 1.0
+        a[i, (i + 3) % n] = a[(i + 3) % n, i] = 1.0
+    return a
+
+
+def test_gcn_forward_matches_dense():
+    from libxsmm_tpu.models import tpp_gcn as g
+    n, block = 32, 8
+    cfg = g.GcnConfig(in_dim=12, hidden=(16,), out_dim=4)
+    bsr = g.normalize_adjacency(_ring_graph(n), block)
+    plan = g._bsr_plan(bsr)
+    params = g.init_params(cfg, seed=1)
+    h = np.random.default_rng(2).standard_normal((n, cfg.in_dim)
+                                                 ).astype(np.float32)
+    out = np.asarray(g.forward(params, plan, n // block, jnp.asarray(h),
+                               cfg))
+    # dense oracle
+    ahat = bsr.to_dense()
+    x = h
+    for i, l in enumerate(params):
+        x = ahat @ (x @ np.asarray(l["w"])) + np.asarray(l["b"])[None, :]
+        if i < len(params) - 1:
+            x = np.maximum(x, 0)
+    np.testing.assert_allclose(out, x, rtol=2e-4, atol=2e-5)
+
+
+def test_gcn_train_loss_decreases():
+    from libxsmm_tpu.models import tpp_gcn as g
+    n, block = 32, 8
+    cfg = g.GcnConfig(in_dim=8, hidden=(16,), out_dim=3)
+    bsr = g.normalize_adjacency(_ring_graph(n), block)
+    plan = g._bsr_plan(bsr)
+    params = g.init_params(cfg, seed=3)
+    rng = np.random.default_rng(4)
+    h = jnp.asarray(rng.standard_normal((n, cfg.in_dim)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, n), jnp.int32)
+    losses = []
+    step = jax.jit(lambda p, hh, ll: g.train_step(p, plan, n // block, hh,
+                                                  ll, cfg, lr=0.5))
+    for _ in range(30):
+        params, loss = step(params, h, labels)
+        losses.append(float(loss))
+    # random labels over a smoothing operator train slowly; monotone-ish
+    # descent to <0.85x is the contract
+    assert losses[-1] < losses[0] * 0.85, losses
+
+
+def test_gcn_sharded_step():
+    from libxsmm_tpu.models import tpp_gcn as g
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    ndev = 4
+    n, block = 16 * ndev, 8
+    cfg = g.GcnConfig(in_dim=8, hidden=(16,), out_dim=3)
+    bsr = g.normalize_adjacency(_ring_graph(n), block)
+    plan = g._bsr_plan(bsr)
+    params = g.init_params(cfg, seed=5)
+    mesh = make_mesh([("sp", ndev)])
+    step, hshard, lshard = g.make_sharded_train_step(cfg, mesh, plan,
+                                                     n // block)
+    rng = np.random.default_rng(6)
+    h = jax.device_put(
+        np.asarray(rng.standard_normal((n, cfg.in_dim)), np.float32),
+        hshard)
+    labels = jax.device_put(np.asarray(rng.integers(0, 3, n), np.int32),
+                            lshard)
+    params2, loss = step(params, h, labels)
+    assert np.isfinite(float(loss))
+    # sharded result == single-device result
+    p1, l1 = jax.jit(lambda p, hh, ll: g.train_step(
+        p, plan, n // block, hh, ll, cfg))(
+            params, jnp.asarray(np.asarray(h)),
+            jnp.asarray(np.asarray(labels)))
+    np.testing.assert_allclose(float(loss), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(params2[0]["w"]),
+                               np.asarray(p1[0]["w"]), rtol=1e-4,
+                               atol=1e-6)
