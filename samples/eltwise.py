@@ -45,8 +45,73 @@ def run_case(rng):
     m = int(rng.integers(1, 130))
     n = int(rng.integers(1, 130))
     kind = rng.choice(["unary", "binary", "ternary", "reduce", "transform",
-                       "grad"])
+                       "grad", "dropout", "gather", "quant"])
     x = rng.standard_normal((m, n)).astype(np.float32)
+    if kind == "dropout":
+        # unary_dropout driver: stateful forward emits the packed bitmask,
+        # backward consumes it (samples/eltwise/eltwise_unary_dropout.c)
+        p = float(rng.uniform(0.1, 0.6))
+        xp = np.abs(x) + 1.0
+        fwd = xt.dispatch_meltw_unary(UnaryType.DROPOUT, m, n,
+                                      UnaryFlags.BITMASK_2BYTEMULT,
+                                      extra=(p,))
+        out, pmask = fwd(xp, seed=int(rng.integers(1 << 30)))
+        out = np.asarray(out)
+        mask = np.asarray(xt.unpack_bitmask(np.asarray(pmask), m, n))
+        ok = (np.allclose(out[mask], xp[mask] / (1 - p), rtol=1e-5)
+              and np.all(out[~mask] == 0))
+        inv = xt.dispatch_meltw_unary(UnaryType.DROPOUT_INV, m, n,
+                                      UnaryFlags.BITMASK_2BYTEMULT,
+                                      extra=(p,))
+        g = rng.standard_normal((m, n)).astype(np.float32)
+        giv = np.asarray(inv(g, np.asarray(pmask)))
+        ok = ok and np.allclose(giv[mask], g[mask] / (1 - p), rtol=1e-5) \
+            and np.all(giv[~mask] == 0)
+        print(f"{'OK  ' if ok else 'FAIL'} {'dropout p=%.2f' % p:28s} "
+              f"{m:4d}x{n:<4d} keep={mask.mean():.2f}")
+        return bool(ok)
+    if kind == "gather":
+        # unary_gather_scatter driver: gather then scatter back
+        cols = bool(rng.integers(2))
+        axis_len = n if cols else m
+        nidx = int(rng.integers(1, axis_len + 1))
+        idx = rng.choice(axis_len, nidx, replace=False).astype(np.int32)
+        flags = UnaryFlags.GS_COLS if cols else UnaryFlags.GS_ROWS
+        gat = xt.dispatch_meltw_unary(UnaryType.GATHER, m, n, flags)
+        out = np.asarray(gat(x, idx))
+        ref = x[:, idx] if cols else x[idx, :]
+        ok = np.array_equal(out, ref)
+        sca = xt.dispatch_meltw_unary(UnaryType.SCATTER, m, n, flags)
+        base = np.zeros_like(x)
+        back = np.asarray(sca(out, idx, base))
+        ref2 = base.copy()
+        if cols:
+            ref2[:, idx] = ref
+        else:
+            ref2[idx, :] = ref
+        ok = ok and np.array_equal(back, ref2)
+        label = f"gather/scatter {'cols' if cols else 'rows'}"
+        print(f"{'OK  ' if ok else 'FAIL'} {label:28s} {m:4d}x{n:<4d} "
+              f"nidx={nidx}")
+        return bool(ok)
+    if kind == "quant":
+        # quant drivers: i8 QUANT (sign-sat) -> DEQUANT roundtrip
+        from libxsmm_tpu.dtypes import Datatype
+        scale = float(rng.uniform(4.0, 64.0))
+        q = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n,
+                                    UnaryFlags.SIGN_SAT_QUANT,
+                                    out_type=Datatype.I8)
+        dq = xt.dispatch_meltw_unary(UnaryType.DEQUANT, m, n,
+                                     in_type=Datatype.I8)
+        qx = np.asarray(q(x, scale))
+        ref_q = np.clip(np.round(x * scale), -128, 127).astype(np.int8)
+        back = np.asarray(dq(qx, 1.0 / scale))   # DEQUANT multiplies by scf
+        ok = (np.array_equal(qx, ref_q)
+              and np.allclose(back, ref_q.astype(np.float32) / scale,
+                              rtol=1e-6))
+        print(f"{'OK  ' if ok else 'FAIL'} {'quant i8 s=%.1f' % scale:28s} "
+              f"{m:4d}x{n:<4d} linf={np.abs(back - x).max():.3f}")
+        return bool(ok)
     if kind == "grad":
         # the gradient-kernel family with the reference ABI: forward emits
         # the packed bitmask, backward consumes it with a runtime alpha
