@@ -132,6 +132,33 @@ def _gen_spgemm(spec: dict, bench: bool) -> str:
             GemmShape(a.shape[0], n, a.shape[1]), GemmFlags.BETA_0,
             row_ptr=csr.indptr, column_idx=csr.indices, values=csr.data)
         return f"csr_areg {kern.name} nnz={csr.nnz}"
+    if kind == "csc":
+        # the reference CLI's `sparse` mode: CSC .mtx -> B-sparse packed
+        # kernel (documentation/libxsmm_be.md; generator_spgemm + csc
+        # reader). The .mtx holds B (k x n); m comes from the spec.
+        from ..ops.sparse import CscMatrix, create_packed_spgemm_csc
+        from ..descriptor import GemmFlags, GemmShape
+        m = int(spec.get("m", 16))
+        csc = CscMatrix.from_dense(a)
+        kern = create_packed_spgemm_csc(
+            GemmShape(m, a.shape[1], a.shape[0]), GemmFlags.BETA_0,
+            column_ptr=csc.indptr, row_idx=csc.indices)
+        return f"csc {kern.name} nnz={csc.nnz}"
+    if kind == "bcsc":
+        # BCSC B-sparse from .mtx with block shape + lowering strategy
+        # (the xgemm_sparse workload as an offline-precompile target)
+        from ..ops.sparse import BcscMatrix, create_packed_spgemm_bcsc
+        from ..descriptor import GemmFlags, GemmShape, SpgemmConfig
+        m = int(spec.get("m", 128))
+        bk = int(spec.get("bk", 32))
+        bn = int(spec.get("bn", 32))
+        bcsc = BcscMatrix.from_dense(a, bk, bn)
+        kern = create_packed_spgemm_bcsc(
+            GemmShape(m, a.shape[1], a.shape[0]), GemmFlags.BETA_0,
+            SpgemmConfig(1, bk, bn), column_ptr=bcsc.indptr,
+            row_idx=bcsc.indices,
+            strategy=spec.get("strategy", "dense"))
+        return f"bcsc {kern.name} nblocks={bcsc.nblocks} b{bk}x{bn}"
     raise ValueError(f"unknown spgemm kind: {kind}")
 
 

@@ -35,12 +35,21 @@ def test_cli_spgemm_mtx(tmp_path, capsys):
     mtx = tmp_path / "op.mtx"
     write_mtx(str(mtx), a)
     manifest = tmp_path / "m.json"
+    # bcsc needs block-aligned dims: a second 64x64 operand
+    ab = rng.standard_normal((64, 64)).astype(np.float32)
+    ab[rng.random((64, 64)) > 0.3] = 0.0
+    mtxb = tmp_path / "opb.mtx"
+    write_mtx(str(mtxb), ab)
     manifest.write_text(json.dumps({"spgemm": [
         {"kind": "fsspmdm", "mtx": str(mtx), "n": 64},
         {"kind": "csr_areg", "mtx": str(mtx), "n": 64},
+        {"kind": "csc", "mtx": str(mtx), "m": 16},
+        {"kind": "bcsc", "mtx": str(mtxb), "m": 128, "bk": 32, "bn": 32},
     ]}))
     assert main([str(manifest)]) == 0
     out = capsys.readouterr().out
     assert "fsspmdm 24x64x16" in out
     assert "csr_areg" in out
-    assert "2 kernels compiled" in out
+    assert "csc " in out
+    assert "bcsc " in out
+    assert "4 kernels compiled" in out
