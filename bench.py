@@ -259,7 +259,12 @@ def make_brgemm_case():
     solcands = []
     for sg in (4, 8, 16, 32):
         c_ = build_packed_brgemm_sol(desc, br, step_groups=sg)
-        solcands.append(lambda b_, c_=c_: c_(a_packed, b_))
+        if c_ is not None:       # unsupported desc/br split -> no SoL twin
+            solcands.append(lambda b_, c_=c_: c_(a_packed, b_))
+    if not solcands:
+        # degrade gracefully: measure the kernel against itself (frac 1.0)
+        # rather than crash the whole bench on an unsupported twin
+        solcands = [lambda b_: kern(b_)]
     solfn, _ = _pick_variant(solcands, (b0,))
 
     def step(b):

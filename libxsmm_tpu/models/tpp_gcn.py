@@ -78,9 +78,17 @@ def bsr_spmm(plan, h, num_block_rows: int):
     hb = h.reshape(-1, br, n)
     gathered = jnp.take(hb, cols, axis=0)               # (E, br, n)
     contrib = jnp.einsum("eij,ejn->ein", blocks.astype(h.dtype), gathered,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=_pass_precision(h.dtype))
     acc = jax.ops.segment_sum(contrib, rows, num_segments=num_block_rows)
     return acc.reshape(num_block_rows * br, n).astype(h.dtype)
+
+
+def _pass_precision(dtype) -> jax.lax.Precision:
+    """MXU pass precision per the library policy (ops/gemm.matmul_precision):
+    f32 operands must not silently run as bf16 passes on TPU."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
 def init_params(cfg: GcnConfig, seed: int = 0) -> List[dict]:
@@ -95,7 +103,8 @@ def init_params(cfg: GcnConfig, seed: int = 0) -> List[dict]:
 
 def forward(params: List[dict], plan, num_block_rows: int, h, cfg: GcnConfig):
     for i, layer in enumerate(params):
-        hw = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
+        hw = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32,
+                     precision=_pass_precision(h.dtype))
         hw = bsr_spmm(plan, hw.astype(h.dtype), num_block_rows)
         acc = hw.astype(jnp.float32) + layer["b"][None, :]
         if i < len(params) - 1:

@@ -34,6 +34,7 @@ from typing import Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..descriptor import (BinaryFlags, BinaryType, TernaryFlags, TernaryType,
                           UnaryFlags, UnaryType)
@@ -239,15 +240,12 @@ def _meta_idx(idx) -> int:
     return idx.eqn_idx if isinstance(idx, MeqnOpMetadata) else idx
 
 
-_IDX_OPS = None
+_IDX_OPS = (UnaryType.GATHER, UnaryType.REDUCE_COLS_IDX_OP_ADD,
+            UnaryType.REDUCE_COLS_IDX_OP_MAX,
+            UnaryType.REDUCE_COLS_IDX_OP_MIN)
 
 
 def _needs_idx(op) -> bool:
-    global _IDX_OPS
-    if _IDX_OPS is None:
-        _IDX_OPS = (UnaryType.GATHER, UnaryType.REDUCE_COLS_IDX_OP_ADD,
-                    UnaryType.REDUCE_COLS_IDX_OP_MAX,
-                    UnaryType.REDUCE_COLS_IDX_OP_MIN)
     return op in _IDX_OPS
 
 
@@ -459,10 +457,10 @@ def dispatch_meqn(idx: int, out_m=None, out_n: int = None,
         # shape (propagated bottom-up from the arg nodes), not the root's:
         # a matmul feeding a reduce, or one whose operands are themselves
         # op nodes, would otherwise be counted at the wrong dims.
-        def _matmul_dims(node):
+        def _matmul_dims(node, idx_lens):
             """(m, n, k) of a MATMUL/BRGEMM node after transpose flags."""
-            (am, an) = _node_shape(node.children[0])
-            (bm, bn) = _node_shape(node.children[1])
+            (am, an) = _node_shape(node.children[0], idx_lens)
+            (bm, bn) = _node_shape(node.children[1], idx_lens)
             name = node.op.name
             if "A_TRANS" in name or "A_VNNI_TRANS" in name:
                 am, an = an, am
@@ -470,37 +468,80 @@ def dispatch_meqn(idx: int, out_m=None, out_n: int = None,
                 bm, bn = bn, bm
             return am, bn, an
 
-        def _node_shape(node):
+        def _node_shape(node, idx_lens):
             if node.kind == "arg":
                 return node.m, node.n
             name = node.op.name
             if (node.kind in ("binary", "ternary")
                     and (name.startswith("MATMUL")
                          or name.startswith("BRGEMM"))):
-                m_, n_, _k = _matmul_dims(node)
+                m_, n_, _k = _matmul_dims(node, idx_lens)
                 return m_, n_
             if "REDUCE_TO_SCALAR" in name:
                 return 1, 1
-            shapes = [_node_shape(c) for c in node.children]
+            if node.kind == "unary" and _needs_idx(node.op):
+                # index-consuming nodes shrink the tensor: cost them (and
+                # everything above) at the POST-gather dims, not the
+                # child's. GATHER's gathered count is the index-vector
+                # length — unknown until the kernel sees real args
+                # (idx_lens, refined on first call); the reduce variants
+                # are statically (1, child_n).
+                cm, cn = _node_shape(node.children[0], idx_lens)
+                if node.op != UnaryType.GATHER:
+                    return 1, cn
+                g = idx_lens.get(node.op_arg_pos) if idx_lens else None
+                if UnaryFlags(node.flags) & UnaryFlags.GS_COLS:
+                    return cm, (g if g is not None else cn)
+                return (g if g is not None else cm), cn
+            shapes = [_node_shape(c, idx_lens) for c in node.children]
             return (max(s[0] for s in shapes),   # eltwise broadcast
                     max(s[1] for s in shapes))
 
-        def _nflops(node):
-            total = sum(_nflops(c) for c in node.children)
+        def _nflops(node, idx_lens=None):
+            total = sum(_nflops(c, idx_lens) for c in node.children)
             if node.kind == "arg":
                 return 0
             name = node.op.name
             if (node.kind in ("binary", "ternary")
                     and (name.startswith("MATMUL")
                          or name.startswith("BRGEMM"))):
-                m_, n_, k_ = _matmul_dims(node)
+                m_, n_, k_ = _matmul_dims(node, idx_lens)
                 return total + 2 * m_ * n_ * max(1, k_)
-            m_, n_ = _node_shape(node)
+            if (node.kind == "unary" and _needs_idx(node.op)
+                    and node.op != UnaryType.GATHER):
+                # idx-reduce reads len(idx) gathered rows of the child:
+                # cost input work, not the (1, n) output
+                _cm, cn = _node_shape(node.children[0], idx_lens)
+                g = (idx_lens or {}).get(node.op_arg_pos)
+                return total + (g if g is not None else _cm) * cn
+            m_, n_ = _node_shape(node, idx_lens)
             return total + m_ * n_
+
+        def _gather_positions(node, out):
+            if (node.kind == "unary" and _needs_idx(node.op)
+                    and node.op_arg_pos >= 0):
+                out.add(node.op_arg_pos)
+            for c in node.children:
+                _gather_positions(c, out)
+            return out
 
         info = KernelInfo(kind="meqn", nflops=max(out_m * out_n,
                                                   _nflops(root)))
-        return Kernel(fn=jax.jit(run), descriptor=desc, info=info,
+        jfn = jax.jit(run)
+        gpos = _gather_positions(root, set())
+        if gpos:
+            # refine nflops once the index-vector lengths are known
+            refined = []
+
+            def fn(*args):
+                if not refined:
+                    lens = {p: int(np.prod(np.shape(args[p]))) for p in gpos}
+                    info.nflops = max(out_m * out_n, _nflops(root, lens))
+                    refined.append(True)
+                return jfn(*args)
+        else:
+            fn = jfn
+        return Kernel(fn=fn, descriptor=desc, info=info,
                       name=f"meqn_{out_m}x{out_n}")
 
     return get_registry().dispatch(desc, _build)

@@ -36,10 +36,26 @@ def rne_convert_fp32_bf16(x):
     return jnp.asarray(x, jnp.float32).astype(jnp.bfloat16)
 
 
-def truncate_convert_fp32_bf16(x):
-    """Truncation mode: drop the low 16 bits."""
+def _bf16_round_bits_prep(x):
+    """Shared edge handling of the reference bf16 converters
+    (libxsmm_convert_f32_to_bf16_{truncate,rnaz}, src/libxsmm_math.c:646-682):
+    DAZ (denormals flush to signed zero) and a non-finite mask so Inf/NaN
+    are never rounded (NaN payloads get the quiet bit 0x00400000 instead).
+    Returns (bits, nonfinite_mask)."""
     bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
                                         jnp.uint32)
+    denorm = (bits & jnp.uint32(0x7F800000)) == 0
+    bits = jnp.where(denorm, bits & jnp.uint32(0x80000000), bits)
+    nonfinite = (bits & jnp.uint32(0x7F800000)) == jnp.uint32(0x7F800000)
+    is_nan = nonfinite & ((bits & jnp.uint32(0x007FFFFF)) != 0)
+    bits = jnp.where(is_nan, bits | jnp.uint32(0x00400000), bits)
+    return bits, nonfinite
+
+
+def truncate_convert_fp32_bf16(x):
+    """Truncation mode: drop the low 16 bits (DAZ; Inf/NaN pass through
+    unrounded with NaN quieted, libxsmm_convert_f32_to_bf16_truncate)."""
+    bits, _ = _bf16_round_bits_prep(x)
     bits = bits & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
 
@@ -70,12 +86,13 @@ def convert_hf8_fp32(x):
 
 def rnaz_convert_fp32_bf16(x):
     """Round-nearest-away-from-zero f32 -> bf16
-    (libxsmm_rnaz_convert_fp32_bf16, src/libxsmm_lpflt_quant.c): add
-    0x8000 to the magnitude bits, then truncate. Differs from RNE only at
-    exact ties."""
-    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
-                                        jnp.uint32)
-    bits = (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+    (libxsmm_rnaz_convert_fp32_bf16, src/libxsmm_lpflt_quant.c:236 /
+    libxsmm_convert_f32_to_bf16_rnaz, src/libxsmm_math.c:665): DAZ, then
+    add 0x8000 to the magnitude bits and truncate — except Inf/NaN, which
+    are never rounded (NaN quieted). Differs from RNE only at exact ties."""
+    bits, nonfinite = _bf16_round_bits_prep(x)
+    rounded = bits + jnp.uint32(0x8000)
+    bits = jnp.where(nonfinite, bits, rounded) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
 
 

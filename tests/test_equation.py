@@ -522,3 +522,35 @@ def test_equation_set_args_brgemm():
             create_meqn_arg_metadata(meqn_create(), 0),
             create_meqn_arg_shape(m, k, 0),
             create_matrix_arg_attributes(arg_type=1, set_type=9))
+
+
+def test_equation_nflops_gather_refined():
+    """Index-consuming nodes are costed at POST-gather dims: the static
+    estimate can't know the index length, so the kernel refines nflops on
+    its first call from the real index vector (gather_dot shape: ops above
+    the GATHER cost m*ncols, not m*n)."""
+    m, n, ncols = 16, 64, 8
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.REDUCE_X_OP_ADD,
+                            flags=UnaryFlags.REDUCE_COLS)
+    meqn_push_back_binary_op(idx, BinaryType.MUL)
+    meqn_push_back_unary_op(idx, UnaryType.GATHER,
+                            flags=UnaryFlags.GS_COLS, op_arg_pos=2)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, ncols, in_pos=1)
+    kern = dispatch_meqn(idx, 1, ncols)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((m, n)).astype(np.float32)
+    y = rng.standard_normal((m, ncols)).astype(np.float32)
+    cols = rng.choice(n, ncols, replace=False).astype(np.int32)
+    out = np.asarray(kern(x, y, cols))
+    np.testing.assert_allclose(out, (x[:, cols] * y).sum(axis=0,
+                                                         keepdims=True),
+                               rtol=1e-4)
+    from libxsmm_tpu import get_kernel_info
+    nf = get_kernel_info(kern).nflops
+    # gather m*ncols + mul m*ncols + reduce input m*ncols — the naive
+    # pre-gather costing would put the gather and everything above at m*n
+    want = 3 * m * ncols
+    assert nf == want, (nf, want)
+    meqn_destroy(idx)

@@ -148,3 +148,25 @@ def test_fp6_encode_rne_ties_to_even():
     # non-tie values still round nearest
     c2 = np.asarray(quant.fp6_encode(np.float32([1.126, 1.374]), "e3m2"))
     assert int(c2[0]) == 13 and int(c2[1]) == 13
+
+
+def test_bf16_rnaz_truncate_nonfinite_edges():
+    """Inf/NaN are never rounded and denormals flush to signed zero
+    (libxsmm_convert_f32_to_bf16_{rnaz,truncate}, src/libxsmm_math.c:646-682):
+    a NaN whose payload lives only in the low mantissa bits must stay NaN
+    under rnaz (naive +0x8000 would overflow it to Inf)."""
+    low_nan = np.uint32(0x7F800001).view(np.float32)      # sNaN, low payload
+    for conv in (quant.rnaz_convert_fp32_bf16,
+                 quant.truncate_convert_fp32_bf16):
+        assert np.isnan(float(conv(low_nan))), conv.__name__
+        assert float(conv(np.float32(np.inf))) == np.inf
+        assert float(conv(np.float32(-np.inf))) == -np.inf
+        # DAZ: denormal input -> signed zero
+        den = np.uint32(0x00008000).view(np.float32)
+        assert float(conv(den)) == 0.0
+        neg = np.uint32(0x80008000).view(np.float32)
+        out = float(conv(neg))
+        assert out == 0.0 and np.signbit(np.float32(out))
+    # rnaz still rounds ties away from zero on finite values
+    x = np.float32(1.00390625)  # exact tie between 1.0 and 1.0078125
+    assert float(quant.rnaz_convert_fp32_bf16(x)) == 1.0078125
