@@ -163,9 +163,76 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
     return fn
 
 
+def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
+                          W: int) -> Optional[np.ndarray]:
+    """Greedy block-column clustering for the union kernel.
+
+    The union kernel's compute scales with the MAX per-group k-union U
+    (the rhs/scratch shapes are static over the worst group), so grouping
+    ADJACENT block-columns — whose row supports are unrelated for a random
+    pattern — pays union(W independent supports) ~ 1-(1-d)^W everywhere.
+    Grouping columns with SIMILAR supports instead drives each group's
+    union toward max(|support|). Greedy balanced assignment: place columns
+    in decreasing support order into the non-full group whose union grows
+    least (ties: smallest union). Python-int bitmasks make union/popcount
+    O(kb/64) words.
+
+    Plays the role of the reference's create-time block sequencing freedom
+    (the JIT emits whatever block order it likes,
+    generator_packed_spgemm_bcsc_bsparse_avx_avx2_avx512_amx.c) — lane
+    packing makes column ORDER a free variable on TPU too; the cost is one
+    (m, n) column gather to restore the caller's order.
+
+    Returns the permuted block-column order (len nb), or None when the
+    permutation does not strictly reduce the max union.
+    """
+    nb = len(indptr) - 1
+    if nb % W:
+        return None
+    nsg = nb // W
+    masks = []
+    for j in range(nb):
+        mask = 0
+        for r in indices[int(indptr[j]):int(indptr[j + 1])]:
+            mask |= 1 << int(r)
+        masks.append(mask)
+
+    def max_union(groups_cols):
+        worst = 1
+        for cols in groups_cols:
+            u = 0
+            for j in cols:
+                u |= masks[j]
+            worst = max(worst, u.bit_count())
+        return worst
+
+    base = max_union([range(g * W, (g + 1) * W) for g in range(nsg)])
+
+    order = sorted(range(nb), key=lambda j: -masks[j].bit_count())
+    groups: list = [[] for _ in range(nsg)]
+    gmasks = [0] * nsg
+    for j in order:
+        best, bestcost = None, None
+        mj = masks[j]
+        for g in range(nsg):
+            if len(groups[g]) == W:
+                continue
+            u = gmasks[g] | mj
+            cost = (u.bit_count() - gmasks[g].bit_count(), u.bit_count())
+            if bestcost is None or cost < bestcost:
+                best, bestcost = g, cost
+        groups[best].append(j)
+        gmasks[best] |= mj
+    clustered = max(u.bit_count() for u in gmasks) if nsg else 1
+    if clustered >= base:
+        return None
+    return np.asarray([j for g in groups for j in g], np.int32)
+
+
 def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                           indptr: np.ndarray, indices: np.ndarray,
-                          double_buffer: bool = False
+                          double_buffer: bool = False,
+                          cluster: bool = True
                           ) -> Optional[Callable]:
     """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
 
@@ -215,6 +282,30 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     nb = n // bn
     nsg = n // 128
     nblocks = len(indices)
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+
+    # create-time block-column clustering: regroup columns to minimize the
+    # max per-group union (the quantity compute scales with); restore the
+    # caller's column order with one output gather
+    perm = _cluster_union_groups(indptr, indices, W) if cluster else None
+    if perm is not None:
+        counts = np.diff(indptr)[perm]
+        vmap = np.concatenate(
+            [np.arange(int(indptr[j]), int(indptr[j + 1]), dtype=np.int64)
+             for j in perm]) if nblocks else np.zeros(0, np.int64)
+        indices = indices[vmap] if nblocks else indices
+        indptr = np.concatenate(
+            [[0], np.cumsum(counts)]).astype(indptr.dtype)
+        # out column selector: original block-col j sits at group position
+        # inv[j] after permutation
+        inv = np.empty(nb, np.int64)
+        inv[perm] = np.arange(nb)
+        colsel = (inv[:, None] * bn
+                  + np.arange(bn)[None, :]).reshape(-1).astype(np.int32)
+        colsel_d = jax.device_put(jnp.asarray(colsel))
+    else:
+        vmap = None
 
     # per-group union of block-rows + value-gather map (host, create time)
     unions = []
@@ -238,7 +329,10 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
             for pos in range(int(indptr[j]), int(indptr[j + 1])):
                 r = int(indices[pos])
                 if r in rpos:
-                    gmap[g, rpos[r], wj] = pos
+                    # value indices address the caller's ORIGINAL value
+                    # array; map back through the clustering permutation
+                    gmap[g, rpos[r], wj] = (int(vmap[pos])
+                                            if vmap is not None else pos)
     krows_d = jax.device_put(jnp.asarray(krows.reshape(-1)))
     gmap_d = jax.device_put(jnp.asarray(gmap.reshape(-1)))
 
@@ -341,7 +435,7 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     @jax.jit
     @jax.named_scope(f"xsmm_pallas_bcsc_union{'2' if double_buffer else ''}"
                      f"_{m}x{n}x{k}_U{U}")
-    def run(krows_j, gmap_j, a, values):
+    def run(krows_j, gmap_j, colsel_j, a, values):
         if compactor is not None:
             v2d = jnp.concatenate(
                 [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
@@ -354,12 +448,20 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
             rhs = jnp.take(vpad, gmap_j, axis=0).reshape(nsg, U, W, bk, bn)
             rhs = rhs.transpose(0, 1, 3, 2, 4).reshape(nsg, U * bk, 128)
         at = a.astype(in_dt).T
-        return call(krows_j, at, rhs)
+        out = call(krows_j, at, rhs)
+        if colsel_j is not None:
+            # clustering permuted the lane groups; one column gather
+            # restores the caller's order (HBM-cheap vs the saved MXU work)
+            out = jnp.take(out, colsel_j, axis=1)
+        return out
+
+    csel = colsel_d if perm is not None else None
 
     def fn(a, values):
-        return run(krows_d, gmap_d, a, values)
+        return run(krows_d, gmap_d, csel, a, values)
 
     fn.union_panels = U            # introspection for tests/autotune logs
+    fn.clustered = perm is not None
     return fn
 
 

@@ -638,3 +638,53 @@ def test_fsspmdm_autotune_interleaved_and_revalidates(tmp_path, monkeypatch):
     assert h3.kind == "sparse"         # stable: probe agrees, no re-tune
     assert h3.tuned_us.get("cached") and not h3.tuned_us.get("revalidated")
     assert calls == [2, 2, 2, 2]
+
+
+def test_bcsc_union_clustering():
+    """Create-time block-column clustering: a pattern built from two
+    support families interleaved (adjacent grouping unions both families;
+    clustered grouping separates them) must (a) trigger the permutation,
+    (b) shrink the max union, (c) stay numerically exact vs the oracle."""
+    from libxsmm_tpu.descriptor import GemmFlags, GemmShape, SpgemmConfig
+    from libxsmm_tpu.kernels.spmm_pallas import (_cluster_union_groups,
+                                                 build_bcsc_spmm_union)
+
+    bk = bn = 32
+    m, n, k = 64, 256, 512
+    kb, nb = k // bk, n // bn            # 16 x 8 blocks, W=4, nsg=2
+    rng = np.random.default_rng(11)
+    famA = np.arange(0, 6)               # block-rows 0-5
+    famB = np.arange(8, 14)              # block-rows 8-13
+    cols = []
+    for j in range(nb):                  # interleave the families
+        fam = famA if j % 2 == 0 else famB
+        cols.append(np.sort(rng.choice(fam, 4, replace=False)))
+    indptr = np.arange(0, 4 * nb + 1, 4, dtype=np.int32)
+    indices = np.concatenate(cols).astype(np.int32)
+
+    perm = _cluster_union_groups(indptr, indices, 4)
+    assert perm is not None              # clustering must engage
+
+    shape = GemmShape(m, n, k)
+    values = rng.standard_normal((len(indices), bk, bn)).astype(np.float32)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    dense_b = np.zeros((k, n), np.float32)
+    for j in range(nb):
+        for pos in range(indptr[j], indptr[j + 1]):
+            r = indices[pos]
+            dense_b[r * bk:(r + 1) * bk, j * bn:(j + 1) * bn] = values[pos]
+    want = a @ dense_b
+
+    for db in (False, True):
+        fn = build_bcsc_spmm_union(shape, SpgemmConfig(1, bk, bn),
+                                   indptr, indices, double_buffer=db)
+        assert fn.clustered
+        base = build_bcsc_spmm_union(shape, SpgemmConfig(1, bk, bn),
+                                     indptr, indices, double_buffer=db,
+                                     cluster=False)
+        assert fn.union_panels < base.union_panels, (
+            fn.union_panels, base.union_panels)
+        np.testing.assert_allclose(np.asarray(fn(a, values)), want,
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(base(a, values)), want,
+                                   rtol=2e-5, atol=2e-5)
