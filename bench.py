@@ -465,6 +465,68 @@ def make_bcsc_case(density=0.2):
     return cases, (nnz, m)
 
 
+def make_bcsc_clustered_case():
+    """Union-kernel block-column clustering on a STRUCTURED pattern.
+
+    Random uniform patterns do not cluster (independent supports union to
+    the same size however you group them — measured <=1 panel saved at the
+    bench shapes), so the random-pattern bcsc cases cannot show the win.
+    Real fused-operator patterns (EDGE multi-physics, stacked PyFR modes)
+    have family structure: groups of columns share a row support. This
+    case builds a two-family pattern where ADJACENT grouping is pessimal
+    (columns alternate families, so every 128-lane group unions both) and
+    measures the same union kernel with clustering on vs off, interleaved.
+    The compute saving is the panel ratio; the report shows how much of it
+    survives the extra output column-gather."""
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.descriptor import GemmShape, SpgemmConfig
+    from libxsmm_tpu.dtypes import Datatype
+    from libxsmm_tpu.kernels.spmm_pallas import build_bcsc_spmm_union
+
+    rng = np.random.default_rng(7)
+    m, k, n, bk, bn = 1024, 1024, 1024, 32, 32
+    kb, nb = k // bk, n // bn
+    famA, famB = np.arange(0, 12), np.arange(16, 28)
+    cols = []
+    for j in range(nb):                  # alternate families: 6-7 of 12
+        fam = famA if j % 2 == 0 else famB   # rows -> overall density ~0.2
+        cols.append(np.sort(rng.choice(fam, int(6 + (j % 2)),
+                                       replace=False)))
+    indptr = np.concatenate(
+        [[0], np.cumsum([len(c) for c in cols])]).astype(np.int32)
+    indices = np.concatenate(cols).astype(np.int32)
+    shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32)
+    cfg = SpgemmConfig(1, bk, bn)
+    kerns = {}
+    for name, cl in (("clustered", True), ("unclustered", False)):
+        try:
+            kerns[name] = build_bcsc_spmm_union(shape, cfg, indptr, indices,
+                                                cluster=cl)
+        except Exception as e:
+            sys.stderr.write(f"bench: bcsc {name} unavailable: {e}\n")
+    panels = {s: getattr(f, "union_panels", None) for s, f in kerns.items()}
+    v = jnp.asarray(rng.standard_normal(
+        (len(indices), bk, bn)), jnp.bfloat16)
+    a0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+
+    def make_step(kern):
+        def step(vv):
+            out = kern(a0, vv)
+            z = (jnp.sum(out) * 0.0).astype(jnp.bfloat16)
+            return vv.at[0, 0, 0].add(z)
+        return step
+
+    cases = {}
+    for s, kern in kerns.items():
+        try:
+            cases[s] = ChainCase(make_step(kern), v)
+        except Exception as e:
+            sys.stderr.write(f"bench: bcsc {s} failed compile: {e}\n")
+    return cases, panels
+
+
 def main():
     import jax
 
@@ -500,11 +562,13 @@ def main():
     fsst_cases, (fsst_nnzn, fsst_kind) = make_fsspmdm_tall_case()
     bcsc_cases, (bcsc_nnz, bcsc_m) = make_bcsc_case(0.2)
     bcsc5_cases, (bcsc5_nnz, bcsc5_m) = make_bcsc_case(0.05)
+    bcl_cases, bcl_panels = make_bcsc_clustered_case()
 
     cases = [copy_case, pf32_case, pbf16_case, smm_case, sol_case,
              brg_case, brg_sol_case, brgf_case, fss_case] \
         + list(fsst_cases.values()) \
-        + list(bcsc_cases.values()) + list(bcsc5_cases.values())
+        + list(bcsc_cases.values()) + list(bcsc5_cases.values()) \
+        + list(bcl_cases.values())
     # Interleave over time windows (the device is time-shared with >10x
     # minute-scale swings, including WITHIN a round — a per-round ratio is
     # noisy in both directions). Run all cases for ROUNDS windows, then
@@ -647,6 +711,14 @@ def main():
             "bcsc_useful_peak_fraction": bcsc_peak_frac,
             "bcsc_useful_peak_by_strategy": bcsc_frac_by,
             "bcsc_d05_useful_peak_by_strategy": bcsc5_frac_by,
+            # structured-pattern clustering: time(unclustered)/time(
+            # clustered), median of same-window ratios; the compute-side
+            # ceiling is the panel ratio (clustering only pays when
+            # patterns have column-family structure — random ones do not)
+            "bcsc_clustered_speedup": (round(paired_ratio(
+                bcl_cases["clustered"], bcl_cases["unclustered"]), 3)
+                if len(bcl_cases) == 2 else None),
+            "bcsc_clustered_panels": bcl_panels,
             "dispatch_us": round(dispatch_us, 3),
         },
     }
