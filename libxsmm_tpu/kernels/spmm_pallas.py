@@ -187,7 +187,7 @@ def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
     permutation does not strictly reduce the max union.
     """
     nb = len(indptr) - 1
-    if nb % W:
+    if nb % W or len(indices) == 0:
         return None
     nsg = nb // W
     masks = []
