@@ -45,7 +45,13 @@ from .rng import (RngState, create_extstate as rng_create_extstate,
                   lsfr_i32, rand_u32 as rng_u32, rand_u64 as rng_u64,
                   rng_f64, rng_seq, set_seed as rng_set_seed)
 from .quant import (convert_bf16_f32, convert_bf16_fp32, convert_bf8_f32,
-                    convert_bf8_fp32, convert_f16_f32, convert_f16_fp32,
+                    convert_bf8_fp32, convert_bf16_to_f32, convert_bf8_to_f32,
+                    convert_f16_to_f32, convert_hf8_to_f32,
+                    convert_f16_to_hf8_rne, convert_f32_to_bf16_rnaz,
+                    convert_f32_to_bf16_rne, convert_f32_to_bf16_truncate,
+                    convert_f32_to_bf8_rne, convert_f32_to_bf8_stochastic,
+                    convert_f32_to_f16, convert_f32_to_hf8_rne,
+                    convert_f16_f32, convert_f16_fp32,
                     convert_fp32_f16, convert_hf8_f32, convert_hf8_fp32,
                     dequantize_i16, quantize_i16, rnaz_convert_fp32_bf16,
                     rne_convert_f16_hf8, rne_convert_fp32_bf16,
@@ -142,6 +148,38 @@ def xclear():
     reg = get_registry()
     for key, _ in list(reg.items()):
         reg.xrelease(key)
+
+
+def malloc(size: int):
+    """libxsmm_malloc analogue (include/libxsmm_malloc.h:17): default-
+    aligned host buffer; pair with free()."""
+    return aligned_malloc(size)
+
+
+def dispatch_meltw(descriptor: MeltwDescriptor) -> Kernel:
+    """libxsmm_dispatch_meltw analogue (src/libxsmm_main.c:3449): generic
+    dispatch from a MeltwDescriptor (meltw_descriptor_init/2), routing on
+    the descriptor's operation arity like the reference routes on
+    descriptor->operation."""
+    d = descriptor
+    if d.operation == "unary":
+        return dispatch_meltw_unary(
+            d.op_type, d.m, d.n, d.flags, d.in_type, d.out_type,
+            d.comp_type, d.extra)
+    if d.operation == "binary":
+        shape = MeltwBinaryShape(
+            d.m, d.n, in0_type=d.in_type,
+            in1_type=d.in1_type if d.in1_type is not None else d.in_type,
+            out_type=d.out_type, comp_type=d.comp_type)
+        return dispatch_meltw_binary(d.op_type, shape, int(d.flags))
+    if d.operation == "ternary":
+        shape = MeltwTernaryShape(
+            d.m, d.n, in0_type=d.in_type,
+            in1_type=d.in1_type if d.in1_type is not None else d.in_type,
+            in2_type=d.in2_type if d.in2_type is not None else d.in_type,
+            out_type=d.out_type, comp_type=d.comp_type)
+        return dispatch_meltw_ternary(d.op_type, shape, int(d.flags))
+    raise ValueError(f"unknown meltw operation {d.operation!r}")
 
 
 def cpuid():

@@ -589,3 +589,92 @@ def test_descriptor_init_family():
                                  op_type=x.UnaryType.RELU, operation="bad")
     q = x.meqn_descriptor_init(x.Datatype.F32, 4, 8, eqn_idx=3)
     assert q == (3, 4, 8, x.Datatype.F32)
+
+
+# ---------------------------------------------------------------------------
+# full public-symbol sweep vs the reference headers
+# ---------------------------------------------------------------------------
+
+_REF_HEADERS = [
+    "/root/reference/include/libxsmm.h",
+    "/root/reference/include/libxsmm_fsspmdm.h",
+    "/root/reference/include/libxsmm_math.h",
+    "/root/reference/include/libxsmm_malloc.h",
+    "/root/reference/include/libxsmm_memory.h",
+]
+
+
+@pytest.mark.skipif(not all(map(__import__("os").path.isfile, _REF_HEADERS)),
+                    reason="reference headers not present")
+def test_reference_symbol_sweep():
+    """Every LIBXSMM_API function in the reference's primary public headers
+    must resolve to a same-name attribute on the package (the libxsmm_
+    prefix becomes the module namespace). This is the machine-checked form
+    of docs/PARITY.md's symbol table: a reference user porting code finds
+    every entry point by its own name."""
+    import re
+
+    syms = set()
+    for path in _REF_HEADERS:
+        with open(path) as f:
+            text = f.read()
+        syms.update(re.findall(
+            r"LIBXSMM_API[A-Z_]*\s+[A-Za-z_*][A-Za-z0-9_* ]*?"
+            r"\b(libxsmm_[a-z0-9_]+)\(", text))
+    assert len(syms) > 100          # the sweep found the real surface
+    missing = sorted(s for s in syms
+                     if not hasattr(x, s[len("libxsmm_"):])
+                     and not hasattr(x, s))
+    assert not missing, f"no same-name analogue for: {missing}"
+
+
+def test_dispatch_meltw_generic_router():
+    """libxsmm_dispatch_meltw (src/libxsmm_main.c:3449): dispatch from a
+    descriptor routes on operation arity and executes correctly."""
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((8, 16)).astype(np.float32)
+    b = rng.standard_normal((8, 16)).astype(np.float32)
+    c = rng.standard_normal((8, 16)).astype(np.float32)
+
+    du = x.meltw_descriptor_init(x.Datatype.F32, x.Datatype.F32, 8, 16,
+                                 op_type=x.UnaryType.RELU)
+    ku = x.dispatch_meltw(du)
+    np.testing.assert_allclose(np.asarray(ku(a)), np.maximum(a, 0.0),
+                               rtol=1e-6)
+
+    db = x.meltw_descriptor_init2(
+        x.Datatype.F32, x.Datatype.F32, None, x.Datatype.F32,
+        x.Datatype.F32, 8, 16, op_type=x.BinaryType.ADD, operation="binary")
+    kb = x.dispatch_meltw(db)
+    np.testing.assert_allclose(np.asarray(kb(a, b)), a + b, rtol=1e-6)
+
+    dt = x.meltw_descriptor_init2(
+        x.Datatype.F32, x.Datatype.F32, x.Datatype.F32, x.Datatype.F32,
+        x.Datatype.F32, 8, 16, op_type=x.TernaryType.MULADD,
+        operation="ternary")
+    kt = x.dispatch_meltw(dt)
+    np.testing.assert_allclose(np.asarray(kt(a, b, c)), a * b + c,
+                               rtol=1e-5, atol=1e-5)
+
+    bad = x.meltw_descriptor_init(x.Datatype.F32, x.Datatype.F32, 8, 16,
+                                  op_type=x.UnaryType.RELU)
+    object.__setattr__(bad, "operation", "quaternary")
+    with pytest.raises(ValueError):
+        x.dispatch_meltw(bad)
+
+
+def test_convert_to_f32_aliases_and_malloc():
+    """Exact-name aliases from the reference headers: the _to_ converter
+    spellings (include/libxsmm.h) and plain malloc (libxsmm_malloc.h)."""
+    import jax.numpy as jnp
+
+    v = np.asarray([1.0, -2.5, 0.0, 3.25], np.float32)
+    bf = jnp.asarray(v, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(x.convert_bf16_to_f32(bf)),
+                               np.asarray(bf, np.float32))
+    f16 = jnp.asarray(v, jnp.float16)
+    np.testing.assert_allclose(np.asarray(x.convert_f16_to_f32(f16)),
+                               np.asarray(f16, np.float32))
+    buf = x.malloc(100)
+    assert buf.size >= 100
+    x.free(buf)
