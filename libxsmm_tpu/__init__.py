@@ -28,9 +28,9 @@ from .descriptor import (gemm_descriptor_init, gemm_descriptor_init_brgemm,
                          gemm_descriptor_init_brgemm_ext,
                          gemm_descriptor_init_gemm, meltw_descriptor_init,
                          meltw_descriptor_init2, meqn_descriptor_init)
-from .device import (cpuid_dot_pack_factor, cpuid_id, cpuid_name,
-                     cpuid_vlen32, get_geometry, get_target_archid, on_tpu,
-                     set_target_archid)
+from .device import (cpuid_arm, cpuid_dot_pack_factor, cpuid_id, cpuid_name,
+                     cpuid_rv64, cpuid_vlen32, cpuid_x86, get_geometry,
+                     get_target_archid, on_tpu, set_target_archid)
 from .dtypes import (Datatype, from_jnp, get_typename, to_jnp, typesize)
 from .matdiff import (MatdiffInfo, matdiff, matdiff_clear, matdiff_epsilon,
                       matdiff_reduce)
@@ -108,6 +108,22 @@ from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
                          create_packed_spgemm_csr, create_spgemm_csr_areg)
 from .ops.packed import (create_packed_gemm, create_packed_gemm_ac_rm,
                          create_packed_gemm_bc_rm)
+from .generator import (GeneratedCode, XsmmGeneratorError,
+                        generator_gemm_directasm, generator_gemm_inlineasm,
+                        generator_gemm_kernel,
+                        generator_gemm_reference_kernel,
+                        generator_mateltwise_kernel,
+                        generator_mateltwise_reference_kernel,
+                        generator_matequation_kernel,
+                        generator_matequation_reference_kernel,
+                        generator_packed_gemm, generator_packed_gemm_ac_rm,
+                        generator_packed_gemm_bc_rm,
+                        generator_packed_spgemm_bcsc_kernel,
+                        generator_packed_spgemm_csc_kernel,
+                        generator_packed_spgemm_csr_kernel,
+                        generator_spgemm, generator_spgemm_csc_kernel,
+                        generator_spgemm_csr_kernel,
+                        generator_spgemm_csr_reg_kernel, strerror)
 from .ops.equation import meqn_rpn_print
 
 __version__ = "0.1.0"

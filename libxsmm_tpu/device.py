@@ -162,6 +162,29 @@ def cpuid_dot_pack_factor(itemsize_or_dtype) -> int:
     return {4: 1, 2: 2, 1: 4}.get(item, 1)
 
 
+def cpuid_x86(info=None) -> int:
+    """libxsmm_cpuid_x86 analogue (include/libxsmm_cpuid.h:71): the host
+    here is never an x86 JIT target — returns 0 (the reference's
+    LIBXSMM_TARGET_ARCH_UNKNOWN for a non-matching ISA family). The
+    conceptually arch-neutral probe is cpuid()/get_target_archid()."""
+    del info
+    return 0
+
+
+def cpuid_arm(info=None) -> int:
+    """libxsmm_cpuid_arm analogue (include/libxsmm_cpuid.h:72): see
+    cpuid_x86 — not an AArch64 JIT target, returns 0."""
+    del info
+    return 0
+
+
+def cpuid_rv64(info=None) -> int:
+    """libxsmm_cpuid_rv64 analogue (include/libxsmm_cpuid.h:132): see
+    cpuid_x86 — not an RV64 JIT target, returns 0."""
+    del info
+    return 0
+
+
 def cpuid_vlen32(archid: Optional[int] = None) -> int:
     """libxsmm_cpuid_vlen32 analogue (include/libxsmm_cpuid.h:123): 32-bit
     elements per vector register -> per VPU lane row here (always 128

@@ -601,7 +601,40 @@ _REF_HEADERS = [
     "/root/reference/include/libxsmm_math.h",
     "/root/reference/include/libxsmm_malloc.h",
     "/root/reference/include/libxsmm_memory.h",
+    "/root/reference/include/libxsmm_generator.h",
+    "/root/reference/include/libxsmm_cpuid.h",
+    "/root/reference/include/libxsmm_sync.h",
+    "/root/reference/include/libxsmm_macros.h",
+    "/root/reference/include/utils/libxsmm_barrier.h",
+    "/root/reference/include/utils/libxsmm_lpflt_quant.h",
+    "/root/reference/include/utils/libxsmm_math.h",
+    "/root/reference/include/utils/libxsmm_timer.h",
 ]
+
+# Documented N/A (docs/PARITY.md): per-ISA JIT tuning knobs whose subject
+# matter (x86 AMX/ACE prefetch + blocking, ARM bfdot/i8dot/MMLA stack
+# packing, RV64 prefetch strides) does not exist on TPU — the analogous
+# per-generation knobs live in device.TpuGeometry / config env tiers —
+# plus a C const-laundering helper with no Python meaning.
+_KNOWN_NA = {
+    "libxsmm_cpuid_arm_mmla_gemm_pack_b_to_vnnit_on_stack",
+    "libxsmm_cpuid_arm_use_bfdot",
+    "libxsmm_cpuid_arm_use_i8dot",
+    "libxsmm_cpuid_rv64_gemm_m_prefetch_stride",
+    "libxsmm_cpuid_rv64_gemm_prefetch_a",
+    "libxsmm_cpuid_rv64_gemm_prefetch_b",
+    "libxsmm_cpuid_rv64_gemm_prefetch_reuse_a",
+    "libxsmm_cpuid_rv64_gemm_prefetch_reuse_b",
+    "libxsmm_cpuid_rv64_gemm_prefetch_reuse_c",
+    "libxsmm_cpuid_x86_amx_gemm_enforce_mx1_tile_blocking",
+    "libxsmm_cpuid_x86_amx_gemm_panel_sw_pipeline_granularity",
+    "libxsmm_cpuid_x86_srf_gemm_set_n_max_blocking",
+    "libxsmm_cpuid_x86_use_ace_disable_inline_transform",
+    "libxsmm_cpuid_x86_use_ace_disable_swpf_a",
+    "libxsmm_cpuid_x86_use_ace_disable_swpf_b",
+    "libxsmm_cpuid_x86_use_high_prec_eltwise_approx",
+    "libxsmm_nonconst_int",
+}
 
 
 @pytest.mark.skipif(not all(map(__import__("os").path.isfile, _REF_HEADERS)),
@@ -621,9 +654,10 @@ def test_reference_symbol_sweep():
         syms.update(re.findall(
             r"LIBXSMM_API[A-Z_]*\s+[A-Za-z_*][A-Za-z0-9_* ]*?"
             r"\b(libxsmm_[a-z0-9_]+)\(", text))
-    assert len(syms) > 100          # the sweep found the real surface
+    assert len(syms) > 150          # the sweep found the real surface
     missing = sorted(s for s in syms
-                     if not hasattr(x, s[len("libxsmm_"):])
+                     if s not in _KNOWN_NA
+                     and not hasattr(x, s[len("libxsmm_"):])
                      and not hasattr(x, s))
     assert not missing, f"no same-name analogue for: {missing}"
 
