@@ -555,14 +555,23 @@ def generator_gemm_directasm(file_out: str, routine_name: str,
 
 def generator_spgemm(file_out: str, routine_name: str,
                      descriptor_or_shape, arch: Optional[str],
-                     file_in: str, is_csr: int) -> None:
+                     file_in: str, is_csr: int,
+                     sparse_operand: str = "a") -> None:
     """libxsmm_generator_spgemm analogue (generator driver sparse mode,
     include/libxsmm_generator.h:128-133): read the pattern from a .mtx
-    file, generate the pattern-baked kernel, append its module text."""
+    file, generate the pattern-baked kernel, append its module text.
+
+    The reference driver routes the sparse OPERAND by which leading dim is
+    <1 (lda -> A sparse of (m,k), ldb -> B sparse of (k,n)); `is_csr`
+    selects the FILE format ('sparse' = CSC reader, 'sparse_csr' = CSR,
+    src/libxsmm_generator_gemm_driver.c:215-260). Storage order does not
+    survive lowering here (XLA owns layout), so both formats feed the same
+    pattern-baked kernels."""
     import os
 
     from .utils.mtx import read_mtx
     _retarget(arch)
+    del is_csr            # both .mtx readers yield the same COO expansion
     shape = (descriptor_or_shape.shape
              if isinstance(descriptor_or_shape, GemmDescriptor)
              else descriptor_or_shape)
@@ -572,16 +581,27 @@ def generator_spgemm(file_out: str, routine_name: str,
     if not os.path.isfile(file_in):
         raise XsmmGeneratorError(ERR_BAD_INPUT_FILE, file_in)
     dense = read_mtx(file_in)
-    if is_csr:
+    if sparse_operand == "a":
+        if dense.shape != (shape.m, shape.k):
+            raise XsmmGeneratorError(
+                ERR_BAD_INPUT_FILE,
+                f"A-sparse mtx is {dense.shape}, need {(shape.m, shape.k)}")
         from .ops.sparse import CsrMatrix
         csr = CsrMatrix.from_dense(dense)
         gen = generator_packed_spgemm_csr_kernel(
-            shape, flags, 1, csr.indptr, csr.indices)
-    else:
+            shape, flags, 1, csr.indptr, csr.indices, sparse_operand="a")
+    elif sparse_operand == "b":
+        if dense.shape != (shape.k, shape.n):
+            raise XsmmGeneratorError(
+                ERR_BAD_INPUT_FILE,
+                f"B-sparse mtx is {dense.shape}, need {(shape.k, shape.n)}")
         from .ops.sparse import CscMatrix
         csc = CscMatrix.from_dense(dense)
         gen = generator_packed_spgemm_csc_kernel(
-            shape, flags, 1, csc.indptr, csc.indices)
+            shape, flags, 1, csc.indptr, csc.indices, sparse_operand="b")
+    else:
+        raise XsmmGeneratorError(ERR_UNSUP_DESCRIPTOR,
+                                 f"sparse_operand {sparse_operand!r}")
     _append_text(file_out, routine_name, gen, commented_header=True)
 
 

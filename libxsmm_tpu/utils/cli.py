@@ -162,7 +162,108 @@ def _gen_spgemm(spec: dict, bench: bool) -> str:
     raise ValueError(f"unknown spgemm kind: {kind}")
 
 
+_DRIVER_TYPES = ("dense", "dense_asm", "sparse", "sparse_csr",
+                 "sparse_csr_reg")
+
+
+def _driver_main(argv) -> int:
+    """The reference generator driver's 17-positional-arg form
+    (src/libxsmm_generator_gemm_driver.c:87-117; arg list documented in
+    documentation/libxsmm_be.md):
+
+        <dense|dense_asm|sparse|sparse_csr|sparse_csr_reg> file_out
+        routine_name M N K LDA LDB LDC alpha beta aligned_a aligned_c
+        ARCH PREFETCH PRECISION [mtx_file]
+
+    Row-major contract: LDA/LDB/LDC must equal the natural dims or be <1
+    (the reference's sparse-operand routing signal). alpha must be 1,
+    beta 0 or 1 (the reference restriction). ARCH accepts this library's
+    generation names (v4/v5e/v5p/v6e) or 'noarch' (= auto); the
+    reference's x86 names map to auto with a notice. PREFETCH is accepted
+    and ignored (XLA owns prefetch; only 'nopf' is supported there too).
+    Appends the generated StableHLO module to file_out via generator.py.
+    """
+    from .. import generator as g
+    from ..descriptor import GemmDescriptor, GemmFlags, GemmShape
+    from ..dtypes import Datatype
+
+    if len(argv) < 16:
+        sys.stderr.write(_driver_main.__doc__ + "\n")
+        return 1
+    l_type, file_out, routine = argv[0], argv[1], argv[2]
+    m, n, k, lda, ldb, ldc = (int(v) for v in argv[3:9])
+    alpha, beta = float(argv[9]), float(argv[10])
+    arch, prefetch, precision = argv[13], argv[14], argv[15]
+    if alpha != 1.0 or beta not in (0.0, 1.0):
+        sys.stderr.write("alpha must be 1 and beta 0/1 (reference "
+                         "restriction, README 'limited to Alpha:=1')\n")
+        return 1
+    if prefetch != "nopf":
+        sys.stderr.write(f"xsmm-gen: PREFETCH '{prefetch}' ignored (XLA "
+                         "owns prefetching)\n")
+    dt = {"SP": Datatype.F32, "DP": Datatype.F64,
+          "BF16": Datatype.BF16}.get(precision.upper())
+    if dt is None:
+        sys.stderr.write(f"unknown PRECISION {precision!r} (SP/DP/BF16)\n")
+        return 1
+    if arch not in ("noarch", ""):
+        from ..device import ARCHIDS
+        if arch in ARCHIDS:
+            from ..config import set_target
+            set_target(arch)
+        else:
+            sys.stderr.write(f"xsmm-gen: ARCH '{arch}' is not a TPU "
+                             "generation; using auto-detect\n")
+    flags = GemmFlags.BETA_0 if beta == 0.0 else GemmFlags.NONE
+    shape = GemmShape(m, n, k, a_in_type=dt, b_in_type=dt, out_type=dt)
+
+    if l_type in ("dense", "dense_asm"):
+        for name, ld, dim in (("LDA", lda, k), ("LDB", ldb, n),
+                              ("LDC", ldc, n)):
+            if ld not in (0, dim):
+                sys.stderr.write(f"row-major contract: {name} must be "
+                                 f"{dim} (XLA owns layout)\n")
+                return 1
+        desc = GemmDescriptor(shape=shape, flags=flags)
+        if l_type == "dense":
+            g.generator_gemm_inlineasm(file_out, routine, desc)
+        else:
+            g.generator_gemm_directasm(file_out, routine, desc)
+    else:
+        if len(argv) < 17:
+            sys.stderr.write("sparse modes need the .mtx input file\n")
+            return 1
+        mtx = argv[16]
+        if l_type == "sparse_csr_reg":
+            from .mtx import read_mtx
+            from ..ops.sparse import CsrMatrix
+            import numpy as np
+            dense = read_mtx(mtx)
+            csr = CsrMatrix.from_dense(dense)
+            gen = g.generator_spgemm_csr_reg_kernel(
+                shape, csr.indptr, csr.indices,
+                np.asarray(dense[dense != 0], np.float32), flags)
+            g._append_text(file_out, routine, gen, commented_header=True)
+        else:
+            # the reference routes the sparse OPERAND by which ld is <1
+            # (lda -> A sparse, ldb -> B sparse); the type keyword only
+            # selects the .mtx reader format
+            if (lda < 1) == (ldb < 1):
+                sys.stderr.write("exactly one of LDA/LDB must be <1 to "
+                                 "mark the sparse operand\n")
+                return 1
+            g.generator_spgemm(file_out, routine, shape, None, mtx,
+                               is_csr=int(l_type == "sparse_csr"),
+                               sparse_operand="a" if lda < 1 else "b")
+    print(f"xsmm-gen: appended {l_type} routine '{routine}' to {file_out}")
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] in _DRIVER_TYPES:
+        return _driver_main(argv)
     p = argparse.ArgumentParser(prog="xsmm-gen", description=__doc__)
     p.add_argument("manifest", help="JSON kernel manifest")
     p.add_argument("--bench", action="store_true",
