@@ -190,3 +190,16 @@ def test_generated_code_dump_roundtrip(tmp_path):
     import jax
     avals = [jax.ShapeDtypeStruct((8, 8), np.float32)] * 2
     assert kern.lower_text(*avals) == g.code
+
+
+def test_encoder_driver():
+    """samples/encoder.py — the reference encoder-test analogue: every
+    structural check on emitted StableHLO modules passes (exit-code
+    discipline like samples/encoder/encoder_x86.c)."""
+    import sys
+    sys.path.insert(0, "samples")
+    try:
+        import encoder
+        assert encoder.main() == 0
+    finally:
+        sys.path.pop(0)
