@@ -200,7 +200,13 @@ def generator_mateltwise_kernel(descriptor: MeltwDescriptor,
     reference's generator returns an error code for descriptors a backend
     cannot serve."""
     from . import dispatch_meltw
-    kern = dispatch_meltw(descriptor)
+    try:
+        kern = dispatch_meltw(descriptor)
+    except (ValueError, KeyError, AttributeError, NotImplementedError) as e:
+        # error-code contract parity with the reference kernel twin:
+        # unknown/unsupported descriptors surface as XsmmGeneratorError
+        # with .code (libxsmm_strerror discipline), not raw ValueError
+        raise XsmmGeneratorError(ERR_UNSUP_DESCRIPTOR, str(e)) from e
     args = (example_args if example_args is not None
             else _meltw_example_avals(descriptor))
     return _lower(kern, args, kind="meltw")
@@ -389,13 +395,16 @@ def generator_packed_spgemm_csr_kernel(shape: GemmShape,
                                     sparse_operand=sparse_operand)
     nnz = int(np.asarray(row_ptr)[-1])
     p = max(1, packed_width)
-    if sparse_operand == "a":        # kernel(values, b)
+    if sparse_operand == "a":        # kernel(values, b[, c])
         b_shape = (shape.k, shape.n) if p == 1 else (shape.k, shape.n, p)
         avals = [_aval((nnz,), vdt), _aval(b_shape, bdt)]
-    else:                            # B-sparse: kernel(a, values)
+    else:                            # B-sparse: kernel(a, values[, c])
         a_shape = (shape.m, shape.k) if p == 1 else (shape.m, shape.k, p)
         avals = [_aval(a_shape, to_jnp(shape.a_in_type)),
                  _aval((nnz,), to_jnp(shape.b_in_type))]
+    if not (GemmFlags(flags) & GemmFlags.BETA_0):
+        c_shape = (shape.m, shape.n) if p == 1 else (shape.m, shape.n, p)
+        avals.append(_aval(c_shape, to_jnp(shape.out_type)))
     return _lower(kern, avals, kind="pspgemm_csr")
 
 
@@ -418,12 +427,21 @@ def generator_packed_spgemm_csc_kernel(shape: GemmShape,
                                     sparse_operand=sparse_operand)
     nnz = int(np.asarray(column_ptr)[-1])
     p = max(1, packed_width)
-    if sparse_operand == "b":        # kernel(a, values)
+    if sparse_operand == "b":        # kernel(a, values[, c])
         a_shape = (shape.m, shape.k) if p == 1 else (shape.m, shape.k, p)
         avals = [_aval(a_shape, adt), _aval((nnz,), vdt)]
-    else:                            # SDDMM: kernel(a, b)
-        avals = [_aval((shape.m, shape.k), adt),
-                 _aval((shape.k, shape.n), to_jnp(shape.b_in_type))]
+        if not (GemmFlags(flags) & GemmFlags.BETA_0):
+            c_shape = ((shape.m, shape.n) if p == 1
+                       else (shape.m, shape.n, p))
+            avals.append(_aval(c_shape, to_jnp(shape.out_type)))
+    else:                            # SDDMM: kernel(a, b[, c_vals])
+        b_shape = ((shape.k, shape.n) if p == 1
+                   else (shape.k, shape.n, p))
+        a_shape = (shape.m, shape.k) if p == 1 else (shape.m, shape.k, p)
+        avals = [_aval(a_shape, adt),
+                 _aval(b_shape, to_jnp(shape.b_in_type))]
+        if not (GemmFlags(flags) & GemmFlags.BETA_0):
+            avals.append(_aval((nnz,), to_jnp(shape.out_type)))
     return _lower(kern, avals, kind="pspgemm_csc")
 
 
@@ -449,6 +467,8 @@ def generator_packed_spgemm_bcsc_kernel(shape: GemmShape,
     nblocks = int(np.asarray(column_ptr)[-1])
     avals = [_aval((shape.m, shape.k), adt),
              _aval((nblocks, config.bk, config.bn), vdt)]
+    if not (GemmFlags(flags) & GemmFlags.BETA_0):
+        avals.append(_aval((shape.m, shape.n), to_jnp(shape.out_type)))
     return _lower(kern, avals, kind="pspgemm_bcsc")
 
 

@@ -164,7 +164,8 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
 
 
 def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
-                          W: int) -> Optional[np.ndarray]:
+                          W: int, min_gain: int = 1
+                          ) -> Optional[np.ndarray]:
     """Greedy block-column clustering for the union kernel.
 
     The union kernel's compute scales with the MAX per-group k-union U
@@ -184,7 +185,13 @@ def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
     (m, n) column gather to restore the caller's order.
 
     Returns the permuted block-column order (len nb), or None when the
-    permutation does not strictly reduce the max union.
+    saving does not clear the restore-gather's cost: the output column
+    gather re-reads and re-writes the whole (m, n) result (~2 HBM passes),
+    which at a conservative MXU:HBM ratio is worth on the order of 128
+    saved k-rows of union compute — so the permutation must drop the max
+    union by >= ceil(128/bk) panels (passed as `min_gain`), not merely by
+    one. A 1-panel "improvement" on a near-random pattern would otherwise
+    regress the kernel silently.
     """
     nb = len(indptr) - 1
     if nb % W or len(indices) == 0:
@@ -224,7 +231,7 @@ def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
         groups[best].append(j)
         gmasks[best] |= mj
     clustered = max(u.bit_count() for u in gmasks) if nsg else 1
-    if clustered >= base:
+    if clustered > base - max(1, min_gain):
         return None
     return np.asarray([j for g in groups for j in g], np.int32)
 
@@ -288,7 +295,9 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     # create-time block-column clustering: regroup columns to minimize the
     # max per-group union (the quantity compute scales with); restore the
     # caller's column order with one output gather
-    perm = _cluster_union_groups(indptr, indices, W) if cluster else None
+    perm = (_cluster_union_groups(indptr, indices, W,
+                                  min_gain=-(-128 // bk))   # ceil(128/bk)
+            if cluster else None)
     if perm is not None:
         counts = np.diff(indptr)[perm]
         vmap = np.concatenate(

@@ -121,16 +121,27 @@ def conv2d_kernel(x_shape: Tuple[int, int, int, int], w_shape, stride=1,
     else:
         kern = dispatch_brgemm(shape, GemmFlags.BETA_0, br)
 
-    def fn(x, w, bias=None):
-        a_stack, (nn, pp, qq) = _tap_stack(x, R, S, stride)
-        args = [a_stack, w.reshape(R * S, C, K)]
-        if fused_bias:
-            if bias is None:
-                raise ValueError("fused_bias kernel needs the bias operand")
-            args.append(jnp.broadcast_to(bias[None, :].astype(dtype),
-                                         (m, K)))
-        out = kern(*args)
-        return out.reshape(nn, pp, qq, K)
+    if fused_bias:
+        @jax.jit
+        def fn(x, w, bias):
+            # jit end-to-end so the R*S tap slices fold into the BRGEMM
+            # operand windows instead of materializing the im2col stack
+            # in HBM between two launches
+            a_stack, (nn, pp, qq) = _tap_stack(x, R, S, stride)
+            # (1, K) bias rides the postop's jnp broadcast (the reference's
+            # bcast-row colbias add) — a full (m, K) operand would stream
+            # m*K*4 redundant bytes from HBM per call
+            out = kern(a_stack, w.reshape(R * S, C, K),
+                       bias[None, :].astype(dtype))
+            return out.reshape(nn, pp, qq, K)
+    else:
+        @jax.jit
+        def fn(x, w, bias=None):
+            if bias is not None:
+                raise ValueError("bias needs fused_bias=True at dispatch")
+            a_stack, (nn, pp, qq) = _tap_stack(x, R, S, stride)
+            out = kern(a_stack, w.reshape(R * S, C, K))
+            return out.reshape(nn, pp, qq, K)
 
     fn.kernel = kern
     return fn

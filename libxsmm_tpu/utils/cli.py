@@ -240,9 +240,10 @@ def _driver_main(argv) -> int:
             import numpy as np
             dense = read_mtx(mtx)
             csr = CsrMatrix.from_dense(dense)
+            vdt = np.float64 if dt == Datatype.F64 else np.float32
             gen = g.generator_spgemm_csr_reg_kernel(
                 shape, csr.indptr, csr.indices,
-                np.asarray(dense[dense != 0], np.float32), flags)
+                np.asarray(dense[dense != 0], vdt), flags)
             g._append_text(file_out, routine, gen, commented_header=True)
         else:
             # the reference routes the sparse OPERAND by which ld is <1
@@ -252,7 +253,9 @@ def _driver_main(argv) -> int:
                 sys.stderr.write("exactly one of LDA/LDB must be <1 to "
                                  "mark the sparse operand\n")
                 return 1
-            g.generator_spgemm(file_out, routine, shape, None, mtx,
+            g.generator_spgemm(file_out, routine,
+                               GemmDescriptor(shape=shape, flags=flags),
+                               None, mtx,
                                is_csr=int(l_type == "sparse_csr"),
                                sparse_operand="a" if lda < 1 else "b")
     print(f"xsmm-gen: appended {l_type} routine '{routine}' to {file_out}")

@@ -26,9 +26,9 @@ def main(argv=None) -> int:
     from libxsmm_tpu.models.tpp_cnn import conv2d_kernel, conv2d_tpp
     from libxsmm_tpu.utils.timer import bench_chain_interleaved
 
+    defaults = [32, 56, 56, 64, 64, 3, 1]
     args = [int(v) for v in (argv or sys.argv[1:])]
-    n, h, w, c, k, r, stride = (args + [32, 56, 56, 64, 64, 3, 1])[:7] \
-        if args else (32, 56, 56, 64, 64, 3, 1)
+    n, h, w, c, k, r, stride = (args + defaults[len(args):])[:7]
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)

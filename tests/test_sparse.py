@@ -664,6 +664,10 @@ def test_bcsc_union_clustering():
 
     perm = _cluster_union_groups(indptr, indices, 4)
     assert perm is not None              # clustering must engage
+    # margin contract: a saving below min_gain must NOT engage (the
+    # restore gather costs ~ceil(128/bk) panels of union compute, so a
+    # marginal 1-panel improvement would regress the kernel silently)
+    assert _cluster_union_groups(indptr, indices, 4, min_gain=16) is None
 
     shape = GemmShape(m, n, k)
     values = rng.standard_normal((len(indices), bk, bn)).astype(np.float32)
