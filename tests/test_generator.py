@@ -71,6 +71,18 @@ def test_generator_mateltwise():
         x.Datatype.BF16, 8, 16, op_type=x.BinaryType.MUL,
         operation="binary")
     assert "bf16" in x.generator_mateltwise_kernel(d2).code
+    # error-code contract: unknown operations surface as
+    # XsmmGeneratorError(ERR_UNSUP_DESCRIPTOR) like the reference twin,
+    # not a raw ValueError (libxsmm_strerror discipline)
+    import dataclasses
+
+    import pytest
+
+    from libxsmm_tpu.generator import ERR_UNSUP_DESCRIPTOR
+    bad = dataclasses.replace(d, operation="quaternary")
+    with pytest.raises(x.XsmmGeneratorError) as ei:
+        x.generator_mateltwise_kernel(bad)
+    assert ei.value.code == ERR_UNSUP_DESCRIPTOR
 
 
 def test_generator_matequation():
@@ -118,6 +130,49 @@ def test_generator_packed_spgemm_and_areg():
     g4 = x.generator_packed_spgemm_csc_kernel(
         GemmShape(16, 64, 64), GemmFlags.BETA_0, 1, csc.indptr, csc.indices)
     assert g4.kind == "pspgemm_csc"
+
+
+def test_generator_packed_spgemm_beta1_has_c_operand():
+    """A beta=1 descriptor must lower to a module WITH the C operand —
+    the emitted code has to match the flags (generator_packed_spgemm.c
+    accumulate semantics), not silently drop to the beta-0 kernel."""
+    rng = np.random.default_rng(3)
+    a = ((rng.random((8, 12)) < 0.4)
+         * rng.standard_normal((8, 12))).astype(np.float32)
+    from libxsmm_tpu.ops.sparse import BcscMatrix, CscMatrix, CsrMatrix
+    csr = CsrMatrix.from_dense(a)
+    shape = GemmShape(8, 16, 12)
+
+    def n_inputs(gen):
+        # operand count = arity of the module's @main
+        import re
+        m = re.search(r"func\.func public @main\((.*?)\)", gen.code)
+        assert m is not None
+        return m.group(1).count("tensor<")
+
+    g0 = x.generator_packed_spgemm_csr_kernel(shape, GemmFlags.BETA_0, 1,
+                                              csr.indptr, csr.indices)
+    g1 = x.generator_packed_spgemm_csr_kernel(shape, GemmFlags.NONE, 1,
+                                              csr.indptr, csr.indices)
+    assert n_inputs(g1) == n_inputs(g0) + 1       # + C(m, n)
+
+    b = ((rng.random((64, 64)) < 0.5)
+         * rng.standard_normal((64, 64))).astype(np.float32)
+    csc = CscMatrix.from_dense(b)
+    s2 = GemmShape(16, 64, 64)
+    g2 = x.generator_packed_spgemm_csc_kernel(s2, GemmFlags.NONE, 1,
+                                              csc.indptr, csc.indices)
+    assert n_inputs(g2) == 3                      # a, values, c
+
+    bc = BcscMatrix.from_dense(b, 32, 32)
+    g3 = x.generator_packed_spgemm_bcsc_kernel(
+        s2, GemmFlags.NONE, SpgemmConfig(1, 32, 32), bc.indptr, bc.indices)
+    assert n_inputs(g3) == 3                      # a, values, c
+
+    # SDDMM (C sparse): beta=1 accumulates the baked positions' values
+    g4 = x.generator_packed_spgemm_csc_kernel(
+        s2, GemmFlags.NONE, 1, csc.indptr, csc.indices, sparse_operand="c")
+    assert n_inputs(g4) == 3                      # a, b, c_vals
 
 
 def test_generator_spgemm_csc_kernel_index_conversion():
