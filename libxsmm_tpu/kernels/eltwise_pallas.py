@@ -139,6 +139,11 @@ def _dropout_tpu(x, seed, p):
 
 def dropout(x, seed, p: float):
     """UNARY_DROPOUT: returns (out, keep_mask:uint8)."""
+    if isinstance(p, (int, float)) and not 0.0 <= p < 1.0:
+        # the 1/(1-p) rescale is undefined at p=1 (a bare ZeroDivisionError
+        # otherwise surfaces from deep inside the kernel); traced p (the
+        # runtime-alpha ABI) skips the check — division is traced there
+        raise ValueError(f"dropout probability must be in [0, 1), got {p}")
     if _pallas_available():
         try:
             return _dropout_tpu(x, seed, float(p))
@@ -159,6 +164,8 @@ def dropout_inv(g, mask, p: float):
     param->in.secondary bit layout); a same-shaped per-element mask is also
     accepted for convenience."""
     from ..ops.eltwise import unpack_bitmask
+    if isinstance(p, (int, float)) and not 0.0 <= p < 1.0:
+        raise ValueError(f"dropout probability must be in [0, 1), got {p}")
     m, n = g.shape
     if mask.shape == g.shape:
         bits = mask != 0

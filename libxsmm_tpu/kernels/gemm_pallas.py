@@ -50,9 +50,14 @@ def _supported(desc: GemmDescriptor) -> bool:
     s = desc.shape
     if desc.trans_a or desc.trans_b:
         return False  # XLA path handles transposes
-    if s.a_in_type not in (Datatype.F32, Datatype.BF16, Datatype.F16):
+    # Mosaic has no f16 type (the eltwise kernels route around the same
+    # gap, eltwise_pallas.py) — F16 descriptors take the XLA path, where
+    # the gate failing late would otherwise be a deferred compile error
+    if s.a_in_type not in (Datatype.F32, Datatype.BF16):
         return False
     if s.b_in_type != s.a_in_type:
+        return False
+    if s.out_type not in (Datatype.F32, Datatype.BF16):
         return False
     if s.m > 256 or s.n > 128 or s.k > 128:
         return False
@@ -62,7 +67,7 @@ def _supported(desc: GemmDescriptor) -> bool:
 def build_batched_gemm(desc: GemmDescriptor, batch: int) -> Optional[Callable]:
     """Return fn(a, b[, c]) for a:(B,m,k) b:(B,k,n), or None if the
     descriptor should take the XLA route."""
-    if not _supported(desc):
+    if not _supported(desc) or batch <= 0:
         return None
 
     from jax.experimental import pallas as pl
@@ -353,10 +358,14 @@ def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
                          axis=0, keepdims=True)              # (1, n)
             contrib = sa + sb
             if rem and g >= rem:
-                # mirror build_packed_brgemm's ragged-final-step guard: the
-                # clamped grid re-reads in-bounds-but-wrong groups there,
-                # and NaN/Inf from them would poison the timing chain; the
-                # twin must also pay the same select to stay structural
+                # mirror build_packed_brgemm's ragged-final-step guard:
+                # the final block is FRONT-aligned at (steps-1)*gg, so the
+                # valid groups occupy slots < rem and the tail slots hold
+                # padding (undefined data; semantics confirmed by
+                # test_brgemm_packed_nondivisible_groups on real TPU,
+                # mid-r3 full-suite run). NaN/Inf from the padding would
+                # poison the timing chain; the twin must also pay the same
+                # select to stay structural
                 contrib = jnp.where(pl.program_id(0) < steps - 1, contrib,
                                     jnp.zeros((), jnp.float32))
             acc = acc + contrib
@@ -449,7 +458,7 @@ def build_packed_batched_gemm(desc: GemmDescriptor,
     reference gets the same effect from SOA packing,
     src/generator_packed_gemm_common.c).
     """
-    if not packed_smm_supported(desc):
+    if not packed_smm_supported(desc) or groups <= 0:
         return None
 
     from jax.experimental import pallas as pl

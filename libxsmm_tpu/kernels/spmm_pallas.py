@@ -56,6 +56,35 @@ def _pad_empty_columns(indptr: np.ndarray, indices: np.ndarray,
             np.asarray(vidx, np.int32))
 
 
+def _block_schedule(indptr: np.ndarray, indices: np.ndarray,
+                    nblocks_data: int):
+    """Shared schedule for the pattern-driven kernels: pad empty columns,
+    mark each column's first visit, put everything device-resident. ONE
+    implementation so build_bcsc_spmm and build_bcsc_spmm_super cannot
+    silently diverge on the scheduling logic.
+
+    Returns (nsteps, (rows, cols, vidx, first) device arrays)."""
+    rows, cols, vidx = _pad_empty_columns(np.asarray(indptr),
+                                          np.asarray(indices), nblocks_data)
+    first = np.ones(len(rows), np.int32)
+    first[1:] = (cols[1:] != cols[:-1]).astype(np.int32)
+    return len(rows), tuple(
+        jax.device_put(jnp.asarray(x)) for x in (rows, cols, vidx, first))
+
+
+def _pick_m_tile(m: int, cap: int = 256) -> Optional[int]:
+    """Largest row-tile <= cap dividing m (8-aligned when m > cap), or
+    None. Shared coverage rule for the block-scheduled kernels: the old
+    per-kernel `tm = min(m, 256); m % tm -> reject` duplicated the logic
+    AND rejected shapes like m=384 that a 192-row tile serves fine."""
+    if m <= cap:
+        return m
+    for tm in range(cap, 7, -8):
+        if m % tm == 0:
+            return tm
+    return None
+
+
 def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
                     indptr: np.ndarray, indices: np.ndarray
                     ) -> Optional[Callable]:
@@ -75,23 +104,12 @@ def build_bcsc_spmm(shape: GemmShape, config: SpgemmConfig,
     prec = (jax.lax.Precision.HIGHEST if shape.a_in_type == Datatype.F32
             else jax.lax.Precision.DEFAULT)
 
-    rows, cols, vidx = _pad_empty_columns(np.asarray(indptr),
-                                          np.asarray(indices),
-                                          len(indices))
-    nsteps = len(rows)
-    tm = min(m, 256)
-    if m % tm:
+    nsteps, (rows_d, cols_d, vidx_d, first_d) = _block_schedule(
+        indptr, indices, len(indices))
+    tm = _pick_m_tile(m)
+    if tm is None:
         return None
     m_tiles = m // tm
-
-    # first-visit marker per step (True when this block starts its column)
-    first = np.ones(nsteps, np.int32)
-    first[1:] = (cols[1:] != cols[:-1]).astype(np.int32)
-
-    rows_d = jax.device_put(jnp.asarray(rows))
-    cols_d = jax.device_put(jnp.asarray(cols))
-    vidx_d = jax.device_put(jnp.asarray(vidx))
-    first_d = jax.device_put(jnp.asarray(first))
 
     # Mosaic requires trailing block dims to be 128-divisible OR equal to
     # the full array dims; so A is fed as panels (kb, m, bk) and C emitted
@@ -449,7 +467,9 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
             v2d = jnp.concatenate(
                 [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
                 axis=0).reshape((nblocks + 1) * bk, bn)
-            rhs = compactor(v2d)
+            # thread the threaded gmap_j through (same flattened map) so
+            # it stays a runtime arg, not an inlined closure constant
+            rhs = compactor(gmap_j, v2d)
         else:
             vpad = jnp.concatenate(
                 [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
@@ -548,9 +568,14 @@ def build_bcsc_densify(shape: GemmShape, config: SpgemmConfig,
             axis=0).reshape((nblocks + 1) * bk, bn)
         return call(gm, v2d)
 
-    def fn(values):
-        return run(gmap_d, values)
+    def fn(gm, values):
+        # the gather map is a RUNTIME argument so callers that inline this
+        # inside their own jit don't bake it as a closure constant (which
+        # this backend re-uploads every call, CLAUDE.md); fn.gmap is the
+        # matching device-resident array for standalone use
+        return run(gm, values)
 
+    fn.gmap = gmap_d
     return fn
 
 
@@ -600,10 +625,14 @@ def build_union_compact_rhs(nsg: int, U: int, W: int, bk: int, bn: int,
             transcendentals=0),
     )
 
-    def fn(vpad_2d):
-        """vpad_2d: ((nblocks+1)*bk, bn) padded value store."""
-        return call(gmap_d, vpad_2d)
+    def fn(gm, vpad_2d):
+        """gm: flattened (nsg*U*W,) value-index map (device-resident);
+        vpad_2d: ((nblocks+1)*bk, bn) padded value store. The map is a
+        runtime argument — a closure constant would re-upload per call
+        when the caller inlines this in its own jit (CLAUDE.md)."""
+        return call(gm, vpad_2d)
 
+    fn.gmap = gmap_d
     return fn
 
 
@@ -630,21 +659,12 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
     prec = (jax.lax.Precision.HIGHEST if shape.a_in_type == Datatype.F32
             else jax.lax.Precision.DEFAULT)
 
-    ns_data = len(s_indices)
-    rows, cols, vidx = _pad_empty_columns(np.asarray(s_indptr),
-                                          np.asarray(s_indices), ns_data)
-    nsteps = len(rows)
-    tm = min(m, 256)
-    if m % tm:
+    nsteps, (rows_d, cols_d, vidx_d, first_d) = _block_schedule(
+        s_indptr, s_indices, len(s_indices))
+    tm = _pick_m_tile(m)
+    if tm is None:
         return None
     m_tiles = m // tm
-    first = np.ones(nsteps, np.int32)
-    first[1:] = (cols[1:] != cols[:-1]).astype(np.int32)
-
-    rows_d = jax.device_put(jnp.asarray(rows))
-    cols_d = jax.device_put(jnp.asarray(cols))
-    vidx_d = jax.device_put(jnp.asarray(vidx))
-    first_d = jax.device_put(jnp.asarray(first))
 
     def kernel(rows_ref, cols_ref, vidx_ref, first_ref,
                a_ref, v_ref, o_ref):

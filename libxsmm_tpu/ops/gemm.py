@@ -921,6 +921,8 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
             if c is not None and d.beta == 0:
                 raise ValueError("c operand passed to a BETA_0 packed SMM")
             g = a.shape[0]
+            if g == 0:            # empty batch: no kernel to build
+                return jnp.zeros((0, d.shape.m, p * d.shape.n), out_dt)
             inner = built.get(g)
             if inner is None:
                 built[g] = inner = _make(g)

@@ -908,7 +908,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         def run(rowj, segj, gmapj, a, values, c=None):
             if strategy == "dense":
                 if densifier is not None:
-                    bdense = densifier(values)
+                    bdense = densifier(gmapj, values)
                 else:
                     vpad = jnp.concatenate(
                         [values, jnp.zeros((1, bk, bn), values.dtype)],

@@ -145,12 +145,12 @@ stage("union rhs compaction(XLA)", compact_rhs, (gmap_ud, vals), 1)
 # new one-pass pallas expansion kernels (r3)
 dfn = spmm_pallas.build_bcsc_densify(shape, cfg, indptr, indices)
 if dfn is not None:
-    stage("pallas densify", dfn, (vals,), 0)
+    stage("pallas densify", dfn, (dfn.gmap, vals), 0)
 cfn = spmm_pallas.build_union_compact_rhs(nsg, U, W, bk, bn, nblocks,
                                           gmap_u, jnp.bfloat16)
 if cfn is not None:
     v2d = jnp.concatenate([vals, jnp.zeros((1, bk, bn), jnp.bfloat16)],
                           axis=0).reshape((nblocks + 1) * bk, bn)
-    stage("pallas compact rhs", cfn, (v2d,), 0)
+    stage("pallas compact rhs", cfn, (cfn.gmap, v2d), 0)
 
 print("done")

@@ -482,6 +482,34 @@ def test_brgemm_packed_nondivisible_groups():
     check(np.einsum("bmk,bkn->mn", a, b), got, margin=1e-4)
 
 
+def test_gemm_batched_empty_batch():
+    # a zero-length batch must return an empty result, not divide by zero
+    # inside the Pallas builder (review finding)
+    import jax.numpy as jnp
+    shape = GemmShape(32, 32, 32)
+    kern = xt.dispatch_gemm_batched(shape, GemmFlags.BETA_0)
+    out = np.asarray(kern(jnp.zeros((0, 32, 32), jnp.float32),
+                          jnp.zeros((0, 32, 32), jnp.float32)))
+    assert out.shape == (0, 32, 32)
+    kp = xt.dispatch_gemm_batched_packed(shape, GemmFlags.BETA_0)
+    outp = np.asarray(kp(jnp.zeros((0, 32, 4 * 32), jnp.float32),
+                         jnp.zeros((0, 32, 4 * 32), jnp.float32)))
+    assert outp.shape == (0, 32, 4 * 32)
+
+
+def test_dropout_p_domain():
+    # p=1.0 previously escaped as a bare ZeroDivisionError from inside the
+    # kernel; the entry points must reject the domain clearly
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.kernels import eltwise_pallas
+    x = jnp.ones((8, 16), jnp.float32)
+    with pytest.raises(ValueError, match="dropout probability"):
+        eltwise_pallas.dropout(x, 0, 1.0)
+    with pytest.raises(ValueError, match="dropout probability"):
+        eltwise_pallas.dropout_inv(x, jnp.ones((8, 16), jnp.uint8), 1.0)
+
+
 def test_gemm_batched_beta0_rejects_c():
     # BETA_0 + c would silently diverge between the Pallas and XLA
     # candidates; the dispatcher must reject it instead

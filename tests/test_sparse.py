@@ -381,6 +381,21 @@ def test_pspgemm_bcsc_pallas_empty_columns():
     assert np.all(out[:, 8:] == 0)
 
 
+def test_pspgemm_bcsc_pallas_m_not_tile_multiple():
+    # m=384 > the 256-row tile cap but NOT a multiple of 256: the shared
+    # _pick_m_tile rule serves it with a 192-row tile (the old per-kernel
+    # `min(m, 256)` exact-divisor check rejected the shape outright)
+    m, k, n, bk, bn = 384, 32, 64, 8, 8
+    b = _sparse_dense(k, n, 0.25)
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    kern = create_packed_spgemm_bcsc(
+        GemmShape(m, n, k), GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+        column_ptr=bm.indptr, row_idx=bm.indices, strategy="pallas")
+    assert "pallas" in kern.name
+    check(a @ bm.to_dense(), np.asarray(kern(a, bm.data)), margin=1e-4)
+
+
 def test_pspgemm_bcsc_i8_i32():
     import jax.numpy as jnp
     m, k, n, bk, bn = 32, 32, 32, 8, 8
