@@ -14,8 +14,9 @@ TPU-native policy (SURVEY.md §7.1):
     kernels/eltwise_pallas.py.
   * VNNI2/4/8 transforms are real data transforms here (row-interleaved
     layout), bit-exact with the reference's definition, so data prepared for
-    CPU kernels round-trips; TPU GEMMs consume NORM layout and never need
-    them (GemmFlags.VNNI_* are no-ops).
+    CPU kernels round-trips. The GEMM path honors GemmFlags.VNNI_* as
+    functional layout contracts (ops/gemm._gemm_core un-interleaves the
+    operands); the MXU itself consumes NORM layout either way.
 
 Dispatch mirrors libxsmm_dispatch_meltw_{unary,binary,ternary}
 (src/libxsmm_main.c:3449-3533). Invoke is functional: out = kernel(in_...).
@@ -249,23 +250,6 @@ def apply_unary_op(op: UnaryType, flags: UnaryFlags, x, **state):
     raise NotImplementedError(f"apply_unary_op: {op}")
 
 
-def vnni_factor(dtype: Datatype) -> int:
-    """VNNI interleave factor by storage width (reference: 2 for 16-bit,
-    4 for 8-bit, 8 for 4-bit operands; generator_gemm.c dtype gating)."""
-    from ..dtypes import bits
-    return max(2, 32 // max(bits(dtype), 4))
-
-
-def _unvnni(x, k: int):
-    """Undo VNNIk row-interleave on the trailing 2 dims: (..., m/k, n*k) ->
-    (..., m, n). Batch (BRGEMM) leading dims pass through."""
-    *lead, mk, nk = x.shape
-    n = nk // k
-    return (x.reshape(*lead, mk, n, k)
-            .swapaxes(-1, -2)
-            .reshape(*lead, mk * k, n))
-
-
 def apply_matmul_node(op, a, b, a_dtype: Datatype, comp=jnp.float32):
     """MATMUL/BRGEMM binary/ternary ops incl. _A_TRANS/_B_TRANS/_A_VNNI
     variants (reference enum include/libxsmm_typedefs.h:378-397,426-443),
@@ -273,7 +257,11 @@ def apply_matmul_node(op, a, b, a_dtype: Datatype, comp=jnp.float32):
     Transposes act on the trailing 2 dims so BRGEMM batch dims are
     preserved; A_VNNI un-interleaves the stored layout first."""
     if "A_VNNI" in op.name:
-        a = _unvnni(a, vnni_factor(a_dtype))
+        # ONE dtype->factor rule for the whole library (gemm.vnni_factor:
+        # 32-bit types are factor 1 == layout no-op; a divergent local
+        # copy here interleaved f32 with factor 2)
+        from .gemm import _undo_vnni
+        a = _undo_vnni(a, a_dtype)
     # reference name order: A_VNNI_TRANS == trans(unvnni(A))
     if "A_TRANS" in op.name or "A_VNNI_TRANS" in op.name:
         a = jnp.swapaxes(a, -1, -2)
@@ -404,10 +392,29 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
             if (op in _REDUCE_OPS and flags & UnaryFlags.REDUCE_INIT_ACC
                     and args):
                 # accumulate into the caller's running accumulator
-                # (REDUCE_INIT_ACC: kernel(x, acc) -> acc + reduce(x))
-                y = y + args[0].astype(comp)
+                # (REDUCE_INIT_ACC: kernel(x, acc) -> acc + reduce(x)).
+                # The reference consults the flag only for the ADD reduces
+                # (reference_impl.c:1168-1181 reduce_op==0 branch; the
+                # max/min branches never read reduce_on_output); X_X2
+                # takes one accumulator per output.
+                if _REDUCE_OPS[op][0] not in ("add", "add_both"):
+                    raise ValueError(f"REDUCE_INIT_ACC is defined for the "
+                                     f"ADD reduces only, not {op.name}")
+                if isinstance(y, tuple):
+                    if len(args) < len(y):
+                        raise ValueError(
+                            f"{op.name} with REDUCE_INIT_ACC needs one "
+                            f"accumulator per output: kernel(x, acc_x, "
+                            f"acc_x2)")
+                    y = tuple(t + a.astype(comp) for t, a in zip(y, args))
+                else:
+                    y = y + args[0].astype(comp)
             if isinstance(y, tuple):
-                return tuple(_out_cast(t, desc.out_type, x.dtype) for t in y)
+                # argop index outputs stay integer (the reference records
+                # them into u32/u64 buffers, never through the out dtype)
+                return tuple(t if jnp.issubdtype(t.dtype, jnp.integer)
+                             else _out_cast(t, desc.out_type, x.dtype)
+                             for t in y)
             return _out_cast(y, desc.out_type, x.dtype)
 
         if op == UnaryType.REDUCE_X_OP_ADD_NCNC_FORMAT:
@@ -541,7 +548,11 @@ def _build_unary(desc: MeltwDescriptor) -> Kernel:
         return Kernel(fn=dump_fn, descriptor=desc, info=info,
                       name=desc.name())
 
-    jitted = jax.jit(base)
+    # ncols is a SHAPE (REPLICATE_COL_VAR's variable column count,
+    # param->op.secondary in the reference) — static under jit so each
+    # distinct ncols compiles its own executable instead of crashing
+    # on a traced dimension
+    jitted = jax.jit(base, static_argnames=("ncols",))
     info = KernelInfo(kind="meltw", nflops=m * n)
     return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
 

@@ -358,6 +358,23 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
     shape = base.shape
     _ensure_x64(shape)
     argops, postops = desc.argops, desc.postops
+    # MX/sub-byte packed operands arrive as (payload, scales)/nibble pairs:
+    # decode them to NORM like _build_gemm does (the same dispatch-time
+    # validation + decoders), instead of letting the pair crash deep inside
+    # _gemm_core's transposes. a/b argops on packed operands are rejected —
+    # a unary on an undecoded payload has no reference meaning.
+    packed = (shape.a_in_type in _MX_FLOAT + _INT_SUB
+              or shape.b_in_type in _MX_FLOAT + _INT_SUB)
+    if packed:
+        _validate_packed_combo(shape, base.flags)
+        if (argops.ap_type != UnaryType.NONE
+                or argops.bp_type != UnaryType.NONE):
+            raise ValueError("a/b argops are not supported on MX/sub-byte "
+                             "packed operands (decode happens inside the "
+                             "kernel; apply eltwise ops to NORM data)")
+        decode_a, decode_b = _packed_operand_decoders(shape)
+    else:
+        decode_a = decode_b = lambda x: x
     beta0 = base.beta == 0
     br = base.br.br_type
     needs_idx = br in (BatchReduceType.ADDRESS, BatchReduceType.OFFSET)
@@ -369,6 +386,7 @@ def _build_gemm_ext(desc: GemmExtDescriptor) -> Kernel:
     @jax.named_scope(desc.name())
     def run(a, b, c=None, d=None, a_idx=None, b_idx=None, seed=0):
         extra = {}
+        a, b = decode_a(a), decode_b(b)
         if argops.ap_type != UnaryType.NONE:
             a = apply_unary_op(argops.ap_type, argops.ap_flags, a)
             if argops.store_ap:
@@ -511,6 +529,13 @@ def dispatch_gemm_batched(shape: GemmShape,
     on the first invocation per batch size and keeps the winner — the
     fsspmdm create-time autotune pattern applied to the SMM entry point.
     """
+    if GemmFlags(flags) & (GemmFlags.VNNI_A | GemmFlags.VNNI_B
+                           | GemmFlags.VNNI_C):
+        # neither the Pallas kernel nor the XLA fallback applies the VNNI
+        # layout contract dispatch_gemm honors; silently contracting the
+        # interleaved layout would be wrong for every batch item
+        raise ValueError("VNNI flags are not supported by the batched SMM "
+                         "entry; use dispatch_gemm per item or NORM layout")
     desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
 
     def _build(d):
@@ -538,6 +563,10 @@ def dispatch_gemm_batched(shape: GemmShape,
                 # fallback would add it — reject instead of diverging
                 raise ValueError("c operand passed to a BETA_0 batched "
                                  "GEMM (dispatch without BETA_0 for C+=)")
+            if c is None and d.beta != 0:
+                # the XLA fallback would silently return the beta=0 result
+                raise ValueError("beta=1 batched GEMM needs the C operand "
+                                 "(dispatch with BETA_0 for C=)")
             bsz = a.shape[0]
             inner = chosen.get(bsz)
             if inner is None:
@@ -592,6 +621,10 @@ def dispatch_brgemm_packed(shape: GemmShape,
         br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
     desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags), br=br_config)
     from ..kernels import gemm_pallas
+    if GemmFlags(flags) & (GemmFlags.VNNI_A | GemmFlags.VNNI_B
+                           | GemmFlags.VNNI_C):
+        raise ValueError("VNNI flags are not supported by the packed "
+                         "BRGEMM entry (NORM layout only)")
     if not gemm_pallas.packed_brgemm_supported(desc):
         raise ValueError(f"unsupported for packed BRGEMM: {desc.name()} "
                          "(need k|128, f32/bf16, no transposes)")
@@ -654,6 +687,11 @@ def dispatch_brgemm_packed(shape: GemmShape,
             if c is not None and d.beta == 0:
                 raise ValueError("c operand passed to a BETA_0 packed "
                                  "BRGEMM")
+            if c is None and d.beta != 0:
+                # silently computing the beta=0 result would drop a ported
+                # accumulation loop's C+= semantics
+                raise ValueError("beta=1 packed BRGEMM needs the C operand "
+                                 "(dispatch with BETA_0 for C=)")
             br = b.shape[0]
             inner = built.get(br)
             if inner is None:
@@ -814,6 +852,10 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
     # raise on first invocation)
     desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
     from ..kernels import gemm_pallas
+    if GemmFlags(flags) & (GemmFlags.VNNI_A | GemmFlags.VNNI_B
+                           | GemmFlags.VNNI_C):
+        raise ValueError("VNNI flags are not supported by the packed SMM "
+                         "entry (NORM layout only)")
     if not gemm_pallas.packed_smm_supported(desc):
         raise ValueError(f"unsupported for packed SMM: {desc.name()} "
                          "(need k==n, n|128, f32/bf16, no transposes)")
@@ -920,6 +962,9 @@ def dispatch_gemm_batched_packed(shape: GemmShape,
         def fn(a, b, c=None):
             if c is not None and d.beta == 0:
                 raise ValueError("c operand passed to a BETA_0 packed SMM")
+            if c is None and d.beta != 0:
+                raise ValueError("beta=1 packed SMM needs the C operand "
+                                 "(dispatch with BETA_0 for C=)")
             g = a.shape[0]
             if g == 0:            # empty batch: no kernel to build
                 return jnp.zeros((0, d.shape.m, p * d.shape.n), out_dt)

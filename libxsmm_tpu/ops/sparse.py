@@ -234,7 +234,11 @@ def create_packed_spgemm_csr(shape: GemmShape,
                     np.asarray(column_idx, np.int32))
     _ensure_x64(shape)
     _, _, _, rmax_probe = csr.ell()
-    if strategy == "auto":
+    if csr.nnz == 0:
+        # empty pattern: the ELL value gather indexes a size-0 array; the
+        # dense lowering handles it via the appended zero slot
+        strategy = "dense"
+    elif strategy == "auto":
         sparse_bytes = (shape.m * rmax_probe * shape.n
                         * max(1, packed_width) * itemsize(shape.b_in_type))
         strategy = ("dense" if _dense_beats_sparse(shape, sparse_bytes)
@@ -285,11 +289,13 @@ def create_packed_spgemm_csr(shape: GemmShape,
                 gb = jnp.take(b, colv, axis=0)
                 if b.ndim == 2:                  # (k, n)
                     gb = gb.reshape(shape.m, rmax, shape.n).astype(comp)
-                    acc = jnp.einsum("mr,mrn->mn", vals, gb)
+                    acc = jnp.einsum("mr,mrn->mn", vals, gb,
+                                     precision=prec)
                 else:                            # (k, n, p)
                     p = b.shape[-1]
                     gb = gb.reshape(shape.m, rmax, shape.n, p).astype(comp)
-                    acc = jnp.einsum("mr,mrnp->mnp", vals, gb)
+                    acc = jnp.einsum("mr,mrnp->mnp", vals, gb,
+                                     precision=prec)
             if c is not None:
                 acc = acc + c.astype(comp)
             return acc.astype(out_dt)
@@ -989,8 +995,11 @@ def create_spgemm_csr_areg(shape: GemmShape,
 
     def _build(_key):
         col, pos, mask, rmax = csr.ell()
-        vals_ell = (csr.data[pos.reshape(-1)].reshape(shape.m, rmax)
-                    * mask)                                  # baked values
+        # nnz==0: the all-zero mask makes the gather irrelevant, but the
+        # size-0 value array cannot be indexed — bake zeros directly
+        vals_ell = ((csr.data[pos.reshape(-1)].reshape(shape.m, rmax)
+                     * mask) if csr.nnz else
+                    np.zeros((shape.m, rmax), np.float32))   # baked values
         valsd = jax.device_put(jnp.asarray(vals_ell, to_jnp(shape.comp_type)))
         cold = jax.device_put(jnp.asarray(col.reshape(-1)))
         comp = to_jnp(shape.comp_type)
@@ -1001,7 +1010,10 @@ def create_spgemm_csr_areg(shape: GemmShape,
         def run(valsj, colj, b, c=None):
             gb = jnp.take(b, colj, axis=0)
             gb = gb.reshape(shape.m, rmax, shape.n).astype(comp)
-            acc = jnp.einsum("mr,mrn->mn", valsj, gb)
+            # f32 contraction must not drop to bf16 MXU passes
+            # (matmul_precision policy, CLAUDE.md)
+            acc = jnp.einsum("mr,mrn->mn", valsj, gb,
+                             precision=matmul_precision(shape))
             if c is not None:
                 acc = acc + c.astype(comp)
             return acc.astype(out_dt)

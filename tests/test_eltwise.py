@@ -584,6 +584,49 @@ def test_reduce_record_argop():
     np.testing.assert_array_equal(np.asarray(arg)[0], x.argmax(axis=0))
 
 
+def test_reduce_record_argop_bf16_indices_stay_integer():
+    # argop indices ride u32/u64 buffers in the reference — casting them
+    # through a bf16 out dtype would round positions > 256 (review finding)
+    m, n = 4, 1000
+    rng_ = np.random.default_rng(5)
+    x = np.zeros((m, n), np.float32)
+    x[:, 999] = 7.0                       # argmax index NOT bf16-exact
+    x += 0.001 * rng_.random((m, n)).astype(np.float32)
+    import jax.numpy as jnp
+    kern = xt.dispatch_meltw_unary(
+        UnaryType.REDUCE_X_OP_MAX, m, n,
+        UnaryFlags.REDUCE_ROWS | UnaryFlags.REDUCE_RECORD_ARGOP,
+        in_type=Datatype.BF16, out_type=Datatype.BF16)
+    red, arg = kern(jnp.asarray(x, jnp.bfloat16))
+    arg = np.asarray(arg)
+    assert arg.dtype.kind in "iu"
+    np.testing.assert_array_equal(arg[:, 0], [999] * m)
+
+
+def test_reduce_init_acc_contracts():
+    # INIT_ACC is defined for the ADD reduces only (reference_impl.c
+    # reduce_op==0 branch); X_X2 takes one accumulator per output
+    m, n = 8, 16
+    x = _rand((m, n))
+    acc = _rand((1, n))
+    acc2 = _rand((1, n))
+    k2 = xt.dispatch_meltw_unary(UnaryType.REDUCE_X_X2_OP_ADD, m, n,
+                                 UnaryFlags.REDUCE_COLS
+                                 | UnaryFlags.REDUCE_INIT_ACC)
+    s, s2 = k2(x, acc, acc2)
+    np.testing.assert_allclose(np.asarray(s)[0],
+                               x.sum(axis=0) + np.asarray(acc)[0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2)[0],
+                               (x * x).sum(axis=0) + np.asarray(acc2)[0],
+                               rtol=1e-5)
+    kmax = xt.dispatch_meltw_unary(UnaryType.REDUCE_X_OP_MAX, m, n,
+                                   UnaryFlags.REDUCE_COLS
+                                   | UnaryFlags.REDUCE_INIT_ACC)
+    with pytest.raises(ValueError, match="ADD reduces"):
+        kmax(x, acc)
+
+
 def test_rng_and_timer_utils():
     from libxsmm_tpu import rng as xrng
     from libxsmm_tpu.utils import timer

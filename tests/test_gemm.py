@@ -636,6 +636,74 @@ def test_gemm_mx_a(fmt):
     check(want, got, margin=2e-2 * max(1.0, np.abs(want).max()))
 
 
+def test_brgemm_ext_mx_a_decodes():
+    """MX packed operands through the EXT entry: the (payload, scales) pair
+    must decode inside the kernel like _build_gemm's path does (review
+    finding: ext previously crashed deep in _gemm_core), and a/b argops on
+    packed operands are cleanly rejected."""
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.descriptor import (BatchReduceConfig, BatchReduceType,
+                                        BinaryPostops, UnaryArgops)
+    m, n, k = 16, 64, 64
+    fmt = Datatype.MXBF8
+    pair, adec = _mx_pair_a(m, k, fmt)
+    b = RNG.standard_normal((k, n)).astype(np.float32)
+    shape = GemmShape(m, n, k, a_in_type=fmt, b_in_type=Datatype.BF16,
+                      out_type=Datatype.F32)
+    kern = xt.dispatch_brgemm_ext(
+        shape, GemmFlags.BETA_0 | GemmFlags.VNNI_A,
+        BatchReduceConfig(BatchReduceType.NONE),
+        argops=UnaryArgops(cp_type=UnaryType.RELU))
+    got = np.asarray(kern(pair, jnp.asarray(b, jnp.bfloat16)))
+    want = np.maximum(adec.astype(np.float32)
+                      @ np.asarray(jnp.asarray(b, jnp.bfloat16), np.float32),
+                      0.0)
+    check(want, got, margin=2e-2 * max(1.0, np.abs(want).max()))
+    with pytest.raises(ValueError, match="argops"):
+        xt.dispatch_brgemm_ext(
+            shape, GemmFlags.BETA_0 | GemmFlags.VNNI_A,
+            BatchReduceConfig(BatchReduceType.NONE),
+            argops=UnaryArgops(ap_type=UnaryType.X2))
+
+
+def test_batched_beta1_requires_c():
+    # beta=1 without the C operand silently computed the beta=0 result
+    # (review finding); all batched/packed entries must reject it
+    import jax.numpy as jnp
+    a = jnp.asarray(RNG.standard_normal((4, 32, 32)), jnp.float32)
+    kern = xt.dispatch_gemm_batched(GemmShape(32, 32, 32), GemmFlags.NONE)
+    with pytest.raises(ValueError, match="needs the C operand"):
+        kern(a, a)
+    kp = xt.dispatch_gemm_batched_packed(GemmShape(32, 32, 32),
+                                         GemmFlags.NONE)
+    ap = jnp.asarray(RNG.standard_normal((4, 32, 128)), jnp.float32)
+    with pytest.raises(ValueError, match="needs the C operand"):
+        kp(ap, ap)
+    from libxsmm_tpu.descriptor import BatchReduceConfig, BatchReduceType
+    kb = xt.dispatch_brgemm_packed(
+        GemmShape(32, 32, 32), GemmFlags.NONE,
+        BatchReduceConfig(BatchReduceType.STRIDE, 4))
+    b4 = jnp.asarray(RNG.standard_normal((4, 32, 32)), jnp.float32)
+    with pytest.raises(ValueError, match="needs the C operand"):
+        kb(xt.pack_batched(np.asarray(b4), 4), b4)
+
+
+def test_batched_rejects_vnni_flags():
+    # the batched/packed entries contract NORM layout only; VNNI flags
+    # must be rejected at dispatch, not silently mis-contracted
+    with pytest.raises(ValueError, match="VNNI"):
+        xt.dispatch_gemm_batched(
+            GemmShape(32, 32, 32, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32),
+            GemmFlags.BETA_0 | GemmFlags.VNNI_A)
+    with pytest.raises(ValueError, match="VNNI"):
+        xt.dispatch_gemm_batched_packed(
+            GemmShape(32, 32, 32, a_in_type=Datatype.BF16,
+                      b_in_type=Datatype.BF16, out_type=Datatype.F32),
+            GemmFlags.BETA_0 | GemmFlags.VNNI_A)
+
+
 def test_gemm_mx_a_and_b():
     """MXFP4 x MXFP4 (reference combo generator_gemm.c:276-277)."""
     m, n, k = 16, 32, 64
