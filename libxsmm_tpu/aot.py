@@ -21,17 +21,28 @@ from typing import Callable, Optional, Sequence
 import jax
 
 from .native_bridge import PersistentKv
-from .registry import Kernel
 
 
 def _aval_sig(args) -> str:
-    return ",".join(f"{a.dtype}{list(a.shape)}" for a in map(jax.numpy.asarray,
-                                                             args))
+    import numpy as np
+
+    # dtype/shape only — np.asarray never uploads to the device (keys for
+    # large host operands must not cost a transfer)
+    def sig(a):
+        if not (hasattr(a, "dtype") and hasattr(a, "shape")):
+            a = np.asarray(a)
+        return f"{a.dtype}{list(a.shape)}"
+
+    return ",".join(sig(a) for a in args)
 
 
 def default_key(name: str, args) -> bytes:
-    platform = jax.devices()[0].platform
-    return f"aot:{platform}:{name}:{_aval_sig(args)}".encode()
+    # device_kind (e.g. 'TPU v5e'), not just the platform: serialized
+    # executables are generation-specific exactly like the reference's
+    # exported binaries are ISA-specific
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    return f"aot:{dev.platform}:{kind}:{name}:{_aval_sig(args)}".encode()
 
 
 def export_kernel(kernel_or_fn, args: Sequence, store: PersistentKv,

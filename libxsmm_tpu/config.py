@@ -24,7 +24,7 @@ Environment variables (all prefixed XSMM_TPU_):
                                    (LIBXSMM_FSSPMDM_HINT).
   XSMM_TPU_FSSPMDM_DENSE_BIAS float  dense-kernel selection bias, default 0.1
                                    (LIBXSMM_FSSPMDM_DENSE_BIAS).
-  XSMM_TPU_FSSPMDM_NTUNE      int  autotune reps, default 25.
+  XSMM_TPU_FSSPMDM_NTUNE      int  autotune reps, default 250.
   XSMM_TPU_DUMP        str  directory to dump lowered kernels (LIBXSMM_DUMP).
 """
 

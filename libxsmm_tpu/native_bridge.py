@@ -44,7 +44,12 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # a prebuilt .so without the C++ source (deploy image) is fine —
+        # only rebuild when the source is PRESENT and newer
+        stale = (_SRC.exists()
+                 and (not _SO.exists()
+                      or _SO.stat().st_mtime < _SRC.stat().st_mtime))
+        if not _SO.exists() or stale:
             if not _build():
                 return None
         try:
@@ -153,13 +158,21 @@ class PersistentKv:
         n = self._lib.xsmm_kv_lookup(
             self.path, ctypes.cast(kbuf, ctypes.c_void_p), len(key),
             None, 0)
-        if n < 0:
-            return None
-        out = ctypes.create_string_buffer(int(n))
-        self._lib.xsmm_kv_lookup(
-            self.path, ctypes.cast(kbuf, ctypes.c_void_p), len(key),
-            ctypes.cast(out, ctypes.c_void_p), int(n))
-        return out.raw
+        # the size probe and the fill are two scans of a log other
+        # processes may append to between them (later-record-wins): retry
+        # until the fill sees the same length, so a record that grew
+        # between the calls is never returned truncated
+        for _ in range(4):
+            if n < 0:
+                return None
+            out = ctypes.create_string_buffer(int(n))
+            m = self._lib.xsmm_kv_lookup(
+                self.path, ctypes.cast(kbuf, ctypes.c_void_p), len(key),
+                ctypes.cast(out, ctypes.c_void_p), int(n))
+            if m == n:
+                return out.raw
+            n = m
+        return None
 
 
 def read_mtx_coo(path: str):

@@ -97,7 +97,14 @@ def _gen_eltwise(spec: dict, bench: bool) -> str:
                                          in_type=dt)
         out = kern(x, x, x)
     jax.block_until_ready(out)
-    return f"eltwise {kern.name}"
+    note = ""
+    if bench:
+        from .timer import bench_chain
+        nargs = {"unary": 1, "binary": 2}.get(kind, 3)
+        per = bench_chain(kern, (x,) * nargs, chain_idx=0, reps=20)
+        gb = (nargs + 1) * x.nbytes / per / 1e9
+        note = f"  {gb:.1f} GB/s"
+    return f"eltwise {kern.name}{note}"
 
 
 def _gen_spgemm(spec: dict, bench: bool) -> str:
@@ -124,6 +131,23 @@ def _gen_spgemm(spec: dict, bench: bool) -> str:
             note = f"  {h.nnz * n / per / 1e9:.1f} Gnnz/s"
         return (f"fsspmdm {a.shape[0]}x{n}x{a.shape[1]} nnz={h.nnz} "
                 f"[{h.kind}]{note}")
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+
+    def _warm(kern, args, nnz_ops):
+        # INVOKE so the XLA compilation lands in the persistent cache (the
+        # tool's whole purpose); create_* builds lazily. nnz_ops = nnz x
+        # the per-nonzero MAC width (N for A-sparse streaming, m for the
+        # packed B-sparse kinds), the reference drivers' nnz accounting.
+        out = kern(*args)
+        jax.block_until_ready(out)
+        if not bench:
+            return ""
+        from .timer import bench_chain
+        per = bench_chain(kern, args, chain_idx=0, reps=20)
+        return f"  {nnz_ops / per / 1e9:.1f} Gnnz/s"
+
     if kind == "csr_areg":
         from ..ops.sparse import CsrMatrix, create_spgemm_csr_areg
         from ..descriptor import GemmFlags, GemmShape
@@ -131,7 +155,9 @@ def _gen_spgemm(spec: dict, bench: bool) -> str:
         kern = create_spgemm_csr_areg(
             GemmShape(a.shape[0], n, a.shape[1]), GemmFlags.BETA_0,
             row_ptr=csr.indptr, column_idx=csr.indices, values=csr.data)
-        return f"csr_areg {kern.name} nnz={csr.nnz}"
+        b = jnp.asarray(rng.standard_normal((a.shape[1], n)), jnp.float32)
+        note = _warm(kern, (b,), csr.nnz * n)
+        return f"csr_areg {kern.name} nnz={csr.nnz}{note}"
     if kind == "csc":
         # the reference CLI's `sparse` mode: CSC .mtx -> B-sparse packed
         # kernel (documentation/libxsmm_be.md; generator_spgemm + csc
@@ -143,7 +169,10 @@ def _gen_spgemm(spec: dict, bench: bool) -> str:
         kern = create_packed_spgemm_csc(
             GemmShape(m, a.shape[1], a.shape[0]), GemmFlags.BETA_0,
             column_ptr=csc.indptr, row_idx=csc.indices)
-        return f"csc {kern.name} nnz={csc.nnz}"
+        lhs = jnp.asarray(rng.standard_normal((m, a.shape[0])), jnp.float32)
+        vals = jnp.asarray(rng.standard_normal(csc.nnz), jnp.float32)
+        note = _warm(kern, (lhs, vals), csc.nnz * m)
+        return f"csc {kern.name} nnz={csc.nnz}{note}"
     if kind == "bcsc":
         # BCSC B-sparse from .mtx with block shape + lowering strategy
         # (the xgemm_sparse workload as an offline-precompile target)
@@ -158,7 +187,11 @@ def _gen_spgemm(spec: dict, bench: bool) -> str:
             SpgemmConfig(1, bk, bn), column_ptr=bcsc.indptr,
             row_idx=bcsc.indices,
             strategy=spec.get("strategy", "dense"))
-        return f"bcsc {kern.name} nblocks={bcsc.nblocks} b{bk}x{bn}"
+        lhs = jnp.asarray(rng.standard_normal((m, a.shape[0])), jnp.float32)
+        vals = jnp.asarray(rng.standard_normal((bcsc.nblocks, bk, bn)),
+                           jnp.float32)
+        note = _warm(kern, (lhs, vals), bcsc.nblocks * bk * bn * m)
+        return f"bcsc {kern.name} nblocks={bcsc.nblocks} b{bk}x{bn}{note}"
     raise ValueError(f"unknown spgemm kind: {kind}")
 
 

@@ -12,7 +12,11 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -168,17 +172,32 @@ constexpr uint32_t kMagic = 0x58534D4Du;  // "XSMM"
 
 int xsmm_kv_append(const char* path, const void* key, uint64_t keylen,
                    const void* val, uint64_t vallen) {
-  std::FILE* f = std::fopen(path, "ab");
-  if (!f) return -1;
+  // The whole record goes out in ONE write() on an O_APPEND fd: concurrent
+  // appenders (parallel test shards, two xsmm-gen runs) each land a
+  // contiguous record — buffered fwrite would flush a multi-MB executable
+  // in several write()s that can interleave and corrupt the log for every
+  // record after the damage (lookup stops at the first bad header).
   KvHeader h{kMagic, 0, keylen, vallen};
   uint32_t crc = crc32c(key, keylen, 0);
   h.crc = crc32c(val, vallen, crc);
-  int ok = 1;
-  ok &= std::fwrite(&h, sizeof(h), 1, f) == 1;
-  ok &= keylen == 0 || std::fwrite(key, 1, keylen, f) == keylen;
-  ok &= vallen == 0 || std::fwrite(val, 1, vallen, f) == vallen;
-  std::fclose(f);
-  return ok ? 0 : -1;
+  std::vector<uint8_t> rec(sizeof(h) + keylen + vallen);
+  std::memcpy(rec.data(), &h, sizeof(h));
+  if (keylen) std::memcpy(rec.data() + sizeof(h), key, keylen);
+  if (vallen) std::memcpy(rec.data() + sizeof(h) + keylen, val, vallen);
+  const int fd = ::open(path, O_WRONLY | O_APPEND | O_CREAT, 0644);
+  if (fd < 0) return -1;
+  size_t off = 0;  // POSIX serializes O_APPEND writes on regular files;
+  while (off < rec.size()) {  // retry only on short/interrupted writes
+    const ssize_t w = ::write(fd, rec.data() + off, rec.size() - off);
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      ::close(fd);
+      return -1;
+    }
+    off += static_cast<size_t>(w);
+  }
+  ::close(fd);
+  return 0;
 }
 
 // Scan the log for the LAST record matching key (later entries win so
@@ -250,6 +269,10 @@ int xsmm_mtx_open(const char* path, void** handle, int64_t* m, int64_t* n,
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
   const long fsize = std::ftell(f);
+  if (fsize < 0) {  // FIFO/chardev: ESPIPE would turn into a size_t(-1)
+    std::fclose(f);  // allocation whose exception escapes the C ABI
+    return -1;
+  }
   std::fseek(f, 0, SEEK_SET);
   std::string buf(static_cast<size_t>(fsize), '\0');
   const size_t got = std::fread(&buf[0], 1, buf.size(), f);
@@ -310,12 +333,14 @@ int xsmm_mtx_open(const char* path, void** handle, int64_t* m, int64_t* n,
     }
   } else {
     // array format: dense, column-major element order per the MM spec;
-    // symmetric/skew variants store only the lower triangle
+    // symmetric/hermitian variants store the lower triangle INCLUDING the
+    // diagonal; skew-symmetric stores strictly below it (the diagonal is
+    // identically zero and omitted from the file)
     if (pattern) { delete d; return -2; }
     const bool tri = symmetric || skew || hermitian;
     p = q;
     for (long col = 0; col < nn; ++col) {
-      for (long row = tri ? col : 0; row < mm; ++row) {
+      for (long row = tri ? (skew ? col + 1 : col) : 0; row < mm; ++row) {
         const double v = std::strtod(p, &q);
         if (q == p) { delete d; return -2; }
         p = q;

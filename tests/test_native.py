@@ -93,6 +93,37 @@ def test_kv_persists_across_instances(tmp_path):
     assert native_bridge.PersistentKv(path).get(b"a") == b"1"
 
 
+def test_kv_concurrent_appends(tmp_path):
+    # each record must land via ONE O_APPEND write() — interleaved
+    # buffered fwrites from parallel processes corrupted the log and
+    # masked every later record (review finding). 4 processes x 25
+    # multi-KB appends; every record must be readable afterwards.
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "conc.xkv")
+    code = """
+import os, sys
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")   # package import must not probe
+from libxsmm_tpu import native_bridge       # the (possibly dead) TPU tunnel
+kv = native_bridge.PersistentKv(sys.argv[1])
+w = int(sys.argv[2])
+for i in range(25):
+    assert kv.put(b"w%d-k%d" % (w, i), bytes([w] * (8192 + i)))
+"""
+    procs = [subprocess.Popen([sys.executable, "-c", code, path, str(w)],
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__))))
+             for w in range(4)]
+    assert all(p.wait() == 0 for p in procs)
+    kv = native_bridge.PersistentKv(path)
+    for w in range(4):
+        for i in range(25):
+            assert kv.get(b"w%d-k%d" % (w, i)) == bytes([w] * (8192 + i))
+
+
 def test_aot_export_load(tmp_path):
     # AOT executables bind the device topology they were compiled for
     # (like the reference's ISA-specific binary exports), so run the
@@ -179,6 +210,37 @@ def test_mtx_native_symmetric_pattern_array(tmp_path):
                    "3 3 2\n2 1 5.0\n3 1 -2.0\n")
     np.testing.assert_allclose(
         read_mtx(str(skw)), [[0, -5, 2], [5, 0, 0], [-2, 0, 0]])
+
+
+def test_mtx_native_skew_array(tmp_path):
+    # MM spec: skew-symmetric ARRAY format stores strictly-below-diagonal
+    # entries only (no zero diagonal in the file) — the reader previously
+    # consumed a phantom diagonal value per column (review finding)
+    _native_or_skip()
+    from libxsmm_tpu.utils.mtx import read_mtx
+    skw = tmp_path / "ka.mtx"
+    # 3x3 skew array: column-major strictly-lower = (2,1) (3,1) (3,2)
+    skw.write_text("%%MatrixMarket matrix array real skew-symmetric\n"
+                   "3 3\n5.0\n-2.0\n7.0\n")
+    np.testing.assert_allclose(
+        read_mtx(str(skw)), [[0, -5, 2], [5, 0, -7], [-2, 7, 0]])
+    sym = tmp_path / "sa.mtx"
+    # symmetric array includes the diagonal: (1,1)(2,1)(3,1) (2,2)(3,2) (3,3)
+    sym.write_text("%%MatrixMarket matrix array real symmetric\n"
+                   "3 3\n1\n2\n3\n4\n5\n6\n")
+    np.testing.assert_allclose(
+        read_mtx(str(sym)), [[1, 2, 3], [2, 4, 5], [3, 5, 6]])
+
+
+def test_aot_key_binds_device_generation():
+    # serialized executables are generation-specific: the key must carry
+    # device_kind, and key computation must not upload args to the device
+    from libxsmm_tpu import aot
+    import jax
+    key = aot.default_key("k", (np.zeros((4, 8), np.float32),))
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    assert kind.encode() in key and b"float32[4, 8]" in key
 
 
 def test_mtx_native_errors(tmp_path):
