@@ -49,8 +49,8 @@ class ChainCase:
     """A chained-iteration benchmark case.
 
     Iterations fold into ONE launch via fori_loop; the inner count is
-    calibrated per case (two-point probe) so each launch runs
-    ~TARGET_LAUNCH_S of device time — per-launch overhead on this backend
+    calibrated per case (loop-until-target with null-launch subtraction)
+    so each launch runs ~TARGET_LAUNCH_S of device time — per-launch overhead on this backend
     swings 1.2–14 ms with the time-sharing window, which would otherwise
     dominate any small-traffic case. Trials sync via host readback.
     """
@@ -58,36 +58,45 @@ class ChainCase:
     def __init__(self, step, state):
         import jax
 
+        from libxsmm_tpu.utils.timer import launch_overhead
+
         def make(r):
             return jax.jit(lambda s: jax.lax.fori_loop(
                 0, r, lambda i, ss: step(ss), s))
 
-        f_lo, f_hi = make(8), make(24)
-        state = f_lo(state)              # compile + warmup
+        # LOOP-until-target calibration with null-launch subtraction (the
+        # _ChainRunner discipline, utils/timer.py): a one-shot two-point
+        # probe (8 vs 24 iters, the r2 scheme) is corrupted by the 1.2 to
+        # 28 ms launch-overhead jitter between the two draws, permanently
+        # mis-sizing `inner` for every trial of the case. Cap 8192: in
+        # degraded windows a 1024-iter launch of a 20 us kernel is 21 ms
+        # of work under 28 ms of overhead; the TARGET_LAUNCH_S sizing
+        # needs room to amortize it.
+        null = launch_overhead(refresh=True)
+        target = max(TARGET_LAUNCH_S, 3.0 * null)
+        inner = 16                       # power of two: the fori trip count
+        fn = make(inner)                 # is in the executable cache key
+        state = fn(state)                # compile + warmup
         _sync(state)
-        t0 = time.perf_counter()
-        state = f_lo(state)
-        _sync(state)
-        t_lo = time.perf_counter() - t0
-        state = f_hi(state)              # compile + warmup
-        _sync(state)
-        t0 = time.perf_counter()
-        state = f_hi(state)
-        _sync(state)
-        t_hi = time.perf_counter() - t0
-        per_iter = max((t_hi - t_lo) / 16, 1e-6)
-        # cap 8192 (was 1024): in degraded windows per-launch overhead
-        # reaches ~28 ms — a 1024-iter launch of a 20 us kernel is 21 ms
-        # of work + 28 ms of overhead (2.3x inflation); the TARGET_LAUNCH_S
-        # sizing needs room to amortize it
-        want = int(min(8192, max(16, TARGET_LAUNCH_S / per_iter)))
-        # round up to a power of two: the fori_loop trip count is part
-        # of the executable cache key — quantized counts hit the
-        # persistent compile cache across runs, raw counts recompile
-        self.inner = 1 << max(4, (want - 1).bit_length())
-        self.fn = make(self.inner)
-        self.state = self.fn(state)      # compile + warmup
-        _sync(self.state)
+        for _ in range(8):
+            t0 = time.perf_counter()
+            state = fn(state)
+            _sync(state)
+            t = time.perf_counter() - t0
+            if t >= target or inner >= 8192:
+                break
+            per_iter = max((t - null) / inner, 1e-9)
+            want = int(min(8192, max(16, 1.3 * target / per_iter)))
+            want = 1 << max(4, (want - 1).bit_length())
+            if want <= inner:            # window improved mid-calibration
+                break
+            inner = want
+            fn = make(inner)
+            state = fn(state)            # compile + warmup anew
+            _sync(state)
+        self.inner = inner
+        self.fn = fn
+        self.state = state
         self.best = float("inf")
         self.times = []                  # every trial, in order
 
@@ -261,9 +270,11 @@ def make_brgemm_case():
         c_ = build_packed_brgemm_sol(desc, br, step_groups=sg)
         if c_ is not None:       # unsupported desc/br split -> no SoL twin
             solcands.append(lambda b_, c_=c_: c_(a_packed, b_))
+    sol_twin_ok = bool(solcands)
     if not solcands:
-        # degrade gracefully: measure the kernel against itself (frac 1.0)
-        # rather than crash the whole bench on an unsupported twin
+        # degrade gracefully: measure the kernel against itself rather
+        # than crash the whole bench — but FLAG it (the self-ratio reads
+        # a perfect ~1.0, indistinguishable from a real result otherwise)
         solcands = [lambda b_: kern(b_)]
     solfn, _ = _pick_variant(solcands, (b0,))
 
@@ -280,7 +291,7 @@ def make_brgemm_case():
 
     bytes_moved = br * (m * k + k * n) * 2 + m * n * 4
     return ((ChainCase(step, b0), ChainCase(sol_step, b0)),
-            (2 * br * m * n * k, bytes_moved))
+            (2 * br * m * n * k, bytes_moved), sol_twin_ok)
 
 
 def make_brgemm_fused_case():
@@ -385,12 +396,16 @@ def make_fsspmdm_tall_case():
         for kind, hint in (("dense", "2"), ("sparse", "1")):
             os.environ["XSMM_TPU_FSSPMDM_HINT"] = hint
             handles[kind] = fsspmdm_create(n, a)
+        # the autotuner's OWN pick: must run with the hint UNSET — after
+        # the finally a user-exported hint would be back in force and
+        # silently masquerade as the autotune decision
+        os.environ.pop("XSMM_TPU_FSSPMDM_HINT", None)
+        auto = fsspmdm_create(n, a)
     finally:
         if prior_hint is None:
             os.environ.pop("XSMM_TPU_FSSPMDM_HINT", None)
         else:
             os.environ["XSMM_TPU_FSSPMDM_HINT"] = prior_hint
-    auto = fsspmdm_create(n, a)           # the autotuner's own pick
     b0 = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
 
     def make_step(h):
@@ -556,7 +571,8 @@ def main():
     pbf16_case, pbf16_flops = make_peak_case("bf16")
     smm_case, (smm_flops, smm_bytes) = make_smm_case()
     sol_case, sol_bytes = make_smm_sol_case()
-    (brg_case, brg_sol_case), (brg_flops, brg_bytes) = make_brgemm_case()
+    ((brg_case, brg_sol_case), (brg_flops, brg_bytes),
+     brg_sol_twin_ok) = make_brgemm_case()
     brgf_case, brgf_flops = make_brgemm_fused_case()
     fss_case, (fss_nnzn, fss_kind, fss_bytes) = make_fsspmdm_case()
     fsst_cases, (fsst_nnzn, fsst_kind) = make_fsspmdm_tall_case()
@@ -621,9 +637,15 @@ def main():
     smm_rate = smm_flops / smm_case.best
     brg_rate = brg_flops / brg_case.best
     fss_rate = fss_nnzn / fss_case.best
-    bcsc_strategy = min(bcsc_cases, key=lambda s: bcsc_cases[s].best)
-    bcsc_best = bcsc_cases[bcsc_strategy].best
-    bcsc_rate = bcsc_nnz * bcsc_m * 2 / bcsc_best
+    if bcsc_cases:
+        bcsc_strategy = min(bcsc_cases, key=lambda s: bcsc_cases[s].best)
+        bcsc_best = bcsc_cases[bcsc_strategy].best
+        bcsc_rate = bcsc_nnz * bcsc_m * 2 / bcsc_best
+    else:
+        # every strategy failed to build/compile (per-strategy failures are
+        # individually tolerated — an empty dict must not crash main() and
+        # cost the round its artifact)
+        bcsc_strategy, bcsc_best, bcsc_rate = None, float("inf"), 0.0
 
     # per-kernel speed-of-light accounting (BASELINE.md). The brgemm /
     # fsspmdm / bcsc working sets fit VMEM, so within a chained launch the
@@ -648,7 +670,7 @@ def main():
     bcsc5_frac_by = {s: round(2 * bcsc5_nnz * bcsc5_m / pbf16_flops
                               * paired_ratio(c, pbf16_case), 4)
                      for s, c in bcsc5_cases.items()}
-    bcsc_peak_frac = bcsc_frac_by[bcsc_strategy]
+    bcsc_peak_frac = bcsc_frac_by.get(bcsc_strategy)
 
     # dispatch-overhead extra (the reference publishes its dispatch-cost
     # methodology, documentation/libxsmm_samples.md:500-505): cache-hit
@@ -684,8 +706,11 @@ def main():
             # no MXU work): ~1.0 = compute fully hidden behind the
             # HBM streaming this shape is bound by (the physical
             # ceiling of brgemm_peak_fraction is ~0.67 at 128 F/B)
-            "brgemm_stream_sol_frac": round(
-                min(paired_ratio(brg_case, brg_sol_case), 1.0), 3),
+            # None when the structural twin failed to build (the fallback
+            # times the kernel against itself — a meaningless ~1.0)
+            "brgemm_stream_sol_frac": (round(
+                min(paired_ratio(brg_case, brg_sol_case), 1.0), 3)
+                if brg_sol_twin_ok else None),
             "brgemm_stream_gbps": round(
                 brg_bytes / brg_case.best / 1e9, 1),
             # streaming rate vs the same-run copy bandwidth: ~1.0 means

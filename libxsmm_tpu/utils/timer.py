@@ -170,7 +170,7 @@ class _ChainRunner:
 
 
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
-                reps: int = 20, warmup: int = 2, rounds: int = 3,
+                reps: int = 20, rounds: int = 3,
                 min_launch_s: float = 0.05) -> float:
     """Best seconds per call over `rounds` calibrated chained launches
     (see _ChainRunner for the measurement discipline)."""

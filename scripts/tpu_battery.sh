@@ -17,7 +17,10 @@ leg() {  # leg <name> <timeout-s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   echo "=== $name (timeout ${tmo}s) ==="
   local t0=$SECONDS
-  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  # -k 30: SIGTERM can be ineffective against a process stuck in
+  # uninterruptible tunnel I/O (the documented hang mode this battery
+  # exists for) — escalate to SIGKILL so one hung leg cannot stall the rest
+  timeout -k 30 "$tmo" "$@" > "$LOG/$name.log" 2>&1
   local rc=$? dt=$((SECONDS - t0))
   printf '%-24s rc=%-3s %4ss\n' "$name" "$rc" "$dt" | tee -a "$SUMMARY"
   return $rc
@@ -39,6 +42,14 @@ leg xgemm_full 3600 python samples/xgemm.py --full
 # 4. benchmark headline + extras (writes the one JSON line)
 leg bench 5400 python bench.py
 grep -h '^{' "$LOG/bench.log" | tail -1 > "$LOG/bench.json" 2>/dev/null || true
+# bench.py exits 0 even when it found the backend dead (it emits an honest
+# error artifact for the round harness) — the BATTERY must still count
+# that as a failed leg, or a mid-battery outage reads as a pass
+if grep -q '"error"' "$LOG/bench.json" 2>/dev/null; then
+  echo "bench artifact carries an error (backend died mid-battery)" \
+    | tee -a "$SUMMARY"
+  printf '%-24s rc=%-3s %4ss\n' "bench_artifact" 1 0 | tee -a "$SUMMARY"
+fi
 
 # 5. PyFR fsspmdm sweep on the real reference operators
 leg pyfr 1200 python samples/pyfr.py
