@@ -218,6 +218,12 @@ def meqn_push_back_arg(idx, m=None, n=None, in_pos=None,
             arg_attr = n
         idx, m, n, in_pos, dtype = (meta.eqn_idx, shape.m, shape.n,
                                     meta.in_arg_pos, shape.type)
+    if in_pos is None or int(in_pos) < 0:
+        # a negative in_pos would silently alias args[-1] at eval time;
+        # an omitted one would die on `in_pos + 1` with an opaque TypeError
+        raise ValueError(f"in_pos must be a non-negative argument "
+                         f"position, got {in_pos!r}")
+    in_pos = int(in_pos)
     set_card = 0
     if arg_attr is not None and arg_attr.arg_type != 0:
         # MATRIX_ARG_TYPE_SET (tensor-set args feeding BRGEMM nodes,
@@ -434,6 +440,13 @@ def dispatch_meqn(idx: int, out_m=None, out_n: int = None,
     def _build(_key):
         out_dt = to_jnp(out_type)
         root = eqn.root
+        if root.kind == "unary" and root.op == UnaryType.UNZIP \
+                and out_type not in (Datatype.U16, Datatype.I16):
+            # UNZIP emits raw uint16 bit halves; a value cast (astype) to
+            # any float type would silently destroy the bit-split contract
+            raise ValueError("UNZIP-rooted equations produce raw 16-bit "
+                             "halves: out_type must be U16 or I16 "
+                             f"(got {out_type})")
 
         # F64 anywhere in the tree needs x64 tracing (same contract as
         # ops.gemm._ensure_x64)
@@ -506,7 +519,11 @@ def dispatch_meqn(idx: int, out_m=None, out_n: int = None,
                     and (name.startswith("MATMUL")
                          or name.startswith("BRGEMM"))):
                 m_, n_, k_ = _matmul_dims(node, idx_lens)
-                return total + 2 * m_ * n_ * max(1, k_)
+                # a tensor-set (stacked) operand multiplies the node's work
+                # by its cardinality: BRGEMM reduces `card` matmuls
+                card = max([c.set_card for c in node.children
+                            if c.kind == "arg"] + [1])
+                return total + 2 * m_ * n_ * max(1, k_) * card
             if (node.kind == "unary" and _needs_idx(node.op)
                     and node.op != UnaryType.GATHER):
                 # idx-reduce reads len(idx) gathered rows of the child:
@@ -530,14 +547,19 @@ def dispatch_meqn(idx: int, out_m=None, out_n: int = None,
         jfn = jax.jit(run)
         gpos = _gather_positions(root, set())
         if gpos:
-            # refine nflops once the index-vector lengths are known
-            refined = []
+            # refine nflops from the index-vector lengths, re-checking on
+            # every call: the registry caches this Kernel for the tree's
+            # lifetime, and a caller may re-invoke it with index vectors of
+            # a different length (a one-shot refinement would freeze the
+            # first call's cost into all later introspection)
+            last_lens = {}
 
             def fn(*args):
-                if not refined:
-                    lens = {p: int(np.prod(np.shape(args[p]))) for p in gpos}
+                lens = {p: int(np.prod(np.shape(args[p]))) for p in gpos}
+                if lens != last_lens:
                     info.nflops = max(out_m * out_n, _nflops(root, lens))
-                    refined.append(True)
+                    last_lens.clear()
+                    last_lens.update(lens)
                 return jfn(*args)
         else:
             fn = jfn

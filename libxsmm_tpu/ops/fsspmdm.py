@@ -99,7 +99,7 @@ def _bench_candidates(cands, reps: int, rounds: int = 3,
     fixed-arg loops are memoized by the runtime and block_until_ready does
     not actually sync (CLAUDE.md). A candidate that fails to compile or
     errors mid-run yields None (the interleaved bencher's contract).
-    Module-level for test injection. Returns (times_us, ratio_1_over_0):
+    Module-level for test injection. Returns (times_us, ratio_0_over_1):
     the ratio is the MEDIAN of same-round time(cand0)/time(cand1) pairs —
     for a marginal decision (sparse ~15% past a 10% bias) the min-of-
     rounds comparison flips on one lucky draw; the paired-round median
@@ -133,6 +133,12 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         raise ValueError("beta must be 0 or 1 (reference restriction)")
     if dtype is None:
         dtype = from_jnp(a.dtype)
+    else:
+        # honor the DECLARED handle precision: the stored A (baked dense
+        # operand AND the CSR values) must live in `dtype`, not whatever
+        # precision the caller's array happened to arrive in (reference
+        # handles are templated on the element type, libxsmm_fsspmdm.c)
+        a = a.astype(np.dtype(to_jnp(dtype)))
     av = (alpha * a).astype(a.dtype)
     csr = CsrMatrix.from_dense(av)
     nnz = csr.nnz

@@ -101,9 +101,15 @@ class _ChainRunner:
     def __init__(self, fn: Callable, args: Tuple, chain_idx: int,
                  reps: int, min_launch_s: float):
         args = tuple(args)
+        # The chained operand may itself be a pytree — packed GEMM operands
+        # are (payload, scales) tuples. Chain through its FIRST leaf: one
+        # data dependency per launch is enough to defeat memoization, and
+        # the remaining leaves stay loop-invariant like the other args.
+        leaves, treedef = jax.tree_util.tree_flatten(args[chain_idx])
 
         def step(x):
-            call = [x if i == chain_idx else a for i, a in enumerate(args)]
+            op = jax.tree_util.tree_unflatten(treedef, [x] + leaves[1:])
+            call = [op if i == chain_idx else a for i, a in enumerate(args)]
             out = fn(*call)
             # The chain must consume EVERY output element, or XLA computes
             # only the live part: slice-of-dot rewrites to dot-of-slice (a
@@ -127,7 +133,7 @@ class _ChainRunner:
         target = max(min_launch_s, 3.0 * self._null)
         self.reps = reps
         self._looped = make(reps)
-        x = self._looped(args[chain_idx])      # compile + warmup
+        x = self._looped(leaves[0])            # compile + warmup
         device_sync(x)
         for _ in range(8):
             t0 = time.perf_counter()

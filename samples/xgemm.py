@@ -69,8 +69,10 @@ PACKED_COMBOS = [
     (D.I4X2, D.F16, D.F32, "f16"),
 ]
 
+# "exact" (integer) and "mx4"/"mx6" tolerance classes are handled by
+# dedicated compare branches in run_class (bit-exact / accumulation-order
+# bounds), not by MARGINS lookups
 MARGINS = dict(DEFAULT_MARGINS)
-MARGINS.update({"exact": 0.0, "mx4": 0.0, "mx6": 0.0})
 
 BR_MODES = ("none", "stride", "offset", "address")
 
@@ -170,12 +172,6 @@ def _rand_mk(rng, cls):
         fo = _vnni_factor(combo[2])
         m = max(fo * f, (m // (fo * f)) * fo * f)
     return m, n, k
-
-
-def _np_of(dt, arr):
-    import jax.numpy as jnp
-    return np.asarray(arr, np.float64) if dt != D.BF16 else np.asarray(
-        jnp.asarray(arr), np.float64)
 
 
 def _make_operand(rng, dt, shape):
@@ -349,7 +345,7 @@ def run_class(cls, rng, bench=False, verbose=True):
         if not br:
             br = 3
             a2 = jnp.asarray(rng.standard_normal((br, m, k)), to_jnp(adt))
-            b2 = jnp.asarray(rng.standard_normal((br, k, n)), to_jnp(adt))
+            b2 = jnp.asarray(rng.standard_normal((br, k, n)), to_jnp(bdt))
             a, b = a2, b2
             a64 = np.asarray(a2, np.float64)
             b64 = np.asarray(b2, np.float64)

@@ -554,3 +554,84 @@ def test_equation_nflops_gather_refined():
     want = 3 * m * ncols
     assert nf == want, (nf, want)
     meqn_destroy(idx)
+
+
+def test_equation_in_pos_validation():
+    """A negative (or omitted) in_pos must be a build-time error: at eval
+    time args[-1] would silently alias the LAST argument (no reference
+    kernel can be generated from a negative position either)."""
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.X2)
+    with pytest.raises(ValueError, match="in_pos"):
+        meqn_push_back_arg(idx, 8, 8, in_pos=-1)
+    with pytest.raises(ValueError, match="in_pos"):
+        meqn_push_back_arg(idx, 8, 8)  # flattened form without in_pos
+    meqn_push_back_arg(idx, 8, 8, in_pos=0)  # tree stays completable
+    dispatch_meqn(idx, 8, 8)
+    meqn_destroy(idx)
+
+
+def test_equation_unzip_out_type_validated():
+    """UNZIP roots emit raw uint16 bit halves; any float out_type would
+    VALUE-cast the bit patterns (0x3F80 -> 16256.0) and silently destroy
+    the split contract, so dispatch must reject it."""
+    m, n = 8, 16
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.UNZIP)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    with pytest.raises(ValueError, match="16-bit"):
+        dispatch_meqn(idx, m, n)  # default out_type=F32
+    kern = dispatch_meqn(idx, m, n, out_type=Datatype.U16)
+    x = _r(m, n)
+    lo, hi = kern(x)
+    bits = x.view(np.uint32)
+    np.testing.assert_array_equal(np.asarray(lo),
+                                  (bits & 0xFFFF).astype(np.uint16))
+    np.testing.assert_array_equal(np.asarray(hi),
+                                  (bits >> 16).astype(np.uint16))
+    meqn_destroy(idx)
+
+
+def test_equation_set_args_nflops_cardinality():
+    """BRGEMM nodes over tensor-set args cost 2*m*n*k*cardinality: the
+    kernel reduces `card` matmuls, and GFLOP/s introspection built on
+    get_kernel_info would under-report card-fold otherwise."""
+    from libxsmm_tpu import get_kernel_info
+    from libxsmm_tpu.ops.equation import (create_matrix_arg_attributes,
+                                          create_meqn_arg_metadata,
+                                          create_meqn_arg_shape)
+    br, m, k, n = 4, 8, 6, 10
+    idx = meqn_create()
+    set_attr = create_matrix_arg_attributes(
+        arg_type=1, set_type=3, set_cardinality_hint=br)
+    meqn_push_back_binary_op(idx, BinaryType.BRGEMM)
+    meqn_push_back_arg(create_meqn_arg_metadata(idx, 0),
+                       create_meqn_arg_shape(m, k, 0), set_attr)
+    meqn_push_back_arg(create_meqn_arg_metadata(idx, 1),
+                       create_meqn_arg_shape(k, n, 0), set_attr)
+    kern = dispatch_meqn(idx, m, n)
+    assert get_kernel_info(kern).nflops == 2 * m * n * k * br
+    meqn_destroy(idx)
+
+
+def test_equation_nflops_gather_rechecked_per_call():
+    """The registry caches the meqn Kernel for the tree's lifetime; a later
+    call with a DIFFERENT index-vector length must re-refine nflops (a
+    one-shot refinement froze the first call's cost into all later
+    introspection). Idx-reduce outputs are (1, n) regardless of the index
+    length, so the SAME kernel legitimately sees varying lengths."""
+    from libxsmm_tpu import get_kernel_info
+    m, n = 16, 64
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.REDUCE_COLS_IDX_OP_ADD,
+                            op_arg_pos=1)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    kern = dispatch_meqn(idx, 1, n)
+    x = _r(m, n)
+    for rows in (4, 12):
+        ridx = np.arange(rows, dtype=np.int32)
+        out = np.asarray(kern(x, ridx))
+        np.testing.assert_allclose(out, x[:rows].sum(0, keepdims=True),
+                                   rtol=1e-5)
+        assert get_kernel_info(kern).nflops == rows * n, rows
+    meqn_destroy(idx)

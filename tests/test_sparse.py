@@ -707,3 +707,25 @@ def test_bcsc_union_clustering():
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(base(a, values)), want,
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fsspmdm_declared_dtype_applied():
+    """An explicit dtype= must govern the stored A operand: a declared-F64
+    handle fed an f32 array would otherwise silently compute from
+    f32-resident A (and the inverse would keep a needless f64 copy).
+    Reference handles are templated on the element type (libxsmm_fsspmdm.c)."""
+    m, k, n = 12, 16, 32
+    a32 = _sparse_dense(m, k, 0.3).astype(np.float32)
+    h = fsspmdm_create(n, a32, beta=0, dtype=Datatype.F64)
+    b = RNG.standard_normal((k, n))  # f64
+    out = np.asarray(h.execute(b))
+    assert out.dtype == np.float64
+    # f64-resolution check: an f32-A compute path fails this margin
+    check(a32.astype(np.float64) @ b, out, dtype_name="f64", margin=1e-12)
+    fsspmdm_destroy(h)
+    # inverse: declared F32 from an f64 array computes/stores in f32
+    h2 = fsspmdm_create(n, a32.astype(np.float64), beta=0,
+                        dtype=Datatype.F32)
+    out2 = np.asarray(h2.execute(b.astype(np.float32)))
+    assert out2.dtype == np.float32
+    fsspmdm_destroy(h2)

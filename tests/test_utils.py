@@ -121,3 +121,22 @@ def test_chain_runner_reps_power_of_two():
                      reps=8, min_launch_s=0.02)
     if r.reps != 8:                      # calibration scaled it
         assert r.reps & (r.reps - 1) == 0, r.reps
+
+
+def test_bench_chain_pytree_operand():
+    """The chained operand may be a pytree — packed GEMM operands are
+    (payload, scales) tuples (samples/xgemm.py --bench chains through B).
+    The chain rides the FIRST leaf; the other leaves stay loop-invariant."""
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.utils import timer
+
+    def fn(a, b):
+        payload, scales = b
+        return a @ (payload.astype(jnp.float32) * scales)
+
+    a = jnp.ones((16, 32), jnp.float32)
+    b = (jnp.ones((32, 8), jnp.int8), jnp.full((32, 8), 0.5, jnp.float32))
+    per = timer.bench_chain(fn, (a, b), chain_idx=1, reps=4, rounds=1,
+                            min_launch_s=0.002)
+    assert per > 0
