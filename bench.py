@@ -248,14 +248,22 @@ def make_brgemm_case():
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     q = xt.brgemm_pack_factor(shape)
-    a_packed = xt.pack_batched(a, q)
-    # best-of over step-size variants (Mosaic compile lottery, see smm case)
-    cands = []
-    for sg in (4, 8, 16, 32):
-        c_ = xt.dispatch_brgemm_packed(
-            shape, GemmFlags.BETA_0,
-            BatchReduceConfig(BatchReduceType.STRIDE, br), step_groups=sg)
-        cands.append(lambda b_, c_=c_: c_(a_packed, b_))
+    # best-of over (pack depth, step size) variants: step_groups is the
+    # Mosaic compile lottery (see smm case); pack_q is the contraction
+    # depth — deeper packs run ONE (m, q*k)x(q*k, n) dot per group, cutting
+    # MXU result passes and accumulator VMEM round-trips per FLOP. Each
+    # depth needs its OWN device-resident packed A (bound as an argument,
+    # not a closure constant).
+    br_cfg = BatchReduceConfig(BatchReduceType.STRIDE, br)
+    cands, variants = [], []
+    for mult, sgs in ((1, (4, 8, 16, 32)), (8, (2, 4)), (32, (1, 2))):
+        a_p = xt.pack_batched(a, q * mult)   # already device-resident
+        for sg in sgs:
+            c_ = xt.dispatch_brgemm_packed(
+                shape, GemmFlags.BETA_0, br_cfg, step_groups=sg,
+                pack_q=q * mult if mult > 1 else None)
+            cands.append(lambda b_, c_=c_, a_p=a_p: c_(a_p, b_))
+            variants.append((q * mult, sg))
     kern, _ = _pick_variant(cands, (b0,))
 
     # structural streaming-SoL twin (same block specs, no MXU work): the
@@ -263,13 +271,16 @@ def make_brgemm_case():
     # honest quality measure is time vs this twin, not vs compute peak
     from libxsmm_tpu.descriptor import GemmDescriptor
     from libxsmm_tpu.kernels.gemm_pallas import build_packed_brgemm_sol
-    desc = GemmDescriptor(shape=shape, flags=GemmFlags.BETA_0,
-                          br=BatchReduceConfig(BatchReduceType.STRIDE, br))
+    desc = GemmDescriptor(shape=shape, flags=GemmFlags.BETA_0, br=br_cfg)
     solcands = []
-    for sg in (4, 8, 16, 32):
-        c_ = build_packed_brgemm_sol(desc, br, step_groups=sg)
-        if c_ is not None:       # unsupported desc/br split -> no SoL twin
-            solcands.append(lambda b_, c_=c_: c_(a_packed, b_))
+    for mult, sgs in ((1, (4, 8, 16, 32)), (8, (2, 4)), (32, (1, 2))):
+        a_p = xt.pack_batched(a, q * mult)
+        for sg in sgs:
+            c_ = build_packed_brgemm_sol(
+                desc, br, step_groups=sg,
+                pack_q=q * mult if mult > 1 else None)
+            if c_ is not None:   # unsupported desc/br split -> no SoL twin
+                solcands.append(lambda b_, c_=c_, a_p=a_p: c_(a_p, b_))
     sol_twin_ok = bool(solcands)
     if not solcands:
         # degrade gracefully: measure the kernel against itself rather
@@ -315,15 +326,19 @@ def make_brgemm_fused_case():
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     q = xt.brgemm_pack_factor(shape)
-    a_packed = xt.pack_batched(a, q)
+    # same (pack depth, step size) variant axes as the unfused case: the
+    # fused_frac ratio must compare like-for-like winners
     cands = []
-    for sg in (4, 8, 16, 32):
-        c_ = xt.dispatch_brgemm_ext_packed(
-            shape, GemmFlags.BETA_0,
-            BatchReduceConfig(BatchReduceType.STRIDE, br),
-            argops=UnaryArgops(cp_type=UnaryType.RELU),
-            postops=BinaryPostops(d_type=BinaryType.ADD), step_groups=sg)
-        cands.append(lambda b_, c_=c_: c_(a_packed, b_, d_op=bias))
+    for mult, sgs in ((1, (4, 8, 16, 32)), (8, (2, 4)), (32, (1, 2))):
+        a_p = xt.pack_batched(a, q * mult)
+        for sg in sgs:
+            c_ = xt.dispatch_brgemm_ext_packed(
+                shape, GemmFlags.BETA_0,
+                BatchReduceConfig(BatchReduceType.STRIDE, br),
+                argops=UnaryArgops(cp_type=UnaryType.RELU),
+                postops=BinaryPostops(d_type=BinaryType.ADD),
+                step_groups=sg, pack_q=q * mult if mult > 1 else None)
+            cands.append(lambda b_, c_=c_, a_p=a_p: c_(a_p, b_, d_op=bias))
     kern, _ = _pick_variant(cands, (b0,))
 
     def step(b):

@@ -163,7 +163,8 @@ def packed_brgemm_supported(desc: GemmDescriptor) -> bool:
 def build_packed_brgemm(desc: GemmDescriptor, br: int,
                         step_groups: Optional[int] = None,
                         cp_type: str = "NONE",
-                        with_bias: bool = False):
+                        with_bias: bool = False,
+                        pack_q: Optional[int] = None):
     """Lane-packed batch-reduce GEMM: C = epi(sum_i A_i @ B_i + C0 + D).
 
     Q = 128//k batch items are packed side by side along A's lanes
@@ -185,7 +186,15 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
     run on the LAST grid step against the VMEM-resident accumulator, so
     the fusion costs no extra HBM traffic. beta=1's C0 seeds the
     accumulator on the FIRST step (reference ordering: postops see the
-    full accumulation)."""
+    full accumulation).
+
+    pack_q overrides the lane-pack factor beyond the minimum 128//k: a
+    deeper pack turns each per-group dot into ONE deep (m, q*k)x(q*k, n)
+    contraction — fewer MXU result passes and fewer accumulator VMEM
+    round-trips per unit of compute (the r2 VERDICT's 2-D-grid/scratch
+    suggestion, realized as depth instead: the accumulator traffic per
+    FLOP falls linearly in q). Must be a multiple of 128//k so lanes stay
+    %128; the bench sweeps it as a variant axis."""
     if not packed_brgemm_supported(desc) or br <= 0:
         return None
     if cp_type not in _EPILOGUES:
@@ -196,8 +205,9 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
 
     s = desc.shape
     m, n, k = s.m, s.n, s.k
-    q = 128 // k
-    if br % q:
+    q_min = 128 // k
+    q = int(pack_q) if pack_q else q_min
+    if q < q_min or q % q_min or br % q:
         return None
     groups = br // q
     in_dt = to_jnp(s.a_in_type)
@@ -210,7 +220,7 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
     fused_tail = cp_type not in ("NONE", "IDENTITY") or with_bias
 
     isz = jnp.dtype(in_dt).itemsize
-    per_group = (m + n) * 128 * isz
+    per_group = (m + n) * q * k * isz
     gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
     if step_groups:
         gg = max(1, int(step_groups))
@@ -310,7 +320,8 @@ def build_packed_brgemm(desc: GemmDescriptor, br: int,
 
 
 def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
-                            step_groups: Optional[int] = None):
+                            step_groups: Optional[int] = None,
+                            pack_q: Optional[int] = None):
     """Structural speed-of-light twin of build_packed_brgemm: IDENTICAL
     grid/block specs and DMA pattern, but the MXU dot replaced by a cheap
     full consumption of both blocks (row/col sums broadcast into the
@@ -328,15 +339,16 @@ def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
 
     s = desc.shape
     m, n, k = s.m, s.n, s.k
-    q = 128 // k
-    if br % q:
+    q_min = 128 // k
+    q = int(pack_q) if pack_q else q_min
+    if q < q_min or q % q_min or br % q:
         return None
     groups = br // q
     in_dt = to_jnp(s.a_in_type)
     interpret = device.use_interpret()
 
     isz = jnp.dtype(in_dt).itemsize
-    per_group = (m + n) * 128 * isz
+    per_group = (m + n) * q * k * isz
     gg = max(1, min(64, (512 * 1024) // max(per_group, 1)))
     if step_groups:
         gg = max(1, int(step_groups))
@@ -383,7 +395,7 @@ def build_packed_brgemm_sol(desc: GemmDescriptor, br: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (m + n) * 128 * gg * steps,
+            flops=2 * (m + n) * q * k * gg * steps,
             bytes_accessed=per_group * gg * steps + m * n * 4,
             transcendentals=0),
         interpret=interpret,

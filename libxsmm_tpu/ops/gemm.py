@@ -606,13 +606,21 @@ def brgemm_pack_factor(shape: GemmShape) -> int:
 def dispatch_brgemm_packed(shape: GemmShape,
                            flags: GemmFlags = GemmFlags.NONE,
                            br_config: BatchReduceConfig = None,
-                           step_groups: int = None) -> Kernel:
+                           step_groups: int = None,
+                           pack_q: int = None) -> Kernel:
     """Batch-reduce GEMM on the lane-packed A layout.
 
-    C = sum_i A_i @ B_i with A in pack_batched(a, Q) layout (Q = 128//k):
-    the MXU's 128-lane contraction computes Q items and their reduction in
-    one pass (kernels/gemm_pallas.py build_packed_brgemm). b stays in the
-    natural (br, k, n) layout; kernel(a_packed, b[, c]) -> (m, n).
+    C = sum_i A_i @ B_i with A in pack_batched(a, Q) layout (Q = 128//k by
+    default): the MXU's 128-lane contraction computes Q items and their
+    reduction in one pass (kernels/gemm_pallas.py build_packed_brgemm).
+    b stays in the natural (br, k, n) layout; kernel(a_packed, b[, c])
+    -> (m, n).
+
+    pack_q (a multiple of 128//k) selects a DEEPER pack: pack_batched(a,
+    pack_q) folds pack_q batch items into one (m, pack_q*k)x(pack_q*k, n)
+    MXU contraction per group — fewer result passes and accumulator
+    round-trips per FLOP. bench.py sweeps it as a variant axis alongside
+    step_groups (Mosaic compile lottery discipline).
 
     Use dispatch_brgemm for natural-layout A; this variant is the
     speed-of-light path when k < 128 (measured +20% at k=64 bf16).
@@ -633,16 +641,18 @@ def dispatch_brgemm_packed(shape: GemmShape,
         import dataclasses as _dc
 
         built = {}
-        q = 128 // d.shape.k
+        q = int(pack_q) if pack_q else 128 // d.shape.k
         out_dt = to_jnp(d.shape.out_type)
 
         def _make(br):
             d0 = _dc.replace(d, flags=GemmFlags(d.flags)
                              | GemmFlags.BETA_0)
-            raw = gemm_pallas.build_packed_brgemm(d0, br, step_groups)
+            raw = gemm_pallas.build_packed_brgemm(d0, br, step_groups,
+                                                  pack_q=pack_q)
             if raw is None:
-                raise ValueError(f"br={br} not divisible by pack factor "
-                                 f"{q}")
+                raise ValueError(f"br={br} not compatible with pack "
+                                 f"factor {q} (need br % q == 0 and "
+                                 f"q a multiple of {128 // d.shape.k})")
             core = jax.jit(raw)
 
             # custom VJP (Pallas forward has no autodiff rule): backward in
@@ -702,7 +712,7 @@ def dispatch_brgemm_packed(shape: GemmShape,
         return Kernel(fn=fn, descriptor=d, info=info,
                       name=d.name() + "_brpacked")
 
-    key = ("brgemm_packed", desc, step_groups)
+    key = ("brgemm_packed", desc, step_groups, pack_q)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 
@@ -711,7 +721,8 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
                                br_config: BatchReduceConfig = None,
                                argops: UnaryArgops = UnaryArgops(),
                                postops: BinaryPostops = BinaryPostops(),
-                               step_groups: int = None) -> Kernel:
+                               step_groups: int = None,
+                               pack_q: int = None) -> Kernel:
     """BRGEMM-ext on the lane-packed fast path: the fused-epilogue kernel.
 
     The packed BRGEMM Pallas kernel (kernels/gemm_pallas.build_packed_
@@ -726,7 +737,8 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
     cp_type in the elementwise epilogue set (no bitmask/SR store), no
     a/b argops, postop NONE or ADD with a (m, n)/broadcastable D.
     Invoke: kernel(a_packed, b[, c][, d]) with a packed via pack_batched
-    (Q = 128//k), b (br, k, n), c/d (m, n).
+    (Q = 128//k, or pack_q when given — see dispatch_brgemm_packed's
+    deep-contraction axis), b (br, k, n), c/d (m, n).
     """
     if br_config is None:
         br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
@@ -757,7 +769,7 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
 
     def _build(d):
         built = {}
-        q = 128 // shape.k
+        q = int(pack_q) if pack_q else 128 // shape.k
         m, n = shape.m, shape.n
 
         def fn(a, b, c=None, d_op=None):
@@ -766,9 +778,9 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
             if inner is None:
                 raw = gemm_pallas.build_packed_brgemm(
                     desc.base, br, step_groups, cp_type=cp,
-                    with_bias=with_bias)
+                    with_bias=with_bias, pack_q=pack_q)
                 if raw is None:
-                    raise ValueError(f"br={br} not divisible by pack "
+                    raise ValueError(f"br={br} not compatible with pack "
                                      f"factor {q}")
                 built[br] = inner = jax.jit(raw)
             if desc.base.beta == 1 and c is None:
@@ -791,7 +803,7 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
                       name=desc.base.name() + f"_extpacked_{cp.lower()}"
                       + ("_bias" if with_bias else ""))
 
-    key = ("brgemm_ext_packed", desc, step_groups)
+    key = ("brgemm_ext_packed", desc, step_groups, pack_q)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 

@@ -904,3 +904,67 @@ def test_gemm_bf32_comp():
     want = a.astype(np.float64) @ b.astype(np.float64)
     info_err = np.abs(got - want).max() / np.abs(want).max()
     assert info_err < 2e-3        # far better than raw bf16 (~1e-2)
+
+
+@pytest.mark.parametrize("mult,sg", [(4, 2), (8, 1), (8, 4)])
+def test_brgemm_packed_deep_pack(mult, sg):
+    """pack_q deep-contraction variant: pack_q batch items fold into ONE
+    (m, q*k)x(q*k, n) dot per group. Numerics must match the default-pack
+    kernel and the oracle (only the accumulation grouping changes); the
+    gradient (custom VJP) must follow the layout."""
+    import jax.numpy as jnp
+    m, n, k, br = 16, 32, 64, 32
+    q = xt.brgemm_pack_factor(GemmShape(m, n, k)) * mult
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br),
+        step_groups=sg, pack_q=q)
+    a_p = xt.pack_batched(a, q)
+    got = np.asarray(kern(a_p, jnp.asarray(b)))
+    want = np.einsum("bmk,bkn->mn", a, b)
+    check(want, got, margin=1e-5)
+    # gradient through the deep layout
+    import jax
+    ga, gb = jax.grad(lambda ap, bb: jnp.sum(kern(ap, bb) ** 2),
+                      argnums=(0, 1))(a_p, jnp.asarray(b))
+    gan, gbn = jax.grad(
+        lambda aa, bb: jnp.sum(jnp.einsum("bmk,bkn->mn", aa, bb,
+                                          precision="highest") ** 2),
+        argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    check(np.asarray(xt.pack_batched(gan, q)), np.asarray(ga), margin=1e-4)
+    check(np.asarray(gbn), np.asarray(gb), margin=1e-4)
+
+
+def test_brgemm_packed_deep_pack_rejects():
+    # pack_q must be a multiple of 128//k and divide br
+    m, n, k, br = 16, 32, 64, 12
+    kern = xt.dispatch_brgemm_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br), pack_q=3)
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    with pytest.raises(ValueError, match="pack"):
+        kern(xt.pack_batched(a, 3), b)   # q=3 not a multiple of 2
+
+
+def test_brgemm_ext_packed_deep_pack():
+    """Fused epilogue on the deep-pack layout (bench sweeps both axes)."""
+    import jax.numpy as jnp
+    from libxsmm_tpu.descriptor import (BinaryPostops, BinaryType,
+                                        UnaryArgops, UnaryType)
+    m, n, k, br = 16, 32, 64, 16
+    q = xt.brgemm_pack_factor(GemmShape(m, n, k)) * 4
+    a = RNG.standard_normal((br, m, k)).astype(np.float32)
+    b = RNG.standard_normal((br, k, n)).astype(np.float32)
+    bias = RNG.standard_normal((1, n)).astype(np.float32)
+    kern = xt.dispatch_brgemm_ext_packed(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br),
+        argops=UnaryArgops(cp_type=UnaryType.RELU),
+        postops=BinaryPostops(d_type=BinaryType.ADD), pack_q=q)
+    got = np.asarray(kern(xt.pack_batched(a, q), jnp.asarray(b),
+                          d_op=jnp.asarray(bias)))
+    want = np.maximum(np.einsum("bmk,bkn->mn", a, b) + bias, 0.0)
+    check(want, got, margin=1e-5)
