@@ -36,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.gemm import pass_precision
+
 
 @dataclasses.dataclass(frozen=True)
 class CnnConfig:
@@ -79,7 +81,8 @@ def conv2d_tpp(x, w, b=None, stride: int = 1,
     a_stack, (n, p, q) = _tap_stack(x, R, S, stride)
     acc = jnp.einsum("tmc,tck->mk", a_stack.astype(x.dtype),
                      w.reshape(R * S, C, K).astype(x.dtype),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=pass_precision(x.dtype))
     if b is not None:
         acc = acc + b[None, :].astype(jnp.float32)
     if activation == "relu":
@@ -175,7 +178,8 @@ def forward(params, x, cfg: CnnConfig):
                        activation="relu")
     h = jnp.mean(h.astype(jnp.float32), axis=(1, 2))     # global avg pool
     head = params[-1]
-    logits = h @ head["w"].astype(jnp.float32) \
+    logits = jnp.dot(h, head["w"].astype(jnp.float32),
+                     precision=pass_precision(jnp.float32)) \
         + head["b"][None, :].astype(jnp.float32)
     return logits
 

@@ -85,10 +85,10 @@ def bsr_spmm(plan, h, num_block_rows: int):
 
 
 def _pass_precision(dtype) -> jax.lax.Precision:
-    """MXU pass precision per the library policy (ops/gemm.matmul_precision):
-    f32 operands must not silently run as bf16 passes on TPU."""
-    return (jax.lax.Precision.HIGHEST
-            if jnp.dtype(dtype) == jnp.float32 else jax.lax.Precision.DEFAULT)
+    """MXU pass precision per the library policy — the shared
+    ops/gemm.pass_precision (kept as a local name for existing callers)."""
+    from ..ops.gemm import pass_precision
+    return pass_precision(dtype)
 
 
 def init_params(cfg: GcnConfig, seed: int = 0) -> List[dict]:
@@ -139,8 +139,19 @@ def make_sharded_train_step(cfg: GcnConfig, mesh: Mesh, plan,
     hsharding = NamedSharding(mesh, P("sp", None))
     lsharding = NamedSharding(mesh, P("sp"))
 
+    # the BSR plan arrays are jit ARGUMENTS, not closure constants:
+    # closure constants are re-uploaded every call (~430us/launch on the
+    # tunneled backend, CLAUDE.md) and the plan grows with the graph.
+    # Bind them device-resident once here; `step` stays a 3-arg callable.
+    plan_dev = jax.tree.map(
+        lambda a: jax.device_put(a) if hasattr(a, "shape") else a, plan)
+
     @jax.jit
+    def _step(params, plan_args, h, labels):
+        return train_step(params, plan_args, num_block_rows, h, labels,
+                          cfg, lr)
+
     def step(params, h, labels):
-        return train_step(params, plan, num_block_rows, h, labels, cfg, lr)
+        return _step(params, plan_dev, h, labels)
 
     return step, hsharding, lsharding

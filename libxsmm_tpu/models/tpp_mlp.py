@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..descriptor import UnaryFlags, UnaryType
 from ..ops.eltwise import apply_unary_op
+from ..ops.gemm import pass_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,7 +57,8 @@ def forward(params: List[dict], x, cfg: MlpConfig):
     (matmul + bias-add binary postop + activation cp-unary)."""
     h = x
     for i, layer in enumerate(params):
-        acc = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
+        acc = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32,
+                      precision=pass_precision(h.dtype))
         acc = acc + layer["b"][None, :]
         if i < len(params) - 1:
             acc = apply_unary_op(cfg.activation, UnaryFlags.NONE, acc)

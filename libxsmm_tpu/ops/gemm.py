@@ -189,6 +189,17 @@ def matmul_precision(shape: GemmShape):
     return jax.lax.Precision.HIGHEST if f32_in else jax.lax.Precision.DEFAULT
 
 
+def pass_precision(dtype):
+    """matmul_precision for raw jnp dtypes: the same policy for code that
+    works on arrays rather than GemmShapes (models/, parallel/). f32 (or
+    wider) operands request HIGHEST; bf16 and narrower run the MXU's
+    native bf16 passes."""
+    d = jnp.dtype(dtype)
+    return (jax.lax.Precision.HIGHEST
+            if d in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64))
+            else jax.lax.Precision.DEFAULT)
+
+
 def _maybe_transpose(x, trans: bool):
     return x.T if trans else x
 

@@ -50,6 +50,35 @@ class _PlanArrays:
     lv_max: int
 
 
+def _mxu_precision(dtype):
+    """f32 block multiplies must run full-precision MXU passes (CLAUDE.md:
+    TPU matmul defaults to bf16 passes; ops/gemm.matmul_precision is the
+    library-wide policy — this is its jnp-dtype form for the shard_map
+    paths)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _step_contrib(vals0, rows0, cols0, vidx0, mask0, s, x_seg,
+                  kb_seg, bc, n, mb_loc, br, prec):
+    """One ring step's local block multiply, shared by the plain ring,
+    the double-buffered ring2, and the two-level DCN×ICI builds (one body:
+    precision/mask/accumulation fixes apply everywhere at once).
+
+    Gathers the step's scheduled blocks and their X segment block-columns,
+    multiplies on the MXU, masks padding slots, and segment-sums into the
+    device's (mb_loc*br, n) partial."""
+    blocks = jnp.take(vals0, vidx0[s], axis=0)        # (L, br, bc)
+    xs = x_seg.reshape(kb_seg, bc, n)
+    xg = jnp.take(xs, cols0[s], axis=0)               # (L, bc, n)
+    contrib = jnp.einsum("lij,ljn->lin", blocks, xg,
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
+    contrib = contrib * mask0[s][:, None, None]
+    accb = jax.ops.segment_sum(contrib, rows0[s], num_segments=mb_loc)
+    return accb.reshape(mb_loc * br, n)
+
+
 def _build_plan(a: BsrMatrix, num_devices: int,
                 ring_size: int = 0) -> _PlanArrays:
     """Block schedules for `num_devices` row bands with a halo ring of
@@ -159,6 +188,13 @@ class DistributedBsrSpmm:
         else:
             if (m // a.br) % self.num_devices:
                 raise ValueError("block rows not divisible by devices")
+            if k % self.num_devices:
+                # fail HERE, like the ring path's kb%ring check in
+                # _build_plan — not as an opaque shard_map/device_put
+                # error on the first spmm(x) call
+                raise ValueError(
+                    f"allgather needs k ({k}) divisible by the device "
+                    f"count ({self.num_devices}) to shard X rows")
             dense = a.to_dense().astype(np.float32)
             self.a_dense = jax.device_put(
                 jnp.asarray(dense, self.dtype),
@@ -171,6 +207,7 @@ class DistributedBsrSpmm:
         axis = self.axis
         mb_loc = (self.m // a.br) // num
         kb_seg = (self.k // a.bc) // num
+        prec = _mxu_precision(self.dtype)
         br, bc, n = a.br, a.bc, self.n
         l_max = self._plan.l_max
 
@@ -182,20 +219,9 @@ class DistributedBsrSpmm:
 
             def step(s, carry):
                 x_seg, acc = carry
-                r = rows0[s]                       # (L,)
-                c = cols0[s]
-                vi = vidx0[s]
-                mk = mask0[s]
-                blocks = jnp.take(vals0, vi, axis=0)          # (L, br, bc)
-                xs = x_seg.reshape(kb_seg, bc, n)
-                xg = jnp.take(xs, c, axis=0)                  # (L, bc, n)
-                contrib = jnp.einsum(
-                    "lij,ljn->lin", blocks, xg,
-                    preferred_element_type=jnp.float32)
-                contrib = contrib * mk[:, None, None]
-                accb = jax.ops.segment_sum(contrib, r,
-                                           num_segments=mb_loc)
-                acc = acc + accb.reshape(mb_loc * br, n)
+                acc = acc + _step_contrib(vals0, rows0, cols0, vidx0,
+                                          mask0, s, x_seg, kb_seg, bc, n,
+                                          mb_loc, br, prec)
                 # rotate the segment to the next device (ICI neighbor ring)
                 x_seg = jax.lax.ppermute(
                     x_seg, axis,
@@ -241,6 +267,7 @@ class DistributedBsrSpmm:
         axis = self.axis
         mb_loc = (self.m // a.br) // num
         kb_seg = (self.k // a.bc) // num
+        prec = _mxu_precision(self.dtype)
         br, bc, n = a.br, a.bc, self.n
         perm = [(i, (i + 1) % num) for i in range(num)]
 
@@ -249,15 +276,9 @@ class DistributedBsrSpmm:
                 rows[0], cols[0], vidx[0], mask[0], vals[0])
 
             def compute(s, x_seg, acc):
-                blocks = jnp.take(vals0, vidx0[s], axis=0)    # (L, br, bc)
-                xs = x_seg.reshape(kb_seg, bc, n)
-                xg = jnp.take(xs, cols0[s], axis=0)           # (L, bc, n)
-                contrib = jnp.einsum("lij,ljn->lin", blocks, xg,
-                                     preferred_element_type=jnp.float32)
-                contrib = contrib * mask0[s][:, None, None]
-                accb = jax.ops.segment_sum(contrib, rows0[s],
-                                           num_segments=mb_loc)
-                return acc + accb.reshape(mb_loc * br, n)
+                return acc + _step_contrib(vals0, rows0, cols0, vidx0,
+                                           mask0, s, x_seg, kb_seg, bc, n,
+                                           mb_loc, br, prec)
 
             def step(s, carry):
                 cur, fly, acc = carry
@@ -454,6 +475,7 @@ class DistributedBsrSpmm2Level:
 
         mb_loc = (m // a.br) // total
         kb_seg = (k // a.bc) // ring
+        prec = _mxu_precision(self.dtype)
         br, bc = a.br, a.bc
         axis = ici_axis
 
@@ -463,15 +485,9 @@ class DistributedBsrSpmm2Level:
 
             def step(s, carry):
                 x_seg, acc = carry
-                blocks = jnp.take(vals0, vidx0[s], axis=0)
-                xs = x_seg.reshape(kb_seg, bc, n)
-                xg = jnp.take(xs, cols0[s], axis=0)
-                contrib = jnp.einsum("lij,ljn->lin", blocks, xg,
-                                     preferred_element_type=jnp.float32)
-                contrib = contrib * mask0[s][:, None, None]
-                accb = jax.ops.segment_sum(contrib, rows0[s],
-                                           num_segments=mb_loc)
-                acc = acc + accb.reshape(mb_loc * br, n)
+                acc = acc + _step_contrib(vals0, rows0, cols0, vidx0,
+                                          mask0, s, x_seg, kb_seg, bc, n,
+                                          mb_loc, br, prec)
                 x_seg = jax.lax.ppermute(
                     x_seg, axis,
                     perm=[(i, (i + 1) % ring) for i in range(ring)])

@@ -218,3 +218,25 @@ def test_dist_spmm_overlap_report():
     ring2 = DistributedBsrSpmm(bsr, n, mesh, comm="ring2")
     assert ring2.overlap_report(x)["prefetch_issue_order"] is True
     assert rep["prefetch_issue_order"] is False
+
+
+def test_dist_spmm_allgather_k_validated():
+    """allgather must reject k not divisible by the device count AT
+    CONSTRUCTION (the ring path's _build_plan does); deferring it produced
+    an opaque shard_map/device_put error on the first spmm(x) call."""
+    import jax
+
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    from libxsmm_tpu.parallel.spmm_dist import DistributedBsrSpmm
+
+    mesh = make_mesh([("x", 8)])
+    rng = np.random.default_rng(3)
+    m, k, blk = 256, 160, 4           # k/blk = 40 block-cols, k % 8 = 0
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    bsr = BsrMatrix.from_dense(a, blk, blk)
+    DistributedBsrSpmm(bsr, 16, mesh, comm="allgather")   # divisible: ok
+    m2, k2 = 256, 20                  # k=20 rows cannot split over 8
+    a2 = rng.standard_normal((m2, k2)).astype(np.float32)
+    bsr2 = BsrMatrix.from_dense(a2, 4, 4)
+    with pytest.raises(ValueError, match="divisible"):
+        DistributedBsrSpmm(bsr2, 16, mesh, comm="allgather")
