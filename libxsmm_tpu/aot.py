@@ -42,7 +42,12 @@ def default_key(name: str, args) -> bytes:
     # exported binaries are ISA-specific
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", dev.platform)
-    return f"aot:{dev.platform}:{kind}:{name}:{_aval_sig(args)}".encode()
+    # the jax version binds the serialized-executable FORMAT: a blob
+    # exported under one jax/XLA build is not loadable under another, so
+    # a version bump must be a key MISS (rebuild + re-export), never a
+    # deserialize crash
+    return (f"aot:{jax.__version__}:{dev.platform}:{kind}:{name}:"
+            f"{_aval_sig(args)}").encode()
 
 
 def export_kernel(kernel_or_fn, args: Sequence, store: PersistentKv,
@@ -70,5 +75,14 @@ def load_kernel(store: PersistentKv, key: bytes) -> Optional[Callable]:
     payload = store.get(key)
     if payload is None:
         return None
-    blob, in_tree, out_tree = pickle.loads(payload)
-    return deserialize_and_load(blob, in_tree, out_tree)
+    try:
+        blob, in_tree, out_tree = pickle.loads(payload)
+        return deserialize_and_load(blob, in_tree, out_tree)
+    except Exception as e:                       # stale/incompatible blob
+        # a corrupt or version-incompatible executable must behave like a
+        # MISS (the caller rebuilds and re-exports), not kill the caller —
+        # the same graceful-degradation contract as the registry's KV
+        import warnings
+        warnings.warn(f"discarding unloadable AOT executable for key "
+                      f"{key!r}: {e}")
+        return None

@@ -452,10 +452,18 @@ class SparsePattern:
 # to the packed row-major stride (XLA owns layout; CLAUDE.md conventions).
 # ---------------------------------------------------------------------------
 
-def _check_ld(name: str, ld, packed: int) -> None:
-    if ld not in (None, 0, packed):
+def _check_ld(name: str, ld, *packed: int) -> None:
+    """Leading dims are signature-parity only (row-major, XLA owns layout):
+    accept 0/None or any PACKED width the op family can legally produce —
+    the shape constructors cannot know the op/flags yet, so e.g. a unary
+    ldo may be the eltwise width n, the transpose output width m, or the
+    reduce width 1, and a gemm lda may be k or (TRANS_A) m. Anything else
+    is a strided-layout port this library rejects."""
+    if ld not in (None, 0, *packed):
+        ok = "/".join(str(x) for x in dict.fromkeys(packed))
         raise ValueError(
-            f"row-major contract: {name} must be 0/None or {packed}, got {ld}")
+            f"row-major contract: {name} must be 0/None or packed "
+            f"({ok}), got {ld}")
 
 
 def create_gemm_shape(m: int, n: int, k: int, lda=None, ldb=None, ldc=None,
@@ -467,8 +475,8 @@ def create_gemm_shape(m: int, n: int, k: int, lda=None, ldb=None, ldc=None,
 
     The reference is column-major (lda >= m); here arrays are row-major so
     the packed leading dims are k/n/n for A/B/C."""
-    _check_ld("lda", lda, k)
-    _check_ld("ldb", ldb, n)
+    _check_ld("lda", lda, k, m)
+    _check_ld("ldb", ldb, n, k)
     _check_ld("ldc", ldc, n)
     return GemmShape(m=m, n=n, k=k, a_in_type=Datatype(a_in_type),
                      b_in_type=Datatype(b_in_type),
@@ -574,7 +582,7 @@ def create_meltw_unary_shape(m: int, n: int, ldi=None, ldo=None,
                              ) -> MeltwUnaryShape:
     """libxsmm_create_meltw_unary_shape (src/libxsmm_generator.c:395)."""
     _check_ld("ldi", ldi, n)
-    _check_ld("ldo", ldo, n)
+    _check_ld("ldo", ldo, n, m, 1)
     return MeltwUnaryShape(m, n, ldi, ldo, Datatype(in0_type),
                            Datatype(out_type), Datatype(comp_type))
 
@@ -586,8 +594,9 @@ def create_meltw_binary_shape(m: int, n: int, ldi=None, ldi2=None, ldo=None,
                               comp_type: Datatype = Datatype.F32
                               ) -> MeltwBinaryShape:
     """libxsmm_create_meltw_binary_shape (src/libxsmm_generator.c:413)."""
-    for nm, ld in (("ldi", ldi), ("ldi2", ldi2), ("ldo", ldo)):
+    for nm, ld in (("ldi", ldi), ("ldi2", ldi2)):
         _check_ld(nm, ld, n)
+    _check_ld("ldo", ldo, n, m, 1)
     return MeltwBinaryShape(m, n, ldi, ldi2, ldo, Datatype(in0_type),
                             Datatype(in1_type), Datatype(out_type),
                             Datatype(comp_type))
@@ -602,9 +611,9 @@ def create_meltw_ternary_shape(m: int, n: int, ldi=None, ldi2=None, ldi3=None,
                                comp_type: Datatype = Datatype.F32
                                ) -> MeltwTernaryShape:
     """libxsmm_create_meltw_ternary_shape (src/libxsmm_generator.c:433)."""
-    for nm, ld in (("ldi", ldi), ("ldi2", ldi2), ("ldi3", ldi3),
-                   ("ldo", ldo)):
+    for nm, ld in (("ldi", ldi), ("ldi2", ldi2), ("ldi3", ldi3)):
         _check_ld(nm, ld, n)
+    _check_ld("ldo", ldo, n, m, 1)
     return MeltwTernaryShape(m, n, ldi, ldi2, ldi3, ldo, Datatype(in0_type),
                              Datatype(in1_type), Datatype(in2_type),
                              Datatype(out_type), Datatype(comp_type))
@@ -676,9 +685,9 @@ def meltw_descriptor_init2(in0_type: Datatype, in1_type, in2_type,
     """libxsmm_meltw_descriptor_init2 (include/libxsmm_generator.h:53)."""
     if op_type is None:
         raise ValueError("op_type (the reference's `param`) is required")
-    for nm, ld in (("ldi", ldi), ("ldo", ldo), ("ldi2", ldi2),
-                   ("ldi3", ldi3)):
+    for nm, ld in (("ldi", ldi), ("ldi2", ldi2), ("ldi3", ldi3)):
         _check_ld(nm, ld, n)
+    _check_ld("ldo", ldo, n, m, 1)
     default_flags = {"unary": UnaryFlags, "binary": BinaryFlags,
                      "ternary": TernaryFlags}
     if operation not in default_flags:

@@ -135,6 +135,10 @@ def quantize_i16(x) -> Tuple[jnp.ndarray, int]:
     absmax = float(jnp.max(jnp.abs(x)))
     if absmax == 0.0:
         return jnp.zeros(x.shape, jnp.int16), 0
+    if not np.isfinite(absmax):
+        # graceful ValueError contract (SURVEY §5.3): NaN absmax would
+        # raise an opaque int(NaN) conversion error, Inf an OverflowError
+        raise ValueError("quantize_i16: input contains NaN/Inf")
     # largest scf with absmax * 2^scf <= 32767
     scf = int(np.floor(np.log2(32767.0 / absmax)))
     q = jnp.round(x * (2.0 ** scf))
@@ -150,6 +154,8 @@ def quantize_i8(x) -> Tuple[jnp.ndarray, int]:
     absmax = float(jnp.max(jnp.abs(x)))
     if absmax == 0.0:
         return jnp.zeros(x.shape, jnp.int8), 0
+    if not np.isfinite(absmax):
+        raise ValueError("quantize_i8: input contains NaN/Inf")
     scf = int(np.floor(np.log2(127.0 / absmax)))
     q = jnp.round(x * (2.0 ** scf))
     return jnp.clip(q, -128, 127).astype(jnp.int8), scf
@@ -263,6 +269,25 @@ def _pack_codes_pairwise(code):
     return ((hi << 4) | lo).astype(jnp.uint8)
 
 
+def _unpack_nibble_codes(packed):
+    """bytes -> 4-bit codes along the last axis, LOW nibble first (the
+    inverse of _pack_codes_pairwise)."""
+    p = jnp.asarray(packed, jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    return jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
+                                                p.shape[-1] * 2)
+
+
+def _e8m0_decode(scales):
+    """E8M0 shared-scale decode: code 0 -> 2^-127, else 2^(e-127). ONE
+    definition shared by every MX dequantizer so a contract change (e.g.
+    the 0xFF Inf-block handling) cannot silently diverge per format."""
+    e = jnp.asarray(scales).astype(jnp.int32)
+    return jnp.where(e == 0, jnp.float32(2.0) ** -127,
+                     jnp.exp2((e - 127).astype(jnp.float32)))
+
+
 def _e8m0_shared_scale(x_blocks, elem_emax: int):
     """Shared E8M0 exponent per block: biased exponent of amax minus the
     element format's emax, clamped to [0, 254] (:1906-1925). Returns
@@ -305,18 +330,12 @@ def mxfp4_quantize_blocks(x):
 
 def mxfp4_dequantize_blocks(packed, scales):
     """Inverse storage transform of mxfp4_quantize_blocks -> f32."""
-    p = jnp.asarray(packed, jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    code = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
-                                                p.shape[-1] * 2)
+    code = _unpack_nibble_codes(packed)
     mag = jnp.asarray(_E2M1_GRID)[code & 0x7]
     val = jnp.where((code >> 3) & 1 == 1, -mag, mag)
     n = val.shape[-1]
     vb = val.reshape(*val.shape[:-1], n // MX_BLOCK, MX_BLOCK)
-    e = scales.astype(jnp.int32)
-    scale = jnp.where(e == 0, jnp.float32(2.0) ** -127,
-                      jnp.exp2((e - 127).astype(jnp.float32)))
+    scale = _e8m0_decode(scales)
     return (vb * scale[..., None]).reshape(val.shape)
 
 
@@ -362,11 +381,7 @@ def nvfp4_quantize_blocks(x):
 
 
 def nvfp4_dequantize_blocks(packed, scales):
-    p = jnp.asarray(packed, jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    code = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
-                                                p.shape[-1] * 2)
+    code = _unpack_nibble_codes(packed)
     mag = jnp.asarray(_E2M1_GRID)[code & 0x7]
     val = jnp.where((code >> 3) & 1 == 1, -mag, mag)
     n = val.shape[-1]
@@ -474,9 +489,7 @@ def mxfp6_dequantize_blocks(codes, scales, fmt: str = "e3m2"):
     v = fp6_decode(codes, fmt)
     n = v.shape[-1]
     vb = v.reshape(*v.shape[:-1], n // MX_BLOCK, MX_BLOCK)
-    e = scales.astype(jnp.int32)
-    scale = jnp.where(e == 0, jnp.float32(2.0) ** -127,
-                      jnp.exp2((e - 127).astype(jnp.float32)))
+    scale = _e8m0_decode(scales)
     return (vb * scale[..., None]).reshape(v.shape)
 
 
@@ -509,7 +522,7 @@ def unpack_subbyte_gemm(dt, packed):
         out = jnp.where(bits == 0, 1, -1)
     else:
         raise ValueError(f"not a packed sub-byte integer type: {dt}")
-    return out.reshape(*packed.shape[:-1], -1).astype(jnp.int8)
+    return out.reshape(*p.shape[:-1], -1).astype(jnp.int8)
 
 
 def pack_subbyte_gemm(dt, values):
@@ -538,9 +551,7 @@ def mxbf8_dequantize_blocks(payload, scales):
     v = jnp.asarray(payload).astype(jnp.float32)
     n = v.shape[-1]
     vb = v.reshape(*v.shape[:-1], n // MX_BLOCK, MX_BLOCK)
-    e = scales.astype(jnp.int32)
-    scale = jnp.where(e == 0, jnp.float32(2.0) ** -127,
-                      jnp.exp2((e - 127).astype(jnp.float32)))
+    scale = _e8m0_decode(scales)
     return (vb * scale[..., None]).reshape(v.shape)
 
 
@@ -576,19 +587,13 @@ def pack_fp4(q, fmt: str = "mxfp4"):
     code = (sign << 3) | mag_code.astype(jnp.int32)
     if q.shape[-1] % 2:
         raise ValueError("need even last dim to pack pairs")
-    lo = code[..., 0::2]
-    hi = code[..., 1::2]
-    return ((hi << 4) | lo).astype(jnp.uint8)
+    return _pack_codes_pairwise(code)
 
 
 def unpack_fp4(packed, fmt: str = "mxfp4"):
     grid = _format_grid(fmt)
     g = jnp.asarray(grid, jnp.float32)
-    p = jnp.asarray(packed, jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    code = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
-                                                p.shape[-1] * 2)
+    code = _unpack_nibble_codes(packed)
     mag = g[code & 0x7]
     sign = jnp.where((code >> 3) & 1 == 1, -1.0, 1.0)
     return sign * mag

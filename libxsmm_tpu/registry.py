@@ -240,6 +240,7 @@ class Registry:
 
 _REGISTRY: Optional[Registry] = None
 _INIT_LOCK = threading.Lock()
+_ATEXIT_REGISTERED = False
 
 
 def init() -> Registry:
@@ -250,7 +251,13 @@ def init() -> Registry:
             if _REGISTRY is None:
                 _REGISTRY = Registry()
                 if CONFIG.verbose:
-                    atexit.register(_atexit_dump)
+                    # register ONCE per process: init() after finalize()
+                    # would otherwise stack one duplicate dump hook per
+                    # re-init cycle
+                    global _ATEXIT_REGISTERED
+                    if not _ATEXIT_REGISTERED:
+                        atexit.register(_atexit_dump)
+                        _ATEXIT_REGISTERED = True
                 # crash diagnostics (reference installs SIGSEGV/SIGABRT
                 # handlers that force-dump registry state and re-raise,
                 # src/libxsmm_main.c:349,961-976): faulthandler gives the

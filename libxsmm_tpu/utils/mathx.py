@@ -89,7 +89,14 @@ def stanh_pade78(x: float) -> float:
     """libxsmm_stanh_pade78 (include/utils/libxsmm_math.h:57): fast tanh
     via the degree-7/8 Pade rational with hard +-1 clamps beyond |x|>4.97.
     Accepts scalars or arrays (the TPU-side fast-tanh is XLA's own; this is
-    the host-side oracle used by tests and CLI tools)."""
+    the host-side oracle used by tests and CLI tools).
+
+    NOTE the clamp compares |x|, like the reference's VECTORIZED tanh
+    kernels (libxsmm_intrinsics_x86.h) — the reference's scalar header has
+    a quirk that compares the RATIO instead (which never exceeds ~1, so
+    its clamp is dead and the rational decays toward 0 for large |x|);
+    faithfully porting that quirk would make the advertised oracle wrong
+    beyond |x| ~ 10."""
     import numpy as np
     xf = np.asarray(x, np.float32)
     x2 = xf * xf
@@ -99,8 +106,8 @@ def stanh_pade78(x: float) -> float:
     den = (((x2 + np.float32(630.0)) * x2 + np.float32(51975.0)) * x2
            + np.float32(945945.0)) * x2 + np.float32(2027025.0)
     r = nom / den
-    r = np.where(r > np.float32(4.97), np.float32(1.0), r)
-    r = np.where(r < np.float32(-4.97), np.float32(-1.0), r)
+    r = np.where(xf > np.float32(4.97), np.float32(1.0), r)
+    r = np.where(xf < np.float32(-4.97), np.float32(-1.0), r)
     return float(r) if np.isscalar(x) or getattr(x, "ndim", 0) == 0 else r
 
 

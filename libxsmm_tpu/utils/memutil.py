@@ -56,9 +56,25 @@ def _crc32c_py(data: bytes, seed: int = 0) -> int:
     return ~crc & 0xFFFFFFFF
 
 
+def _crc32c_raw(data: bytes, seed: int) -> int:
+    """RAW CRC32C (seed in, crc out, NO pre/post complement) — the exact
+    convention of the reference's SSE4.2 crc32 instruction path
+    (src/libxsmm_hash.c:284-299: LIBXSMM_HASH over the raw table update).
+    Derived from the canonical (~seed in, ~crc out) primitive via
+    raw(seed, d) == ~canonical(~seed, d)."""
+    inv = (~seed) & 0xFFFFFFFF
+    native = native_bridge.crc32(data, inv)
+    c = _crc32c_py(data, inv) if native is None else native
+    return (~c) & 0xFFFFFFFF
+
+
 def hash(data, size: Optional[int] = None, seed: int = 0) -> int:  # noqa: A001
-    """libxsmm_hash (src/libxsmm_memory.c:497): CRC32C of the buffer.
-    Accepts bytes/bytearray/np arrays; None hashes as empty."""
+    """libxsmm_hash (src/libxsmm_memory.c:497): CRC32C of the buffer,
+    value-identical to the reference (raw crc32 convention — the SSE4.2
+    instruction applies no pre/post complement, so neither does
+    libxsmm_crc32; persisted keys and cross-implementation comparisons
+    depend on matching bytes). Accepts bytes/bytearray/np arrays; None
+    hashes as empty."""
     if data is None:
         data = b""
     if isinstance(data, np.ndarray):
@@ -67,10 +83,7 @@ def hash(data, size: Optional[int] = None, seed: int = 0) -> int:  # noqa: A001
         data = bytes(data)
     if size is not None:
         data = data[:size]
-    native = native_bridge.crc32(bytes(data), seed)
-    if native is not None:
-        return native
-    return _crc32c_py(bytes(data), seed)
+    return _crc32c_raw(bytes(data), seed)
 
 
 def hash16(data: int) -> int:

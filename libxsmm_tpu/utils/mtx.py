@@ -45,6 +45,10 @@ def read_mtx(path: str) -> np.ndarray:
         if not header.startswith("%%MatrixMarket"):
             raise ValueError(f"{path}: not a MatrixMarket file")
         is_coord = "coordinate" in header
+        # the header's symmetry qualifier stores only one triangle — the
+        # fallback must expand it exactly like the native parser and scipy
+        # do, or a symmetric operator silently loses its upper half
+        qual = header.lower().split()[-1]
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
@@ -52,11 +56,21 @@ def read_mtx(path: str) -> np.ndarray:
         if is_coord:
             m, n, nnz = int(dims[0]), int(dims[1]), int(dims[2])
             out = np.zeros((m, n))
-            for _ in range(nnz):
+            rows = np.empty(nnz, np.intp)
+            cols = np.empty(nnz, np.intp)
+            vals = np.empty(nnz, np.float64)
+            for t in range(nnz):
                 parts = f.readline().split()
-                i, j = int(parts[0]) - 1, int(parts[1]) - 1
-                v = float(parts[2]) if len(parts) > 2 else 1.0
-                out[i, j] = v
+                rows[t] = int(parts[0]) - 1
+                cols[t] = int(parts[1]) - 1
+                vals[t] = float(parts[2]) if len(parts) > 2 else 1.0
+            # duplicates ACCUMULATE (the MM convention scipy and the
+            # native path follow), never overwrite
+            np.add.at(out, (rows, cols), vals)
+            if qual in ("symmetric", "skew-symmetric", "hermitian"):
+                off = rows != cols
+                sgn = -1.0 if qual == "skew-symmetric" else 1.0
+                np.add.at(out, (cols[off], rows[off]), sgn * vals[off])
             return out
         m, n = int(dims[0]), int(dims[1])
         vals = np.fromstring(f.read(), sep=" ")

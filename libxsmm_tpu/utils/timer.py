@@ -106,10 +106,25 @@ class _ChainRunner:
         # data dependency per launch is enough to defeat memoization, and
         # the remaining leaves stay loop-invariant like the other args.
         leaves, treedef = jax.tree_util.tree_flatten(args[chain_idx])
+        # Every operand rides as a jit ARGUMENT (device-resident once),
+        # never a closure constant: constants are re-uploaded per launch
+        # (~430us, CLAUDE.md) and that cost would sit OUTSIDE the
+        # null-launch subtraction. (Arrays fn itself closes over are out
+        # of this runner's reach.)
+        nargs = len(args)
+        rest_flat, rest_def = jax.tree_util.tree_flatten(
+            tuple(a for i, a in enumerate(args) if i != chain_idx))
+        rest_dev = [jax.device_put(a) if hasattr(a, "shape") else a
+                    for a in rest_flat]
+        tail_dev = [jax.device_put(a) if hasattr(a, "shape") else a
+                    for a in leaves[1:]]
 
-        def step(x):
-            op = jax.tree_util.tree_unflatten(treedef, [x] + leaves[1:])
-            call = [op if i == chain_idx else a for i, a in enumerate(args)]
+        def step(x, tail, rest):
+            op = jax.tree_util.tree_unflatten(treedef, [x] + list(tail))
+            others = iter(jax.tree_util.tree_unflatten(rest_def,
+                                                       list(rest)))
+            call = [op if i == chain_idx else next(others)
+                    for i in range(nargs)]
             out = fn(*call)
             # The chain must consume EVERY output element, or XLA computes
             # only the live part: slice-of-dot rewrites to dot-of-slice (a
@@ -125,15 +140,18 @@ class _ChainRunner:
             return x.at[(0,) * x.ndim].add(zero)
 
         def make(r):
-            return jax.jit(lambda s: jax.lax.fori_loop(
-                0, r, lambda i, ss: step(ss), s))
+            def run(s, tail, rest):
+                return jax.lax.fori_loop(
+                    0, r, lambda i, ss: step(ss, tail, rest), s)
+            jr = jax.jit(run)
+            return lambda s: jr(s, tail_dev, rest_dev)
 
         self._null = launch_overhead(refresh=True)
         # the launch must dwarf the overhead even after subtraction
         target = max(min_launch_s, 3.0 * self._null)
         self.reps = reps
         self._looped = make(reps)
-        x = self._looped(leaves[0])            # compile + warmup
+        x = self._looped(jax.device_put(leaves[0]))  # compile + warmup
         device_sync(x)
         for _ in range(8):
             t0 = time.perf_counter()

@@ -269,3 +269,44 @@ def test_mtx_native_matches_reference_matrix():
     except ImportError:
         pytest.skip("scipy unavailable")
     np.testing.assert_allclose(nat, np.asarray(mmread(path).todense()))
+
+
+def test_mtx_pure_python_fallback_symmetry_duplicates(tmp_path, monkeypatch):
+    """The dependency-free fallback (no native lib, no scipy) must expand
+    symmetric/skew qualifiers and ACCUMULATE duplicate entries exactly like
+    the native and scipy paths — a host without either must not silently
+    read half the operator (review finding)."""
+    import builtins
+    import libxsmm_tpu.native_bridge as nb
+    from libxsmm_tpu.utils.mtx import read_mtx
+
+    monkeypatch.setattr(nb, "read_mtx_coo",
+                        lambda p: (_ for _ in ()).throw(RuntimeError("off")))
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError("scipy disabled for this test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
+
+    sym = tmp_path / "s.mtx"
+    sym.write_text("%%MatrixMarket matrix coordinate real symmetric\n"
+                   "% comment\n3 3 4\n1 1 2.0\n2 1 -1.5\n3 2 4.0\n3 3 1\n")
+    np.testing.assert_allclose(
+        read_mtx(str(sym)),
+        [[2, -1.5, 0], [-1.5, 0, 4], [0, 4, 1.0]])
+    skw = tmp_path / "k.mtx"
+    skw.write_text("%%MatrixMarket matrix coordinate real skew-symmetric\n"
+                   "3 3 2\n2 1 5.0\n3 1 -2.0\n")
+    np.testing.assert_allclose(
+        read_mtx(str(skw)), [[0, -5, 2], [5, 0, 0], [-2, 0, 0]])
+    dup = tmp_path / "d.mtx"
+    dup.write_text("%%MatrixMarket matrix coordinate real general\n"
+                   "2 2 3\n1 1 1.0\n1 1 2.5\n2 2 4.0\n")
+    np.testing.assert_allclose(read_mtx(str(dup)), [[3.5, 0], [0, 4.0]])
+    pat = tmp_path / "p.mtx"
+    pat.write_text("%%MatrixMarket matrix coordinate pattern symmetric\n"
+                   "2 2 1\n2 1\n")
+    np.testing.assert_allclose(read_mtx(str(pat)), [[0, 1], [1, 0]])

@@ -108,15 +108,52 @@ def test_scalar_math():
 # ---------------------------------------------------------------------------
 
 def test_hash_crc32c_known_vector():
-    # canonical CRC32C check value (Castagnoli): crc32c("123456789") ==
-    # 0xE3069283 under the ~seed-in / ~crc-out convention both the native
-    # library and the Python fallback use.
-    assert x.hash(b"123456789", seed=0) == 0xE3069283
+    # the INTERNAL primitive keeps the canonical Castagnoli convention
+    # (~seed in / ~crc out; check value 0xE3069283) — it addresses the
+    # native KV/table and is self-consistent.
     assert memutil._crc32c_py(b"123456789", 0) == 0xE3069283
     nat = __import__("libxsmm_tpu.native_bridge", fromlist=["crc32"]).crc32(
         b"123456789", 0)
     if nat is not None:
         assert nat == 0xE3069283
+    # the PUBLIC libxsmm_hash analogue is value-identical to the
+    # reference's RAW crc32 (no pre/post complement — the SSE4.2
+    # instruction path, src/libxsmm_hash.c): raw("123456789", 0) ==
+    # 0x58E3FA20, independently cross-checked against a table-driven
+    # raw CRC32C.
+    assert x.hash(b"123456789", seed=0) == 0x58E3FA20
+    # raw(seed, d) == ~canonical(~seed, d)
+    assert x.hash(b"abc", seed=7) == \
+        (~memutil._crc32c_py(b"abc", (~7) & 0xFFFFFFFF)) & 0xFFFFFFFF
+
+
+def _raw_crc32c_oracle(data, seed=0):
+    # independent table-driven raw CRC32C (reference convention)
+    t = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+        t.append(c)
+    crc = seed
+    for b in data:
+        crc = t[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc & 0xFFFFFFFF
+
+
+def test_hash_folds_reference_values():
+    # libxsmm_hash16(v) = raw_crc(seed=v>>16, low 16 LE bytes) & 0xFFFF
+    v = 0xDEADBEEF
+    want16 = _raw_crc32c_oracle((v & 0xFFFF).to_bytes(2, "little"),
+                                v >> 16) & 0xFFFF
+    assert x.hash16(v) == want16
+    # libxsmm_hash8(v) folds hash16 through a 1-byte raw crc seeded v>>8
+    want8 = _raw_crc32c_oracle(bytes([want16 & 0xFF]), v >> 8) & 0xFF
+    assert x.hash8(v) == want8
+    v64 = 0xDEADBEEFCAFEBABE
+    want32 = _raw_crc32c_oracle((v64 & 0xFFFFFFFF).to_bytes(4, "little"),
+                                v64 >> 32)
+    assert x.hash32(v64) == want32
 
 
 def test_hash_folds():
@@ -712,3 +749,14 @@ def test_convert_to_f32_aliases_and_malloc():
     buf = x.malloc(100)
     assert buf.size >= 100
     x.free(buf)
+
+
+def test_stanh_pade78_clamps_on_x():
+    # the clamp compares |x| (like the reference's vectorized kernels),
+    # not the Pade ratio (the scalar header's dead-clamp quirk): large
+    # inputs must return +-1, not the decaying rational
+    import math
+    assert x.stanh_pade78(20.0) == 1.0
+    assert x.stanh_pade78(-50.0) == -1.0
+    assert abs(x.stanh_pade78(1.0) - math.tanh(1.0)) < 1e-4
+    assert abs(x.stanh_pade78(3.0) - math.tanh(3.0)) < 1e-3
