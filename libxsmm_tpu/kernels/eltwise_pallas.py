@@ -113,15 +113,19 @@ def _dropout_tpu(x, seed, p):
         out, mask = _dropout_tpu(x.astype(jnp.float32), seed, p)
         return out.astype(jnp.float16), mask
 
-    def kernel(seed_ref, x_ref, o_ref, m_ref):
+    def kernel(seed_ref, p_ref, x_ref, o_ref, m_ref):
         pltpu.prng_seed(seed_ref[0])
         rbits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
         # uniform in [0,1): mantissa-fill trick (Mosaic has no u32->f32 cast):
         # set exponent to 127 -> value in [1,2), subtract 1
         fbits = (rbits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
         u = pltpu.bitcast(fbits, jnp.float32) - 1.0
-        keep = u >= p
-        scale = 1.0 / (1.0 - p)
+        # p rides in SMEM so the runtime-alpha ABI (traced p under the
+        # caller's jit) reaches the Pallas kernel instead of silently
+        # rerouting to the portable path
+        pv = p_ref[0]
+        keep = u >= pv
+        scale = 1.0 / (1.0 - pv)
         o_ref[:] = jnp.where(keep, x_ref[:].astype(jnp.float32) * scale,
                              0.0).astype(o_ref.dtype)
         m_ref[:] = keep.astype(jnp.uint8)
@@ -131,10 +135,12 @@ def _dropout_tpu(x, seed, p):
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct(x.shape, jnp.uint8)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
-    )(jnp.asarray([seed], jnp.int32), x)
+    )(jnp.asarray([seed], jnp.int32),
+      jnp.asarray([p], jnp.float32).reshape(1), x)
 
 
 def dropout(x, seed, p: float):
@@ -146,9 +152,14 @@ def dropout(x, seed, p: float):
         raise ValueError(f"dropout probability must be in [0, 1), got {p}")
     if _pallas_available():
         try:
-            return _dropout_tpu(x, seed, float(p))
-        except Exception:
-            pass
+            # p is a runtime operand (SMEM), so both static and traced p
+            # (the runtime-alpha ABI) take the Pallas per-core-PRNG path
+            return _dropout_tpu(x, seed, p)
+        except Exception as e:
+            # deferred Mosaic failures (shape/layout corner) degrade to
+            # the portable path — VISIBLY, not silently (review finding)
+            import warnings
+            warnings.warn(f"Pallas dropout fell back to jax.random: {e}")
     key = jax.random.PRNGKey(seed)
     keep = jax.random.uniform(key, x.shape) >= p
     scale = 1.0 / (1.0 - p)
@@ -238,7 +249,9 @@ def run_stateful_unary(desc: MeltwDescriptor, x, *args, **state):
         return stochastic_round(x, seed, target)
     if op == UnaryType.DROPOUT:
         p = state.get("p", desc.extra[0] if desc.extra else 0.5)
-        seed = state.get("seed", 0)
+        # positional seed accepted like STOCHASTIC_ROUND — silently
+        # ignoring it would reuse one fixed mask across training steps
+        seed = state.get("seed", args[0] if args else 0)
         out, mask = dropout(x, seed, p)
         if desc.flags & UnaryFlags.BITMASK_2BYTEMULT:
             # reference contract: the side output is a PACKED bit matrix

@@ -373,6 +373,14 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
         tm //= 2
     if m % tm:
         return None
+    # Mosaic legality: the A^T block (k, tm) has tm as its TRAILING dim —
+    # it must be %128 or the full dim — and the (tm, 128) output block
+    # needs sublane-aligned tm. An illegal tile must make the BUILDER
+    # bail (None -> the autotune drops the candidate) instead of handing
+    # back a kernel that fails only at deferred Mosaic compile on real
+    # TPU (interpret-mode CI hides it).
+    if (tm != m and tm % 128) or tm % sub:
+        return None
     m_tiles = m // tm
 
     def assemble(krows_ref, at_ref, dst, grp):
@@ -718,4 +726,10 @@ def build_bcsc_spmm_super(shape: GemmShape, s_indptr: np.ndarray,
     def fn(a, sup_values):
         return run(rows_d, cols_d, vidx_d, first_d, a, sup_values)
 
+    # inline-friendly form for callers that fuse this kernel inside their
+    # OWN jit (ops/sparse strategy='super'): the schedule arrays must ride
+    # as jit ARGUMENTS there — captured through `fn` they would bake into
+    # the outer trace as closure constants, re-uploaded per call
+    fn.raw = run
+    fn.schedule = (rows_d, cols_d, vidx_d, first_d)
     return fn

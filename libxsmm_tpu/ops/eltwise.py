@@ -315,7 +315,10 @@ def apply_ternary_op(op: TernaryType, flags: TernaryFlags, a, b, c):
     if op == TernaryType.NMULADD:
         return -(a * b) + c
     if op == TernaryType.SELECT:
-        return jnp.where(c != 0, a, b)
+        # reference: bit CLEAR selects in0, bit SET selects in1
+        # (generator_mateltwise_reference_impl.c:2629 `(bit_val == 0) ?
+        # in_val : in1_val`) — c here is the value-level (unpacked) mask
+        return jnp.where(c != 0, b, a)
     if op == TernaryType.MATMUL:
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST) + c
@@ -569,6 +572,26 @@ def _decompress_sparse(values, bitmask, factor, m, n, dtype):
     return dense.reshape(m, n).astype(dtype)
 
 
+
+def _matmul_nflops_wrapper(jitted, info, m, n):
+    """Refine KernelInfo.nflops for contraction-typed meltw kernels from
+    the runtime operand shapes (the descriptor has no k/br): 2*m*n*k, and
+    a stacked (br, ., .) BRGEMM operand multiplies by br. Re-checked per
+    call — the registry caches the Kernel across differently-shaped uses."""
+    last = []
+
+    def fn(in0, *rest):
+        shp = tuple(np.shape(in0))
+        if last[:1] != [shp]:
+            k = shp[-1]
+            br = shp[0] if len(shp) == 3 else 1
+            info.nflops = 2 * m * n * max(1, k) * max(1, br)
+            last[:] = [shp]
+        return jitted(in0, *rest)
+
+    return fn
+
+
 def _build_binary(desc: MeltwDescriptor) -> Kernel:
     op: BinaryType = desc.op_type
     flags = BinaryFlags(desc.flags)
@@ -588,21 +611,35 @@ def _build_binary(desc: MeltwDescriptor) -> Kernel:
                       flags & BinaryFlags.BCAST_COL_IN_1,
                       flags & BinaryFlags.BCAST_SCALAR_IN_1)
         if op == BinaryType.ZIP:
-            # merge lo/hi uint16 halves back into f32
-            lo = a.astype(jnp.uint32)
-            hi = b.astype(jnp.uint32)
+            # merge lo/hi 16-bit halves back into f32. The halves arrive
+            # either as u16 bit buffers (this library's UNZIP output) or
+            # as bf16/f16-typed views (the reference ABI declares the hi
+            # half bf16, reference_impl.c:2550) — 16-bit FLOAT operands
+            # must be BIT-reinterpreted, not value-converted.
+            def _bits16(v):
+                if v.dtype in (jnp.bfloat16, jnp.float16):
+                    v = jax.lax.bitcast_convert_type(v, jnp.uint16)
+                return v.astype(jnp.uint32)
+            lo = _bits16(a)
+            hi = _bits16(b)
             return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
         if op == BinaryType.PACK:
             return jnp.stack([a, b], axis=-1).reshape(m, 2 * n)
         y = apply_binary_op(op, flags, a.astype(comp), b.astype(comp),
                             None if c_prev is None else c_prev.astype(comp))
         if op.name.startswith("CMP_OP_"):
-            return y  # bool bitmask output
+            # the reference stores CMP results as a PACKED bitmask with
+            # ld = UPDIV(ldo,16)*16 (reference_impl.c:2575-2581) — the
+            # same layout pack_bitmask/unpack_bitmask round-trip
+            return pack_bitmask(y)
         return _out_cast(y, desc.out_type, in0.dtype)
 
     jitted = jax.jit(base)
     info = KernelInfo(kind="meltw", nflops=m * n)
-    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+    fn = jitted
+    if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
+        fn = _matmul_nflops_wrapper(jitted, info, m, n)
+    return Kernel(fn=fn, descriptor=desc, info=info, name=desc.name())
 
 
 def _build_ternary(desc: MeltwDescriptor) -> Kernel:
@@ -624,8 +661,10 @@ def _build_ternary(desc: MeltwDescriptor) -> Kernel:
                       flags & TernaryFlags.BCAST_COL_IN_1,
                       flags & TernaryFlags.BCAST_SCALAR_IN_1)
         if op == TernaryType.SELECT:
-            c = in2  # bitmask, not broadcast/cast
-            y = jnp.where(c != 0, a.astype(comp), b.astype(comp))
+            # in2 is a PACKED 2BYTEMULT bitmask (reference extract_bit
+            # with ld=UPDIV(ldi2,16)*16): bit CLEAR -> in0, SET -> in1
+            mask = unpack_bitmask(in2, m, n)
+            y = jnp.where(mask, b.astype(comp), a.astype(comp))
         else:
             c = _bcast_in(in2, m, n, flags & TernaryFlags.BCAST_ROW_IN_2,
                           flags & TernaryFlags.BCAST_COL_IN_2,
@@ -636,7 +675,10 @@ def _build_ternary(desc: MeltwDescriptor) -> Kernel:
 
     jitted = jax.jit(base)
     info = KernelInfo(kind="meltw", nflops=2 * m * n)
-    return Kernel(fn=jitted, descriptor=desc, info=info, name=desc.name())
+    fn = jitted
+    if op.name.startswith("MATMUL") or op.name.startswith("BRGEMM"):
+        fn = _matmul_nflops_wrapper(jitted, info, m, n)
+    return Kernel(fn=fn, descriptor=desc, info=info, name=desc.name())
 
 
 def dispatch_meltw_unary(op_type: UnaryType, m=None, n: int = None,

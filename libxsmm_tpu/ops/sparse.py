@@ -233,7 +233,9 @@ def create_packed_spgemm_csr(shape: GemmShape,
     csr = CsrMatrix((shape.m, shape.k), np.asarray(row_ptr, np.int32),
                     np.asarray(column_idx, np.int32))
     _ensure_x64(shape)
-    _, _, _, rmax_probe = csr.ell()
+    # cheap probe: only the max row degree is needed for the auto choice —
+    # the full O(m*rmax) ELL construction belongs to the sparse build only
+    rmax_probe = int(np.diff(csr.indptr).max(initial=0))
     if csr.nnz == 0:
         # empty pattern: the ELL value gather indexes a size-0 array; the
         # dense lowering handles it via the appended zero slot
@@ -249,30 +251,31 @@ def create_packed_spgemm_csr(shape: GemmShape,
             strategy)
 
     def _build(_key):
-        col, pos, mask, rmax = csr.ell()
-        # pattern arrays are bound as device-resident ARGUMENTS: jit closure
-        # constants are re-uploaded on every call (tunnel-measured ~430us)
-        colj = jax.device_put(jnp.asarray(col.reshape(-1)))
-        posj = jax.device_put(jnp.asarray(pos.reshape(-1)))
-        maskj = jax.device_put(jnp.asarray(mask))
-        # dense-strategy densify via a create-time GATHER map (a per-call
-        # element scatter is ~100x slower on TPU; same trick as the BCSC
-        # dense path): posmat[row, col] = value index, missing -> nnz
-        # (the appended zero slot)
-        posmat = np.full(shape.m * shape.k, csr.nnz, np.int32)
-        rows_np = np.repeat(np.arange(shape.m, dtype=np.int64),
-                            np.diff(csr.indptr))
-        posmat[rows_np * shape.k + csr.indices] = np.arange(csr.nnz,
-                                                            dtype=np.int32)
-        posd = jax.device_put(jnp.asarray(posmat))
         comp = to_jnp(shape.comp_type)
         out_dt = to_jnp(shape.out_type)
         prec = matmul_precision(shape)
+        scope = jax.named_scope(
+            f"xsmm_pspgemm_csr_{shape.m}x{shape.n}x{shape.k}"
+            f"_nnz{csr.nnz}_{strategy}")
+        # only the CHOSEN strategy's pattern arrays are built and kept
+        # device-resident (a sparse-strategy kernel must not hold an m*k
+        # posmat on device forever, nor ride it as an unused jit argument);
+        # all arrays are bound as ARGUMENTS, not jit closure constants
+        # (constants re-upload per call, tunnel-measured ~430us)
+        if strategy == "dense":
+            # densify via a create-time GATHER map (a per-call element
+            # scatter is ~100x slower on TPU; same trick as the BCSC dense
+            # path): posmat[row, col] = value index, missing -> nnz (the
+            # appended zero slot)
+            posmat = np.full(shape.m * shape.k, csr.nnz, np.int32)
+            rows_np = np.repeat(np.arange(shape.m, dtype=np.int64),
+                                np.diff(csr.indptr))
+            posmat[rows_np * shape.k + csr.indices] = np.arange(
+                csr.nnz, dtype=np.int32)
+            posd = jax.device_put(jnp.asarray(posmat))
 
-        @jax.named_scope(f"xsmm_pspgemm_csr_{shape.m}x{shape.n}x{shape.k}"
-                         f"_nnz{csr.nnz}_{strategy}")
-        def run(colv, posv, maskv, pmat, values, b, c=None):
-            if strategy == "dense":
+            @scope
+            def run(pmat, values, b, c=None):
                 vpad = jnp.concatenate(
                     [values, jnp.zeros((1,), values.dtype)])
                 adense = jnp.take(vpad, pmat).reshape(shape.m, shape.k)
@@ -283,7 +286,24 @@ def create_packed_spgemm_csr(shape: GemmShape,
                 else:
                     acc = jnp.einsum("mk,knp->mnp", adense.astype(comp),
                                      b.astype(comp), precision=prec)
-            else:
+                if c is not None:
+                    acc = acc + c.astype(comp)
+                return acc.astype(out_dt)
+
+            jitted = jax.jit(run)
+
+            def fn(values, b, c=None):
+                if c is None:
+                    return jitted(posd, values, b)
+                return jitted(posd, values, b, c)
+        else:
+            col, pos, mask, rmax = csr.ell()
+            colj = jax.device_put(jnp.asarray(col.reshape(-1)))
+            posj = jax.device_put(jnp.asarray(pos.reshape(-1)))
+            maskj = jax.device_put(jnp.asarray(mask))
+
+            @scope
+            def run(colv, posv, maskv, values, b, c=None):
                 vals = jnp.take(values, posv, axis=0)
                 vals = vals.reshape(shape.m, rmax).astype(comp) * maskv
                 gb = jnp.take(b, colv, axis=0)
@@ -296,16 +316,16 @@ def create_packed_spgemm_csr(shape: GemmShape,
                     gb = gb.reshape(shape.m, rmax, shape.n, p).astype(comp)
                     acc = jnp.einsum("mr,mrnp->mnp", vals, gb,
                                      precision=prec)
-            if c is not None:
-                acc = acc + c.astype(comp)
-            return acc.astype(out_dt)
+                if c is not None:
+                    acc = acc + c.astype(comp)
+                return acc.astype(out_dt)
 
-        jitted = jax.jit(run)
+            jitted = jax.jit(run)
 
-        def fn(values, b, c=None):
-            if c is None:
-                return jitted(colj, posj, maskj, posd, values, b)
-            return jitted(colj, posj, maskj, posd, values, b, c)
+            def fn(values, b, c=None):
+                if c is None:
+                    return jitted(colj, posj, maskj, values, b)
+                return jitted(colj, posj, maskj, values, b, c)
 
         nflops = 2 * csr.nnz * shape.n * max(1, packed_width)
         info = KernelInfo(kind="pspgemm_csr", nflops=nflops)
@@ -440,24 +460,26 @@ def create_packed_spgemm_csr_bsparse(shape: GemmShape,
             strategy)
 
     def _build(_key):
-        # k-row id per nonzero (CSR expansion) and output-column segment ids
+        # k-row id per nonzero (CSR expansion)
         kidx = np.repeat(np.arange(k, dtype=np.int32), np.diff(indptr))
-        kidxj = jax.device_put(jnp.asarray(kidx))
-        segd = jax.device_put(jnp.asarray(indices))
-        # dense strategy: create-time gather map (per-call scatter is ~100x
-        # slower on TPU; same trick as the CSR A-sparse dense path)
-        posmat = np.full(k * n, nnz, np.int32)
-        posmat[kidx.astype(np.int64) * n + indices] = np.arange(
-            nnz, dtype=np.int32)
-        posd = jax.device_put(jnp.asarray(posmat))
         comp = to_jnp(shape.comp_type)
         out_dt = to_jnp(shape.out_type)
         prec = matmul_precision(shape)
+        scope = jax.named_scope(f"xsmm_pspgemm_csr_b_{shape.m}x{n}x{k}"
+                                f"_nnz{nnz}_{strategy}")
+        # only the CHOSEN strategy's pattern arrays are built/kept (the
+        # sparse path must not hold a k*n posmat on device forever); all
+        # bound as jit ARGUMENTS, not closure constants
+        if strategy == "dense":
+            # create-time gather map (per-call scatter is ~100x slower on
+            # TPU; same trick as the CSR A-sparse dense path)
+            posmat = np.full(k * n, nnz, np.int32)
+            posmat[kidx.astype(np.int64) * n + indices] = np.arange(
+                nnz, dtype=np.int32)
+            posd = jax.device_put(jnp.asarray(posmat))
 
-        @jax.named_scope(f"xsmm_pspgemm_csr_b_{shape.m}x{n}x{k}"
-                         f"_nnz{nnz}_{strategy}")
-        def run(kid, segj, pmat, a, values, c=None):
-            if strategy == "dense":
+            @scope
+            def run(pmat, a, values, c=None):
                 vpad = jnp.concatenate(
                     [values, jnp.zeros((1,), values.dtype)])
                 bdense = jnp.take(vpad, pmat).reshape(k, n)
@@ -468,7 +490,22 @@ def create_packed_spgemm_csr_bsparse(shape: GemmShape,
                 else:
                     acc = jnp.einsum("mkp,kn->mnp", a.astype(comp),
                                      bdense.astype(comp), precision=prec)
-            else:
+                if c is not None:
+                    acc = acc + c.astype(comp)
+                return acc.astype(out_dt)
+
+            jitted = jax.jit(run)
+
+            def fn(a, values, c=None):
+                if c is None:
+                    return jitted(posd, a, values)
+                return jitted(posd, a, values, c)
+        else:
+            kidxj = jax.device_put(jnp.asarray(kidx))
+            segd = jax.device_put(jnp.asarray(indices))
+
+            @scope
+            def run(kid, segj, a, values, c=None):
                 cols = jnp.take(a, kid, axis=1).astype(comp)  # (m,nnz[,p])
                 v = values.astype(comp)
                 if a.ndim == 2:
@@ -480,16 +517,16 @@ def create_packed_spgemm_csr_bsparse(shape: GemmShape,
                     acc = jax.ops.segment_sum(
                         contrib.transpose(1, 0, 2), segj,
                         num_segments=n).transpose(1, 0, 2)
-            if c is not None:
-                acc = acc + c.astype(comp)
-            return acc.astype(out_dt)
+                if c is not None:
+                    acc = acc + c.astype(comp)
+                return acc.astype(out_dt)
 
-        jitted = jax.jit(run)
+            jitted = jax.jit(run)
 
-        def fn(a, values, c=None):
-            if c is None:
-                return jitted(kidxj, segd, posd, a, values)
-            return jitted(kidxj, segd, posd, a, values, c)
+            def fn(a, values, c=None):
+                if c is None:
+                    return jitted(kidxj, segd, a, values)
+                return jitted(kidxj, segd, a, values, c)
 
         nflops = 2 * nnz * shape.m * p
         info = KernelInfo(kind="pspgemm_csr_b", nflops=nflops)
@@ -661,21 +698,24 @@ def _build_bcsc_super(shape: GemmShape, flags: GemmFlags,
     # launches would each pay the backend's 1.2-14 ms dispatch cost, which
     # dwarfs a low-occupancy SpMM
     @jax.jit
-    def whole(gm, a, values, c=None):
+    def whole(gm, sched, a, values, c=None):
         vpad = jnp.concatenate(
             [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)], axis=0)
         sup = jnp.take(vpad, gm, axis=0).reshape(ns, rk, rn, bk, bn)
         # (ns, rk, rn, bk, bn) -> (ns, rk*bk, rn*bn) row-major supertiles
         sup = sup.transpose(0, 1, 3, 2, 4).reshape(ns, SB, SB)
-        out = pfn(a, sup)
+        # pfn.raw takes the schedule as ARGUMENTS: calling pfn(a, sup)
+        # here would bake its four schedule arrays into this outer jit as
+        # closure constants (re-uploaded per call, CLAUDE.md)
+        out = pfn.raw(*sched, a, sup)
         if c is not None:
             out = out + c.astype(out.dtype)
         return out
 
     def fn(a, values, c=None):
         if c is None:
-            return whole(gmap_d, a, values)
-        return whole(gmap_d, a, values, c)
+            return whole(gmap_d, pfn.schedule, a, values)
+        return whole(gmap_d, pfn.schedule, a, values, c)
 
     occupancy = ns / max(1, kb_s * nb_s)
     info = KernelInfo(kind="pspgemm_bcsc",
@@ -828,7 +868,16 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     bk, bn = config.bk, config.bn
     indptr = np.asarray(column_ptr, np.int32)
     indices = np.asarray(row_idx, np.int32)
+    # validate the blocking AT CREATE: a floored nb would silently return
+    # an (m, nb*bn) result (columns missing) or fail with an opaque
+    # broadcast error when c is passed
+    if shape.n % bn or shape.k % bk:
+        raise ValueError(f"BCSC blocking must divide the shape: "
+                         f"n={shape.n} %% bn={bn}, k={shape.k} %% bk={bk}")
     nb = shape.n // bn
+    if len(indptr) != nb + 1:
+        raise ValueError(f"column_ptr must have n/bn+1 = {nb + 1} entries, "
+                         f"got {len(indptr)}")
     _ensure_x64(shape)
     bcsc = BcscMatrix((shape.k, shape.n), bk, bn, indptr, indices)
     nblocks = bcsc.nblocks

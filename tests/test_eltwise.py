@@ -519,7 +519,12 @@ def test_binary_cmp():
     m, n = 8, 8
     a, b = _rand((m, n)), _rand((m, n))
     kern = xt.dispatch_meltw_binary(BinaryType.CMP_OP_GT, m, n)
-    np.testing.assert_array_equal(a > b, np.asarray(kern(a, b)))
+    # the reference stores CMP results as a PACKED bitmask
+    # (ld=UPDIV(ldo,16)*16, reference_impl.c:2575-2581)
+    packed = np.asarray(kern(a, b))
+    assert packed.shape == (m, 2)            # UPDIV(8,16)*16 bits = 2 bytes
+    np.testing.assert_array_equal(
+        a > b, np.asarray(xt.unpack_bitmask(packed, m, n)))
 
 
 def test_binary_matmul_and_dotred():
@@ -544,9 +549,12 @@ def test_ternary_muladd_select_nmuladd():
     check(a * b + c, np.asarray(kern(a, b, c)), margin=1e-6)
     kern = xt.dispatch_meltw_ternary(TernaryType.NMULADD, m, n)
     check(-(a * b) + c, np.asarray(kern(a, b, c)), margin=1e-6)
-    mask = (RNG.random((m, n)) < 0.5).astype(np.uint8)
+    # reference SELECT ABI: in2 is a PACKED bitmask; bit CLEAR selects
+    # in0, bit SET selects in1 (reference_impl.c:2623-2637)
+    mask = RNG.random((m, n)) < 0.5
+    packed = np.asarray(xt.pack_bitmask(mask))
     kern = xt.dispatch_meltw_ternary(TernaryType.SELECT, m, n)
-    check(np.where(mask != 0, a, b), np.asarray(kern(a, b, mask)))
+    check(np.where(mask, b, a), np.asarray(kern(a, b, packed)))
 
 
 def test_ternary_bcast():

@@ -364,7 +364,9 @@ def test_binary_enum_complete(op):
     want = oracle[op]()
     out = np.asarray(kern(a, b))
     if want.dtype == bool:
-        np.testing.assert_array_equal(out.astype(bool), want)
+        # CMP ops store a packed bitmask (reference layout)
+        np.testing.assert_array_equal(
+            np.asarray(xt.unpack_bitmask(out, M, N)), want)
     else:
         np.testing.assert_allclose(out, want, rtol=1e-5)
 
@@ -404,9 +406,11 @@ def test_ternary_enum_complete(op):
     kern = xt.dispatch_meltw_ternary(op, M, N)
     a, b, c = _x(), _x(), _x()
     if op == TernaryType.SELECT:
-        sel = (RNG.random((M, N)) < 0.5).astype(np.uint8)
-        np.testing.assert_allclose(np.asarray(kern(a, b, sel)),
-                                   np.where(sel != 0, a, b), rtol=1e-6)
+        # packed-bitmask ABI: bit CLEAR -> in0, bit SET -> in1
+        sel = RNG.random((M, N)) < 0.5
+        np.testing.assert_allclose(
+            np.asarray(kern(a, b, np.asarray(xt.pack_bitmask(sel)))),
+            np.where(sel, b, a), rtol=1e-6)
         return
     oracle = {TernaryType.MULADD: a * b + c,
               TernaryType.NMULADD: -(a * b) + c}

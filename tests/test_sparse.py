@@ -729,3 +729,22 @@ def test_fsspmdm_declared_dtype_applied():
     out2 = np.asarray(h2.execute(b.astype(np.float32)))
     assert out2.dtype == np.float32
     fsspmdm_destroy(h2)
+
+
+def test_bcsc_blocking_validated_at_create():
+    """n%bn / k%bk / indptr-length mismatches must fail AT CREATE: a
+    floored nb silently dropped output columns (review finding)."""
+    from libxsmm_tpu.descriptor import SpgemmConfig
+    shape = GemmShape(16, 100, 64)
+    cfg = SpgemmConfig(bk=8, bn=8)   # 100 % 8 != 0
+    with pytest.raises(ValueError, match="divide"):
+        create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0, cfg,
+                                  column_ptr=np.zeros(13, np.int32),
+                                  row_idx=np.zeros(0, np.int32),
+                                  strategy="dense")
+    shape2 = GemmShape(16, 96, 64)
+    with pytest.raises(ValueError, match="column_ptr"):
+        create_packed_spgemm_bcsc(shape2, GemmFlags.BETA_0, cfg,
+                                  column_ptr=np.zeros(5, np.int32),
+                                  row_idx=np.zeros(0, np.int32),
+                                  strategy="dense")
