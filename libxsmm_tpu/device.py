@@ -98,7 +98,17 @@ def get_geometry() -> TpuGeometry:
     """Detected (or overridden) geometry for the current process."""
     key = CONFIG.target or "auto"
     if key not in _cache:
-        name = CONFIG.target or _detect_generation()
+        if CONFIG.target:
+            # an explicit override must be EXACT: a typo silently feeding
+            # v5e rooflines into every tiling decision is a misconfig the
+            # user cannot see (review finding)
+            name = str(CONFIG.target).lower()
+            if name not in GEOMETRY_TABLE:
+                raise ValueError(
+                    f"unknown XSMM_TPU_TARGET {CONFIG.target!r} "
+                    f"(known: {sorted(GEOMETRY_TABLE)})")
+        else:
+            name = _detect_generation()
         _cache[key] = GEOMETRY_TABLE.get(name, GEOMETRY_TABLE["v5e"])
     return _cache[key]
 

@@ -253,9 +253,12 @@ def _driver_main(argv) -> int:
     if l_type in ("dense", "dense_asm"):
         for name, ld, dim in (("LDA", lda, k), ("LDB", ldb, n),
                               ("LDC", ldc, n)):
-            if ld not in (0, dim):
+            # the documented contract accepts any <1 value as the
+            # "don't care" / sparse-routing signal (the reference treats
+            # lda<1 the same way), not just exactly 0
+            if ld >= 1 and ld != dim:
                 sys.stderr.write(f"row-major contract: {name} must be "
-                                 f"{dim} (XLA owns layout)\n")
+                                 f"{dim} or <1 (XLA owns layout)\n")
                 return 1
         desc = GemmDescriptor(shape=shape, flags=flags)
         if l_type == "dense":

@@ -68,9 +68,12 @@ def main(argv=None) -> int:
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return jnp.maximum(out + b[None, None, None, :], 0.0)
 
+    # wt/b ride as bench ARGUMENTS (device-resident once) — captured in
+    # the lambdas they would bake into the runner's jit as closure
+    # constants, re-uploaded per launch (CLAUDE.md)
     times = bench_chain_interleaved(
-        [(lambda x: fused(x, wt, b), (x,), 0),
-         (lambda x: xla_conv(x, wt, b), (x,), 0)], reps=8, rounds=3)
+        [(fused, (x, wt, b), 0),
+         (xla_conv, (x, wt, b), 0)], reps=8, rounds=3)
     for name, t in zip(("brgemm-fused", "xla-native "), times):
         if t:
             print(f"{name}: {flops / t / 1e9:9.1f} GFLOP/s "

@@ -15,9 +15,12 @@ Usage: python samples/encoder.py   (prints per-class PASS/FAIL, exits
 nonzero on any failure — the reference driver's exit-code discipline)
 """
 
+import pathlib
 import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def _checks():

@@ -5,11 +5,12 @@ each with the chained discipline, to locate where the issued-FLOP rate is
 lost (VERDICT r2 #1). Run on the real TPU.
 """
 
+import pathlib
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

@@ -62,24 +62,12 @@ def main(n=4800, synthetic=False):
         ok = d.normf_rel < 1e-5
         failures += not ok
 
-        # perf: chained inside one launch (see bench.py discipline); the
-        # chain must consume the FULL output — the dense kernel is an XLA
-        # dot and slice-consumption gets narrowed to dot-of-slice
-        def step(x):
-            out = h.kernel.fn(x)
-            z = (jnp.sum(out.astype(jnp.float32)) * 0.0).astype(x.dtype)
-            return x.at[0, 0].add(z)
-
-        fn = jax.jit(lambda s: jax.lax.fori_loop(
-            0, inner, lambda i, ss: step(ss), s))
-        x = fn(b)
-        float(jnp.ravel(x)[0])
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            x = fn(x)
-            float(jnp.ravel(x)[0])
-            best = min(best, (time.perf_counter() - t0) / inner)
+        # perf: the library's calibrated chained timing (full-output
+        # chain, rep-count calibration, null-launch subtraction) — a
+        # fixed inner count silently measures launch_ms/inner in the
+        # documented 28 ms-launch drought windows
+        from libxsmm_tpu.utils.timer import bench_chain
+        best = bench_chain(h.kernel.fn, (b,), reps=inner)
         gnnz = h.nnz * n / best / 1e9
         eff = 2 * h.nnz * n / best / 1e9
         dense_frac = h.nnz / (m * k)

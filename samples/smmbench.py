@@ -38,19 +38,13 @@ def main(size=32, batch=16384):
     G = batch // p
     rng = np.random.default_rng(0)
 
-    def run(step, state, traffic_bytes, nflops, reps=3, rounds=3,
-            inner=16):
-        fn = jax.jit(lambda s: jax.lax.fori_loop(
-            0, inner, lambda i, ss: step(ss), s))
-        state = fn(state)
-        float(jnp.ravel(jax.tree_util.tree_leaves(state)[0])[0])  # sync
-        best = float("inf")
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                state = fn(state)
-            float(jnp.ravel(jax.tree_util.tree_leaves(state)[0])[0])
-            best = min(best, (time.perf_counter() - t0) / (reps * inner))
+    # calibrated chained timing (utils.timer.bench_chain): fixed inner
+    # rep counts silently measure launch overhead in 28 ms-launch drought
+    # windows (CLAUDE.md); the runner calibrates and subtracts the null
+    from libxsmm_tpu.utils.timer import bench_chain
+
+    def run(fn, state, traffic_bytes, nflops, reps=16, rounds=3):
+        best = bench_chain(fn, (state,), reps=reps, rounds=rounds)
         return nflops / best / 1e9, traffic_bytes / best / 1e9
 
     a_p = xt.pack_batched(
@@ -115,7 +109,7 @@ def main(size=32, batch=16384):
     # tiny serial workload: needs a deep inner chain or launch overhead
     # (1.2-14 ms on this backend) swamps the ~1 us kernel
     gf, gb = run(lambda a: kern5(a, b5) * 0.999 + a * 1e-6, a5,
-                 0, 2 * m * n * k, inner=4096)
+                 0, 2 * m * n * k, reps=4096)
     print(f"case 5 (cached; repeated single SMM): {gf:8.1f} GF/s per-call "
           f"{2*m*n*k/gf/1e9*1e9:.0f} ns")
 

@@ -70,12 +70,13 @@ def run_case(m, k, n, bk, bn, density, dtype, bench, rng, fails):
             from libxsmm_tpu.utils.timer import bench_chain
             import jax.numpy as jnp
 
-            def step(vv, kern=kern):
-                return vv.at[0, 0, 0].add(
-                    (jnp.sum(kern(a_dev, vv).astype(jnp.float32))
-                     * 0.0).astype(vv.dtype))
-            sec = bench_chain(step, (jnp.asarray(v_dev),), chain_idx=0,
-                              reps=16)
+            # a_dev rides as a bench_chain ARGUMENT (device-resident once):
+            # closed over, it would bake into the runner's jit as a
+            # closure constant re-uploaded per launch (CLAUDE.md); the
+            # runner's own full-output chain replaces the hand-rolled one
+            sec = bench_chain(lambda vv, aa: kern(aa, vv),
+                              (jnp.asarray(v_dev), jnp.asarray(a_dev)),
+                              chain_idx=0, reps=16)
             nnz = bcsc.nblocks * bk * bn
             line += f"  {2 * nnz * m / sec / 1e9:8.1f} Gflop/s" \
                     f" ({nnz / 1e3:.0f}k nnz)"

@@ -5,12 +5,12 @@ Measures nnz/s at 1..N devices with per-device problem size held constant
 On CPU it validates the harness against a virtual device mesh; on a real
 multi-chip slice the same script measures ICI halo-exchange overlap.
 
-Usage: python spmm_scaling.py [max_devices] [--density D] [--n N]
+Usage: python spmm_scaling.py [max_devices] [--density D] [--n N] [--tpu]
+(default: virtual CPU mesh; --tpu uses the real multi-chip backend)
 """
 
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -27,12 +27,21 @@ def main():
         ncols = int(sys.argv[sys.argv.index("--n") + 1])
 
     import os
-    if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    # Virtual CPU mesh by default; pass --tpu on a real multi-chip slice.
+    # The explicit flag beats detection: probing jax.devices() here would
+    # initialize the backend BEFORE jax_platforms can be set (and hangs
+    # indefinitely on a dead tunnel), and the old XLA_FLAGS-contents gate
+    # made the real-slice mode unreachable (review finding).
+    want_cpu = "--tpu" not in sys.argv
+    if want_cpu and "host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_force_host_platform_device_count={max_dev}").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    from libxsmm_tpu.utils.timer import bench_chain
 
     from libxsmm_tpu.ops.sparse import BsrMatrix
     from libxsmm_tpu.parallel.mesh import make_mesh
@@ -59,23 +68,16 @@ def main():
         spmm = DistributedBsrSpmm(bsr, ncols, mesh)
         x = rng.standard_normal((k, ncols)).astype(np.float32)
 
-        out = spmm(x)
-        jax.block_until_ready(out)
-        # verify once
-        err = float(np.abs(np.asarray(out) - a @ x).max())
+        # verify once (np.asarray is a HOST FETCH — the only true sync
+        # on the tunneled backend, CLAUDE.md)
+        err = float(np.abs(np.asarray(spmm(x)) - a @ x).max())
         assert err < 1e-2 * max(1.0, float(np.abs(a @ x).max())), err
 
-        reps = 10
-        best = float("inf")
+        # calibrated chained timing: fixed-rep loops with identical inputs
+        # are memoized by the runtime, and block_until_ready does not
+        # flush the pipeline (CLAUDE.md) — bench_chain is the discipline
         xj = jax.device_put(x)
-        for _ in range(3):
-            t0 = time.perf_counter()
-            o = None
-            for _ in range(reps):
-                o = spmm(xj)
-            jax.block_until_ready(o)
-            best = min(best, (time.perf_counter() - t0) / reps)
-        nnz_rate = bsr.nnz / best
+        nnz_rate = bsr.nnz / bench_chain(spmm, (xj,), reps=8)
         results[nd] = nnz_rate
         base = results[ndevs[0]] * nd / ndevs[0]
         eff = nnz_rate / base
@@ -102,14 +104,7 @@ def main():
         err = float(np.abs(out - a @ x).max())
         assert err < 1e-2 * max(1.0, float(np.abs(a @ x).max())), err
         xj = jax.device_put(x)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            o = None
-            for _ in range(10):
-                o = spmm2(xj)
-            jax.block_until_ready(o)
-            best = min(best, (time.perf_counter() - t0) / 10)
+        best = bench_chain(spmm2, (xj,), reps=8)
         print(f"2-level dcn=2 x ici={nd // 2}: nnz={bsr.nnz:9d}  "
               f"{bsr.nnz / best / 1e9:7.3f} Gnnz/s")
 

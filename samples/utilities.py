@@ -29,30 +29,25 @@ def main(m=4096, n=4096):
     from libxsmm_tpu.descriptor import UnaryType
     from libxsmm_tpu import rng as xrng
 
-    inner = 32
+    # calibrated chained timing (utils.timer.bench_chain): the old
+    # hand-rolled fixed-rep loop measured launch_ms/reps in degraded
+    # windows, and its transpose chain `tr(x).T` let XLA cancel
+    # transpose-of-transpose — the runner's full-reduction chain is
+    # un-narrowable (review findings)
+    from libxsmm_tpu.utils.timer import bench_chain
 
-    def run(step, state, nbytes):
-        fn = jax.jit(lambda s: jax.lax.fori_loop(
-            0, inner, lambda i, ss: step(ss), s))
-        state = fn(state)
-        float(jnp.ravel(jax.tree_util.tree_leaves(state)[0])[0])
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            state = fn(state)
-            float(jnp.ravel(jax.tree_util.tree_leaves(state)[0])[0])
-            best = min(best, (time.perf_counter() - t0) / inner)
-        return nbytes / best / 1e9
+    def run(fn, state, nbytes):
+        return nbytes / bench_chain(fn, (state,), reps=32) / 1e9
 
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((m, n)),
                      jnp.float32)
 
     copy = xt.dispatch_meltw_unary(UnaryType.IDENTITY, m, n)
-    gb = run(lambda x: copy(x) + 1e-9, x0, 2 * m * n * 4)
+    gb = run(copy, x0, 2 * m * n * 4)
     print(f"matcopy  (IDENTITY TPP):      {gb:7.1f} GB/s")
 
     tr = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_NORMT, m, n)
-    gb = run(lambda x: tr(x).T + 1e-9, x0, 2 * m * n * 4)
+    gb = run(tr, x0, 2 * m * n * 4)
     print(f"transpose (NORM_TO_NORMT):    {gb:7.1f} GB/s")
 
     def rng_step(s):

@@ -104,8 +104,13 @@ def build_class_list():
                                     beta=beta, ta=ta, tb=tb))
 
     # 3. VNNI layout contracts (functional pack/unpack, ops/gemm.py
-    #    _undo_vnni): VNNI_A, VNNI_B, VNNI_C and A+C per 16/8-bit dtype
-    for combo in [BASE_COMBOS[2], BASE_COMBOS[4], BASE_COMBOS[6],
+    #    _undo_vnni): VNNI_A, VNNI_B, VNNI_C and A+C per 16/8-bit dtype.
+    #    VNNI_C needs a NARROW output dtype (factor > 1), so the loop must
+    #    include the 16/8-bit-OUT combos ([3] bf16->bf16, [5] f16->f16,
+    #    [7] bf8->bf16) — with only the ->f32/i32 combos every C/AC class
+    #    was silently skipped (review finding: --full never tested VNNI_C)
+    for combo in [BASE_COMBOS[2], BASE_COMBOS[3], BASE_COMBOS[4],
+                  BASE_COMBOS[5], BASE_COMBOS[6], BASE_COMBOS[7],
                   BASE_COMBOS[8], BASE_COMBOS[9]]:
         for vnni in ("A", "B", "C", "AC"):
             if vnni in ("C", "AC") and combo[2] in (D.F32, D.I32):
