@@ -120,6 +120,17 @@ def _gemm_example_avals(desc: GemmDescriptor):
                else (s.m, s.k))
     b_shape = ((s.n, s.k) if desc.flags & GemmFlags.TRANS_B
                else (s.k, s.n))
+    # VNNI-packed operands: the flag + dtype pack factor fully determine
+    # the stored shape ((r, c) -> (r//f, c*f), ops/gemm._undo_vnni) — the
+    # natural shapes traced to ERR_TRACE_FAILED for every VNNI descriptor
+    def _vnni_factor(dt):
+        return max(1, 32 // (np.dtype(dt).itemsize * 8))
+    if desc.flags & GemmFlags.VNNI_A:
+        f = _vnni_factor(adt)
+        a_shape = (a_shape[0] // f, a_shape[1] * f)
+    if desc.flags & GemmFlags.VNNI_B:
+        f = _vnni_factor(bdt)
+        b_shape = (b_shape[0] // f, b_shape[1] * f)
     br = desc.br.br_type
     hint = desc.br.br_count_hint or 4
     avals = []
@@ -164,15 +175,17 @@ def generator_gemm_reference_kernel(descriptor: GemmDescriptor,
     if not isinstance(descriptor, GemmDescriptor):
         raise XsmmGeneratorError(ERR_UNSUP_DESCRIPTOR,
                                  type(descriptor).__name__)
+    args = (example_args if example_args is not None
+            else _gemm_example_avals(descriptor))
+    # interpret covers build AND trace: any Pallas routing decision reads
+    # device.use_interpret() at TRACE time (see the mateltwise twin)
     prev = CONFIG.interpret
     CONFIG.interpret = True
     try:
         kern = _build_gemm(descriptor)
+        return _lower(kern, args, kind="gemm", reference=True)
     finally:
         CONFIG.interpret = prev
-    args = (example_args if example_args is not None
-            else _gemm_example_avals(descriptor))
-    return _lower(kern, args, kind="gemm", reference=True)
 
 
 def _meltw_example_avals(desc: MeltwDescriptor):
@@ -224,15 +237,25 @@ def generator_mateltwise_reference_kernel(
                "ternary": eltwise._build_ternary}.get(descriptor.operation)
     if builder is None:
         raise XsmmGeneratorError(ERR_UNSUP_DESCRIPTOR, descriptor.operation)
+    args = (example_args if example_args is not None
+            else _meltw_example_avals(descriptor))
+    # the interpret toggle must cover BOTH the build AND the lowering
+    # trace: Pallas-vs-interpret routing happens at TRACE time inside the
+    # jitted fn (ops/eltwise reads device.use_interpret() then), so
+    # restoring the flag before _lower handed back the HARDWARE kernel as
+    # the "portable oracle" (review finding)
     prev = CONFIG.interpret
     CONFIG.interpret = True
     try:
-        kern = builder(descriptor)
+        try:
+            kern = builder(descriptor)
+        except (ValueError, KeyError, AttributeError,
+                NotImplementedError) as e:
+            # same error-code contract as the dispatch twin
+            raise XsmmGeneratorError(ERR_UNSUP_DESCRIPTOR, str(e)) from e
+        return _lower(kern, args, kind="meltw", reference=True)
     finally:
         CONFIG.interpret = prev
-    args = (example_args if example_args is not None
-            else _meltw_example_avals(descriptor))
-    return _lower(kern, args, kind="meltw", reference=True)
 
 
 def _meqn_example_avals(eqn_idx: int):

@@ -64,8 +64,10 @@ def matdiff(ref, tst) -> MatdiffInfo:
     """Compute the norm collection between a reference and a test array.
 
     Arrays may be any shape (flattened to 2D column interpretation for the
-    one-/inf-norms: axis -1 is "n"). NaN differences map to +inf, as in the
-    reference contract (include/libxsmm_math.h:121-127).
+    one-/inf-norms: axis -1 is "n"). Non-finite ref/tst values follow the
+    reference's sentinel contract (libxsmm_math.c:278-295): all norms
+    +inf, the poisoned side's min/max set to the +inf/-inf sentinels so
+    matdiff_reduce merges stay consistent.
     """
     ref = np.asarray(ref, dtype=np.float64)
     tst = np.asarray(tst, dtype=np.float64)
@@ -82,55 +84,103 @@ def matdiff(ref, tst) -> MatdiffInfo:
         tst = tst.reshape(-1, tst.shape[-1])
 
     info = MatdiffInfo()
+
+    # NaN/Inf sentinel contract (libxsmm_math.c:278-295): a non-finite
+    # REF poisons the ref statistics (result_nan=2), a non-finite TST not
+    # equal to ref poisons the tst statistics (result_nan=1); all norms
+    # become +inf, min/max become the +inf/-inf sentinels, avg carries the
+    # NaN — NOT NumPy NaN propagation, which matdiff_reduce's comparisons
+    # would silently drop.
+    ref_bad = ~np.isfinite(ref)
+    tst_bad = (~np.isfinite(tst)) & ~(tst == ref)
+    if ref_bad.any() or tst_bad.any():
+        nan_side = "ref" if ref_bad.any() else "tst"
+        bad = ref_bad if nan_side == "ref" else tst_bad
+        idx = int(np.argmax(bad))
+        i, j = divmod(idx, ref.shape[1])
+        info.m, info.n = i, j
+        info.v_ref = float(ref[i, j])
+        info.v_tst = float(tst[i, j])
+        for f in ("norm1_abs", "norm1_rel", "normi_abs", "normi_rel",
+                  "normf_rel", "linf_abs", "linf_rel", "l2_abs", "l2_rel"):
+            setattr(info, f, math.inf)
+        if nan_side == "tst":
+            info.l1_tst = info.var_tst = math.inf
+            info.avg_tst = info.v_tst          # carries the NaN
+            info.min_tst, info.max_tst = math.inf, -math.inf
+            info.l1_ref = float(np.abs(ref).sum())
+            info.min_ref = float(ref.min())
+            info.max_ref = float(ref.max())
+            info.avg_ref = float(ref.mean())
+            info.var_ref = float(ref.var())
+        else:
+            info.l1_ref = info.var_ref = math.inf
+            info.avg_ref = info.v_ref
+            info.min_ref, info.max_ref = math.inf, -math.inf
+            with np.errstate(invalid="ignore"):
+                info.l1_tst = float(np.abs(tst).sum())
+                info.min_tst = float(tst.min())
+                info.max_tst = float(tst.max())
+                info.avg_tst = float(tst.mean())
+                info.var_tst = float(tst.var())
+        return info
+
     diff = tst - ref
-    bad = ~np.isfinite(diff)
-    if bad.any():
-        diff = np.where(bad, np.inf, diff)
     adiff = np.abs(diff)
     aref = np.abs(ref)
+    atst = np.abs(tst)
 
-    # one-norm: max column-sum; inf-norm: max row-sum (netlib lug/node75)
+    # Reference field semantics (libxsmm_matdiff.h, column-major loops):
+    # normi_abs = max COLUMN-sum of |diff| (:116), norm1_abs = max ROW-sum
+    # (:183). NB these are swapped relative to netlib naming — parity with
+    # reference-generated baselines wins over naming convention.
     col_sum = adiff.sum(axis=0)
     row_sum = adiff.sum(axis=1)
-    info.norm1_abs = float(col_sum.max(initial=0.0))
-    info.normi_abs = float(row_sum.max(initial=0.0))
-    ref_col = aref.sum(axis=0).max(initial=0.0)
-    ref_row = aref.sum(axis=1).max(initial=0.0)
-    info.norm1_rel = info.norm1_abs / ref_col if ref_col > 0 else info.norm1_abs
-    info.normi_rel = info.normi_abs / ref_row if ref_row > 0 else info.normi_abs
+    info.normi_abs = float(col_sum.max(initial=0.0))
+    info.norm1_abs = float(row_sum.max(initial=0.0))
+    # relative forms via LIBXSMM_MATDIFF_DIV(nom, den_ref, fallback)
+    normr = aref.sum(axis=0).max(initial=0.0)    # max col-sum of |ref|
+    normt = atst.sum(axis=0).max(initial=0.0)
+    info.normi_rel = (info.normi_abs / normr if normr > 0 else normt)
+    normrc = aref.sum(axis=1).max(initial=0.0)   # max row-sum of |ref|
+    info.norm1_rel = (info.norm1_abs / normrc if normrc > 0
+                      else info.norm1_abs)
 
     fro_ref = float(np.sqrt((ref * ref).sum()))
-    fro_diff = float(np.sqrt((diff * diff).sum())) if not bad.any() else math.inf
+    fro_diff = float(np.sqrt((diff * diff).sum()))
     info.normf_rel = fro_diff / fro_ref if fro_ref > 0 else fro_diff
 
     # location of largest abs difference
     idx = int(np.argmax(adiff))
     i, j = divmod(idx, adiff.shape[1])
     info.linf_abs = float(adiff[i, j])
-    if info.linf_abs > 0 or bad.any():
+    if info.linf_abs > 0:
         info.m, info.n = i, j
         info.v_ref = float(ref[i, j])
         info.v_tst = float(tst[i, j])
-        denom = abs(info.v_ref)
-        info.linf_rel = info.linf_abs / denom if denom > 0 else info.linf_abs
+    # max PER-ELEMENT relative error (matdiff.h:60 dri = DIV(di, ra, ta)):
+    # the error relative to the argmax-ABSOLUTE location under-reports by
+    # orders of magnitude when a small element carries a large rel error
+    dri = np.where(aref > 0, adiff / np.where(aref > 0, aref, 1.0), atst)
+    info.linf_rel = float(dri.max(initial=0.0))
 
     nelem = ref.size
     info.l2_abs = fro_diff
-    info.l2_rel = float(np.sqrt(((diff / np.where(aref > 0, aref, 1.0)) ** 2).sum()))
+    info.l2_rel = float(np.sqrt((dri * dri).sum()))
 
-    # R-squared of tst as predictor of ref
-    var_ref = float(ref.var())
-    if var_ref > 0 and np.isfinite(fro_diff):
-        info.rsq = 1.0 - (fro_diff ** 2) / (var_ref * nelem)
-    else:
-        info.rsq = 0.0
+    # rsq = max(0, 1 - DIV(l2_abs^2, sum((ref-avg)^2), l2_abs^2))
+    # (libxsmm_math.c:267-268; the un-normalized variance sum)
+    var_sum = float(((ref - ref.mean()) ** 2).sum())
+    l2sq = fro_diff ** 2
+    resrel = l2sq / var_sum if var_sum > 0 else l2sq
+    info.rsq = max(0.0, 1.0 - resrel)
 
     info.l1_ref = float(aref.sum())
     info.min_ref = float(ref.min())
     info.max_ref = float(ref.max())
     info.avg_ref = float(ref.mean())
-    info.var_ref = var_ref
-    info.l1_tst = float(np.abs(tst).sum())
+    info.var_ref = float(ref.var())
+    info.l1_tst = float(atst.sum())
     info.min_tst = float(tst.min())
     info.max_tst = float(tst.max())
     info.avg_tst = float(tst.mean())

@@ -29,6 +29,16 @@ from .gemm import _comp_dtype, _ensure_x64, matmul_precision
 
 def _build_packed(desc):
     kind, shape, flags, packed_width = desc
+    # the reference REJECTS transpose and VNNI flags on the packed dense
+    # entries (generator_packed_gemm.c:41-48, LIBXSMM_ERR_LDA_TRANS /
+    # ERR_LDB_TRANS / ERR_ARCH_PREC) — silently returning an untransposed
+    # kernel would compute A@B where the caller asked for A@B^T
+    bad = (GemmFlags.TRANS_A | GemmFlags.TRANS_B | GemmFlags.VNNI_A
+           | GemmFlags.VNNI_B | GemmFlags.VNNI_C)
+    if GemmFlags(flags) & bad:
+        raise ValueError("packed dense GEMM supports NORM layouts only "
+                         "(no TRANS_*/VNNI_* flags; reference "
+                         "generator_packed_gemm.c:41-48)")
     _ensure_x64(shape)
     comp = _comp_dtype(shape)
     out_dt = to_jnp(shape.out_type)
@@ -44,6 +54,13 @@ def _build_packed(desc):
     @jax.named_scope(f"xsmm_packed_gemm_{kind}_{shape.m}x{shape.n}"
                      f"x{shape.k}_p{packed_width}")
     def run(a, b, c=None):
+        if beta0 and c is not None:
+            # BETA_0 means C is UNREAD (reference contract); silently
+            # adding it would change a ported accumulation's semantics
+            raise ValueError("c operand passed to a BETA_0 packed GEMM")
+        if not beta0 and c is None:
+            raise ValueError("beta=1 packed GEMM needs the C operand "
+                             "(pass GemmFlags.BETA_0 for C=)")
         acc = jnp.einsum(spec, a.astype(comp), b.astype(comp),
                          precision=prec)
         if c is not None:

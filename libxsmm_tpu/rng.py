@@ -36,35 +36,49 @@ def set_seed(seed: int) -> RngState:
     return _default_state
 
 
-_default_state = RngState(25071975)
+# The default state is created LAZILY: RngState calls jax.random.PRNGKey,
+# which initializes the JAX backend — at import time that would commit the
+# backend before the user can run jax.config.update("jax_platforms", ...)
+# (and hangs indefinitely on a dead device tunnel).
+_default_state = None
+
+
+def _default():
+    global _default_state
+    if _default_state is None:
+        _default_state = RngState(25071975)
+    return _default_state
 
 
 def f32_seq(shape, state: RngState = None):
     """libxsmm_rng_f32_seq: uniform [0,1) float32 of the given shape."""
-    st = state or _default_state
+    st = state or _default()
     sub = st.split()
     return jax.random.uniform(sub.key, shape, jnp.float32)
 
 
 def u32_seq(shape, state: RngState = None):
-    st = state or _default_state
+    st = state or _default()
     sub = st.split()
     return jax.random.bits(sub.key, shape, jnp.uint32)
 
 
 def rand_u32(state: RngState = None) -> int:
     """libxsmm_rng_u32-style scalar draw in [0, 2^32)."""
-    st = state or _default_state
+    st = state or _default()
     sub = st.split()
     return int(jax.random.bits(sub.key, (), jnp.uint32))
 
 
 def rand_u64(state: RngState = None) -> int:
-    """libxsmm_rng_u64-ish scalar draw (host convenience)."""
-    st = state or _default_state
-    sub = st.split()
-    return int(jax.random.bits(sub.key, (), jnp.uint32)) << 32 | int(
-        jax.random.bits(sub.split().key, (), jnp.uint32))
+    """libxsmm_rng_u64-ish scalar draw (host convenience). The two 32-bit
+    halves come from two FRESH split outputs — drawing from a key and then
+    splitting the same key is the key-reuse pattern JAX flags (correlated
+    streams under jax_debug_key_reuse)."""
+    st = state or _default()
+    hi, lo = st.split(), st.split()
+    return int(jax.random.bits(hi.key, (), jnp.uint32)) << 32 | int(
+        jax.random.bits(lo.key, (), jnp.uint32))
 
 
 def create_extstate(seed: int) -> RngState:
@@ -88,7 +102,7 @@ def destroy_extstate(state: RngState) -> None:
 def rng_f64(state: RngState = None) -> float:
     """libxsmm_rng_f64 (src/libxsmm_utils.c:76): one uniform double in
     [0,1). Drawn from the same stream machinery as f32_seq."""
-    st = state or _default_state
+    st = state or _default()
     sub = st.split()
     return float(jax.random.uniform(sub.key, (), jnp.float64
                                     if jax.config.jax_enable_x64
@@ -100,7 +114,7 @@ def rng_seq(nbytes: int, state: RngState = None) -> bytes:
     bytes (returned, not written through a pointer — Python contract)."""
     if nbytes <= 0:
         return b""
-    st = state or _default_state
+    st = state or _default()
     sub = st.split()
     words = (nbytes + 3) // 4
     buf = np.asarray(jax.random.bits(sub.key, (words,), jnp.uint32))

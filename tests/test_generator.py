@@ -258,3 +258,28 @@ def test_encoder_driver():
         assert encoder.main() == 0
     finally:
         sys.path.pop(0)
+
+
+def test_generator_gemm_vnni_avals_derived():
+    """VNNI-packed operand shapes are descriptor-determined (flag + dtype
+    pack factor): the natural-shape avals previously made every VNNI
+    descriptor fail with ERR_TRACE_FAILED unless the caller hand-built
+    example_args (review finding)."""
+    from libxsmm_tpu.dtypes import Datatype
+    for fl in (GemmFlags.VNNI_A, GemmFlags.VNNI_B,
+               GemmFlags.VNNI_A | GemmFlags.VNNI_B):
+        d = GemmDescriptor(
+            shape=GemmShape(16, 32, 64, a_in_type=Datatype.BF16,
+                            b_in_type=Datatype.BF16,
+                            out_type=Datatype.F32),
+            flags=fl | GemmFlags.BETA_0)
+        code = x.generator_gemm_kernel(d)
+        assert len(code.code) > 100 and "dot" in code.code
+
+
+def test_generator_reference_kernel_error_contract():
+    """The reference-kernel twins follow the same XsmmGeneratorError
+    code contract as the dispatch twins (libxsmm_strerror discipline)."""
+    with pytest.raises(XsmmGeneratorError) as ei:
+        x.generator_gemm_reference_kernel("not a descriptor")
+    assert ei.value.code == ERR_UNSUP_DESCRIPTOR

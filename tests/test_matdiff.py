@@ -30,8 +30,11 @@ def test_norms_match_numpy():
     tst = ref + rng.normal(scale=1e-3, size=(8, 6))
     info = matdiff(ref, tst)
     d = tst - ref
-    assert info.norm1_abs == pytest.approx(np.abs(d).sum(axis=0).max())
-    assert info.normi_abs == pytest.approx(np.abs(d).sum(axis=1).max())
+    # reference field semantics (libxsmm_matdiff.h:116/:183): normi_abs =
+    # max COLUMN-sum, norm1_abs = max ROW-sum — swapped vs netlib naming;
+    # parity with reference-generated baselines wins
+    assert info.normi_abs == pytest.approx(np.abs(d).sum(axis=0).max())
+    assert info.norm1_abs == pytest.approx(np.abs(d).sum(axis=1).max())
     assert info.l2_abs == pytest.approx(np.sqrt((d * d).sum()))
     assert info.normf_rel == pytest.approx(
         np.sqrt((d * d).sum()) / np.sqrt((ref * ref).sum()))
@@ -79,3 +82,43 @@ def test_check_passes_and_fails():
     check(ref, ref + 1e-7, dtype_name="f32")
     with pytest.raises(AssertionError):
         check(ref, ref + 1.0, dtype_name="f32")
+
+
+def test_linf_rel_per_element():
+    # linf_rel is the MAX per-element relative error (matdiff.h:60), not
+    # the relative error at the argmax-absolute location
+    ref = np.array([[100.0, 0.001]])
+    tst = np.array([[101.0, 0.002]])
+    info = matdiff(ref, tst)
+    assert info.linf_rel == pytest.approx(1.0)       # 0.001/0.001
+    assert info.linf_abs == pytest.approx(1.0)       # at the 100 element
+
+
+def test_rsq_clamped_and_constant_ref():
+    # large diff vs low-variance ref: reference clamps rsq at 0
+    ref = np.array([[1.0, 1.001, 0.999, 1.0]])
+    tst = ref + 5.0
+    assert matdiff(ref, tst).rsq == 0.0
+    # constant ref, exact match: DIV fallback gives resrel = l2 = 0 -> 1
+    c = np.full((3, 3), 2.5)
+    assert matdiff(c, c.copy()).rsq == 1.0
+
+
+def test_nan_sentinel_contract():
+    # libxsmm_math.c:278-295: NaN in TST -> tst stats poisoned with the
+    # +inf/-inf sentinels (not NaN), all norms +inf; NaN in REF ->
+    # symmetric on the ref side
+    ref = np.ones((3, 3))
+    tst = np.ones((3, 3))
+    tst[1, 1] = np.nan
+    info = matdiff(ref, tst)
+    assert np.isinf(info.norm1_abs) and np.isinf(info.linf_rel)
+    assert info.min_tst == np.inf and info.max_tst == -np.inf
+    assert np.isinf(info.l1_tst) and np.isinf(info.var_tst)
+    assert np.isnan(info.avg_tst)
+    assert info.min_ref == 1.0 and info.max_ref == 1.0   # ref side intact
+    ref2 = ref.copy()
+    ref2[0, 2] = np.nan
+    info2 = matdiff(ref2, tst)
+    assert info2.min_ref == np.inf and info2.max_ref == -np.inf
+    assert np.isinf(info2.l1_ref) and np.isnan(info2.avg_ref)

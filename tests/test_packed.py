@@ -53,3 +53,19 @@ def test_packed_gemm_cached():
     k1 = create_packed_gemm(GemmShape(4, 4, 4), GemmFlags.BETA_0, 2)
     k2 = create_packed_gemm(GemmShape(4, 4, 4), GemmFlags.BETA_0, 2)
     assert k1 is k2
+
+
+def test_packed_gemm_flag_and_beta_contracts():
+    # reference rejects TRANS/VNNI on the packed dense entries
+    # (generator_packed_gemm.c:41-48) — silently ignoring TRANS_B computed
+    # A@B where the caller asked for A@B^T
+    with pytest.raises(ValueError, match="NORM"):
+        create_packed_gemm(GemmShape(4, 4, 4), GemmFlags.TRANS_B, 2)
+    # BETA_0 means C unread; beta=1 requires C
+    k0 = create_packed_gemm(GemmShape(4, 4, 4), GemmFlags.BETA_0, 2)
+    a = np.ones((4, 4, 2), np.float32)
+    with pytest.raises(ValueError, match="BETA_0"):
+        k0(a, a, a)
+    k1 = create_packed_gemm(GemmShape(4, 4, 4), GemmFlags.NONE, 2)
+    with pytest.raises(ValueError, match="C operand"):
+        k1(a, a)
