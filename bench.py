@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 ROUNDS = int(os.environ.get("XSMM_TPU_BENCH_ROUNDS", "30"))
+# --smoke / XSMM_TPU_BENCH_SMOKE=1: validate the WHOLE bench path on the
+# CPU backend (every case constructor, every candidate invoked once, one
+# fast round) — so a bench edit cannot first crash on the real chip at
+# round end. Numbers from a smoke run are meaningless by construction.
+SMOKE = (os.environ.get("XSMM_TPU_BENCH_SMOKE") == "1"
+         or "--smoke" in sys.argv)
 # 0.12 s launches: still amortizes the 1.2 ms good-window launch cost to
 # ~1%, but samples the MXU time-share at finer grain — the headline needs
 # one launch-sized slice of generous MXU share, and 0.2 s slices were
@@ -117,6 +123,12 @@ def _pick_variant(cands, args, chain_idx=0, reps=24):
     degraded window picks a bad Mosaic draw (r3: unfused brgemm drew a
     2.5x-slower variant than its fused twin in a 28 ms-launch drought).
     Returns (winner, its best seconds)."""
+    if SMOKE:
+        # invoke EVERY candidate once (a broken variant must fail loudly
+        # here, not on the real chip), then pick the first
+        for fn in cands:
+            fn(*args)
+        return cands[0], 1.0
     from libxsmm_tpu.utils.timer import bench_chain_interleaved
 
     times = bench_chain_interleaved(
@@ -558,7 +570,13 @@ def make_bcsc_clustered_case():
 
 
 def main():
+    global ROUNDS, TARGET_LAUNCH_S
     import jax
+
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+        ROUNDS = 1
+        TARGET_LAUNCH_S = 0.004
 
     from libxsmm_tpu.device import get_geometry, on_tpu
 
@@ -809,6 +827,9 @@ def _backend_alive(timeout_s: float = 180.0) -> bool:
 
 
 if __name__ == "__main__":
+    if SMOKE:
+        main()
+        sys.exit(0)
     alive = False
     for attempt in range(6):       # outages are usually transient: retry
         alive = _backend_alive()   # ~up to ~25 min before giving up
