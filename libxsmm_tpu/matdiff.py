@@ -111,8 +111,8 @@ def matdiff(ref, tst) -> MatdiffInfo:
             info.l1_ref = float(np.abs(ref).sum())
             info.min_ref = float(ref.min())
             info.max_ref = float(ref.max())
-            info.avg_ref = float(ref.mean())
-            info.var_ref = float(ref.var())
+            info.avg_ref = info.l1_ref / ref.size   # reference: mean |x|
+            info.var_ref = float(((ref - info.avg_ref) ** 2).mean())
         else:
             info.l1_ref = info.var_ref = math.inf
             info.avg_ref = info.v_ref
@@ -121,8 +121,8 @@ def matdiff(ref, tst) -> MatdiffInfo:
                 info.l1_tst = float(np.abs(tst).sum())
                 info.min_tst = float(tst.min())
                 info.max_tst = float(tst.max())
-                info.avg_tst = float(tst.mean())
-                info.var_tst = float(tst.var())
+                info.avg_tst = info.l1_tst / tst.size
+                info.var_tst = float(((tst - info.avg_tst) ** 2).mean())
         return info
 
     diff = tst - ref
@@ -168,23 +168,28 @@ def matdiff(ref, tst) -> MatdiffInfo:
     info.l2_abs = fro_diff
     info.l2_rel = float(np.sqrt((dri * dri).sum()))
 
-    # rsq = max(0, 1 - DIV(l2_abs^2, sum((ref-avg)^2), l2_abs^2))
-    # (libxsmm_math.c:267-268; the un-normalized variance sum)
-    var_sum = float(((ref - ref.mean()) ** 2).sum())
-    l2sq = fro_diff ** 2
-    resrel = l2sq / var_sum if var_sum > 0 else l2sq
-    info.rsq = max(0.0, 1.0 - resrel)
-
+    # Reference statistics quirk, matched exactly (libxsmm_matdiff.h:107
+    # + :125): avg_* = l1/ntotal — the mean of ABSOLUTE values — and
+    # var_* centers the SIGNED values on that absolute mean. Verified
+    # field-for-field against the reference binary
+    # (tests/test_refimpl_parity.py::test_matdiff_parity).
     info.l1_ref = float(aref.sum())
     info.min_ref = float(ref.min())
     info.max_ref = float(ref.max())
-    info.avg_ref = float(ref.mean())
-    info.var_ref = float(ref.var())
+    info.avg_ref = info.l1_ref / nelem
+    info.var_ref = float(((ref - info.avg_ref) ** 2).mean())
     info.l1_tst = float(atst.sum())
     info.min_tst = float(tst.min())
     info.max_tst = float(tst.max())
-    info.avg_tst = float(tst.mean())
-    info.var_tst = float(tst.var())
+    info.avg_tst = info.l1_tst / nelem
+    info.var_tst = float(((tst - info.avg_tst) ** 2).mean())
+
+    # rsq = max(0, 1 - DIV(l2_abs^2, var_ref_sum, l2_abs^2))
+    # (libxsmm_math.c:267-268; var_ref_sum is the UN-normalized sum)
+    var_sum = info.var_ref * nelem
+    l2sq = fro_diff ** 2
+    resrel = l2sq / var_sum if var_sum > 0 else l2sq
+    info.rsq = max(0.0, 1.0 - resrel)
     return info
 
 

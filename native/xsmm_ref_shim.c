@@ -1,0 +1,145 @@
+/* C bridge to the REFERENCE portable kernels for numerical-parity testing.
+ *
+ * BASELINE.md row 3 demands parity "vs reference generator_*_reference_impl
+ * outputs" — this shim links the reference's OWN portable implementations
+ * (compiled unmodified from a read-only snapshot copy, see
+ * scripts/build_ref_impl.sh) behind a flat ctypes-friendly ABI, so tests can
+ * compare libxsmm_tpu kernels against the reference bytes directly instead
+ * of against hand-written NumPy oracles (which the r3 review sweep proved
+ * fallible: inverted SELECT, swapped matdiff norms, wrong hash convention).
+ *
+ * This file contains ONLY interface plumbing written for this project; the
+ * reference implementation objects are compiled from the snapshot at build
+ * time and never copied into this repository.
+ *
+ * Reference entry points used (read-only snapshot):
+ *   src/generator_mateltwise_reference_impl.h: libxsmm_reference_*_elementwise
+ *   src/generator_gemm_reference_impl.h:       libxsmm_reference_gemm
+ *   src/libxsmm_generator.c: libxsmm_gemm_descriptor_init,
+ *                            libxsmm_meltw_descriptor_init2
+ */
+#include <stddef.h>
+#include <string.h>
+
+#include <libxsmm_typedefs.h>
+#include <libxsmm_generator.h>
+#include "libxsmm_main.h"
+#include "generator_mateltwise_reference_impl.h"
+#include "generator_gemm_reference_impl.h"
+
+/* ---- stubs for symbols the linked reference TUs reference only on debug/
+ * verbose paths (their real homes, libxsmm_main.c / libxsmm_timer.c, pull
+ * the whole runtime; none of the behavior under test touches them) ------ */
+LIBXSMM_API void libxsmm_init(void) {}
+LIBXSMM_API const char* libxsmm_get_typename(libxsmm_datatype datatype) {
+  (void)datatype;
+  return "?";
+}
+LIBXSMM_API_INTERN int libxsmm_print_cmdline(void* buffer, size_t buffer_size,
+                                             const char* prefix,
+                                             const char* postfix) {
+  (void)buffer; (void)buffer_size; (void)prefix; (void)postfix;
+  return 0;
+}
+LIBXSMM_API libxsmm_timer_tickint libxsmm_timer_tick(void) { return 0; }
+
+/* ---- mateltwise ------------------------------------------------------- */
+
+/* operation: 1=unary 2=binary 3=ternary (LIBXSMM_MELTW_OPERATION_*).
+ * dtypes are libxsmm_datatype enum values (libxsmm_tpu's Datatype mirrors
+ * the numbering — the API-parity contract).
+ * Pointer slots map to the reference param structs:
+ *   inX[0]=primary inX[1]=secondary inX[2]=tertiary
+ *   op[0..2]=op.primary/secondary/tertiary, out[0..1]=out.primary/secondary
+ * Returns 0 on success, nonzero when the descriptor could not be built. */
+int xsmm_ref_meltw(unsigned int operation, unsigned short type,
+                   unsigned short flags,
+                   unsigned int m, unsigned int n,
+                   unsigned int ldi, unsigned int ldi2, unsigned int ldi3,
+                   unsigned int ldo,
+                   unsigned int dt_in0, unsigned int dt_in1,
+                   unsigned int dt_in2, unsigned int dt_out,
+                   unsigned int dt_comp,
+                   void* in0_p, void* in0_s, void* in0_t,
+                   void* in1_p, void* in1_s,
+                   void* in2_p, void* in2_s,
+                   void* op_p, void* op_s, void* op_t,
+                   void* out_p, void* out_s) {
+  libxsmm_descriptor_blob blob;
+  /* init2 arg order: in0, in1, in2, COMP, OUT (libxsmm_generator.c:90) */
+  const libxsmm_meltw_descriptor* desc = libxsmm_meltw_descriptor_init2(
+      &blob, (libxsmm_datatype)dt_in0, (libxsmm_datatype)dt_in1,
+      (libxsmm_datatype)dt_in2, (libxsmm_datatype)dt_comp,
+      (libxsmm_datatype)dt_out, (libxsmm_blasint)m, (libxsmm_blasint)n,
+      (libxsmm_blasint)ldi, (libxsmm_blasint)ldo, (libxsmm_blasint)ldi2,
+      (libxsmm_blasint)ldi3, flags, type, (unsigned char)operation);
+  if (NULL == desc) return 1;
+  if (operation == LIBXSMM_MELTW_OPERATION_UNARY) {
+    libxsmm_meltw_unary_param p;
+    memset(&p, 0, sizeof(p));
+    p.in.primary = in0_p; p.in.secondary = in0_s; p.in.tertiary = in0_t;
+    p.op.primary = op_p; p.op.secondary = op_s; p.op.tertiary = op_t;
+    p.out.primary = out_p; p.out.secondary = out_s;
+    libxsmm_reference_unary_elementwise(&p, desc);
+    return 0;
+  }
+  if (operation == LIBXSMM_MELTW_OPERATION_BINARY) {
+    libxsmm_meltw_binary_param p;
+    memset(&p, 0, sizeof(p));
+    p.in0.primary = in0_p; p.in0.secondary = in0_s;
+    p.in1.primary = in1_p; p.in1.secondary = in1_s;
+    p.op.primary = op_p; p.op.secondary = op_s;
+    p.out.primary = out_p; p.out.secondary = out_s;
+    libxsmm_reference_binary_elementwise(&p, desc);
+    return 0;
+  }
+  if (operation == LIBXSMM_MELTW_OPERATION_TERNARY) {
+    libxsmm_meltw_ternary_param p;
+    memset(&p, 0, sizeof(p));
+    p.in0.primary = in0_p; p.in0.secondary = in0_s;
+    p.in1.primary = in1_p; p.in1.secondary = in1_s;
+    p.in2.primary = in2_p; p.in2.secondary = in2_s;
+    p.op.primary = op_p; p.op.secondary = op_s;
+    p.out.primary = out_p; p.out.secondary = out_s;
+    libxsmm_reference_ternary_elementwise(&p, desc);
+    return 0;
+  }
+  return 2;
+}
+
+/* ---- gemm / brgemm ----------------------------------------------------
+ * flags: LIBXSMM_GEMM_FLAG_* bitfield (libxsmm_tpu GemmFlags mirrors it).
+ * brcount: 0 = plain GEMM; >0 with LIBXSMM_GEMM_FLAG_BATCH_REDUCE_* in
+ * flags = stride-mode BRGEMM (op.tertiary carries &brcount per the
+ * reference ABI; stride hints ride c1/c2 via descriptor_init args).
+ * a2/b2: secondary operands (sub-byte/MX scale pointers where relevant). */
+int xsmm_ref_gemm(unsigned int m, unsigned int n, unsigned int k,
+                  unsigned int lda, unsigned int ldb, unsigned int ldc,
+                  unsigned int dt_a, unsigned int dt_b, unsigned int dt_c,
+                  unsigned int dt_comp, unsigned int flags,
+                  long long stride_a, long long stride_b,
+                  unsigned long long brcount,
+                  void* a, void* a2, void* b, void* b2, void* c) {
+  libxsmm_descriptor_blob blob;
+  /* init arg order: a, b, COMP, C (libxsmm_generator.c:36) */
+  libxsmm_gemm_descriptor* desc = libxsmm_gemm_descriptor_init(
+      &blob, (libxsmm_datatype)dt_a, (libxsmm_datatype)dt_b,
+      (libxsmm_datatype)dt_comp, (libxsmm_datatype)dt_c,
+      (libxsmm_blasint)m, (libxsmm_blasint)n, (libxsmm_blasint)k,
+      (libxsmm_blasint)lda, (libxsmm_blasint)ldb, (libxsmm_blasint)ldc,
+      (int)flags, (int)LIBXSMM_GEMM_PREFETCH_NONE);
+  if (NULL == desc) return 1;
+  desc->c1 = stride_a;
+  desc->c2 = stride_b;
+  {
+    libxsmm_gemm_param p;
+    unsigned long long br = brcount;
+    memset(&p, 0, sizeof(p));
+    p.a.primary = a; p.a.secondary = a2;
+    p.b.primary = b; p.b.secondary = b2;
+    p.c.primary = c;
+    p.op.tertiary = &br;
+    libxsmm_reference_gemm(&p, desc);
+  }
+  return 0;
+}
