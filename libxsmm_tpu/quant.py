@@ -32,8 +32,19 @@ from .dtypes import Datatype
 # ---------------------------------------------------------------------------
 
 def rne_convert_fp32_bf16(x):
-    """Round-to-nearest-even f32 -> bf16 (libxsmm_rne_convert_fp32_bf16)."""
-    return jnp.asarray(x, jnp.float32).astype(jnp.bfloat16)
+    """Round-to-nearest-even f32 -> bf16 (libxsmm_rne_convert_fp32_bf16).
+
+    Bit-exact with the reference INCLUDING its DAZ prologue
+    (libxsmm_math.c:684-703 flushes subnormal inputs to signed zero
+    before rounding — a plain astype would produce subnormal bf16 codes
+    the reference never emits; found by test_refimpl_parity against the
+    reference binary)."""
+    bits, nonfinite = _bf16_round_bits_prep(x)
+    fixup = (bits >> jnp.uint32(16)) & jnp.uint32(1)
+    rounded = bits + jnp.uint32(0x00007FFF) + fixup
+    bits = jnp.where(nonfinite, bits, rounded)
+    return jax.lax.bitcast_convert_type(
+        (bits >> jnp.uint32(16)).astype(jnp.uint16), jnp.bfloat16)
 
 
 def _bf16_round_bits_prep(x):
@@ -67,13 +78,24 @@ def stochastic_convert_fp32_bf16(x, seed: int = 0):
 
 def rne_convert_fp32_bf8(x):
     """f32 -> e5m2 via double rounding through f16, matching the
-    reference's convert path (f32->f16->bf8)."""
-    return jnp.asarray(x, jnp.float32).astype(jnp.float16).astype(
-        jnp.float8_e5m2)
+    reference's convert path (f32->f16->bf8). NaN carries the reference's
+    payload: the f16 quiet pattern 0x7E00 >> 8 = 0x7E|sign (ml_dtypes'
+    canonical 0x7F differs in the payload bits only — byte parity found
+    by test_refimpl_parity against the reference binary)."""
+    xf = jnp.asarray(x, jnp.float32)
+    out = xf.astype(jnp.float16).astype(jnp.float8_e5m2)
+    u = jax.lax.bitcast_convert_type(out, jnp.uint8)
+    sign = ((jax.lax.bitcast_convert_type(xf, jnp.uint32)
+             >> jnp.uint32(31)).astype(jnp.uint8) << 7)
+    u = jnp.where(jnp.isnan(xf), jnp.uint8(0x7E) | sign, u)
+    return jax.lax.bitcast_convert_type(u, jnp.float8_e5m2)
 
 
 def rne_convert_fp32_hf8(x):
-    return jnp.asarray(x, jnp.float32).astype(jnp.float8_e4m3fn)
+    """f32 -> e4m3 via the reference's f16 intermediate (double rounding,
+    libxsmm_convert_f32_to_hf8_rne = f32->f16->hf8)."""
+    return jnp.asarray(x, jnp.float32).astype(jnp.float16).astype(
+        jnp.float8_e4m3fn)
 
 
 def convert_bf8_fp32(x):
@@ -358,14 +380,23 @@ def nvfp4_quantize_blocks(x):
                                         jnp.float32)  # bf16(1/6)
     raw = (amax.astype(jnp.bfloat16).astype(jnp.float32)
            * rcp6).astype(jnp.bfloat16).astype(jnp.float32)
-    # The reference's libxsmm_ref_float_to_hf8 SATURATES overflow to the
-    # E4M3 max-normal 448 (code 0x78); jnp's f32->e4m3 cast maps >~464 to
-    # NaN instead. Clamp before the cast (jnp.minimum propagates NaN, so a
-    # NaN amax still yields a NaN scale like the reference).
-    raw = jnp.minimum(raw, 448.0)
+    # The reference's SCALE encoder (libxsmm_ref_float_to_hf8,
+    # impl.c:1813-1894) clamps ANY value needing e4m3 exponent 15 — i.e.
+    # everything that rounds to >= 256 — to the code 0x78, which its own
+    # hf8 decode reads as 256 (the "448" in its comment is not what the
+    # code emits). It never produces codes 0x79..0x7E. Reproduce exactly:
+    # clamp the cast input (so >464 cannot hit the e4m3fn NaN), then fold
+    # every exponent-15 encoding to 0x78. NaN propagates to 0x7F.
+    raw = jnp.minimum(raw, 448.0)                 # NaN passes through
     scale_hf8 = raw.astype(jnp.float8_e4m3fn)
+    code_u = jax.lax.bitcast_convert_type(scale_hf8, jnp.uint8)
+    exp15 = ((code_u & jnp.uint8(0x7F)) >= jnp.uint8(0x78)) \
+        & ((code_u & jnp.uint8(0x7F)) < jnp.uint8(0x7F))
+    code_u = jnp.where(exp15, (code_u & jnp.uint8(0x80))
+                       | jnp.uint8(0x78), code_u)
+    scale_hf8 = jax.lax.bitcast_convert_type(code_u, jnp.float8_e4m3fn)
     scale_f = scale_hf8.astype(jnp.float32)
-    scale_code = jax.lax.bitcast_convert_type(scale_hf8, jnp.uint8)
+    scale_code = code_u
     scale_code = jnp.where(amax == 0.0, jnp.uint8(0), scale_code)
     rcp = (1.0 / jnp.where(scale_f == 0.0, 1.0,
                            scale_f.astype(jnp.bfloat16).astype(jnp.float32)))

@@ -36,11 +36,11 @@ TUS="generator_mateltwise_reference_impl generator_gemm_reference_impl \
      libxsmm_matrixeqn libxsmm_math libxsmm_utils"
 OBJS=""
 for f in $TUS; do
-  gcc -c -O2 -fPIC -I "$BLD/include" -I "$BLD/src" "$BLD/src/$f.c" \
+  gcc -c -O2 -DNDEBUG -fPIC -I "$BLD/include" -I "$BLD/src" "$BLD/src/$f.c" \
       -o "$BLD/$f.o"
   OBJS="$OBJS $BLD/$f.o"
 done
-gcc -c -O2 -fPIC -I "$BLD/include" -I "$BLD/src" native/xsmm_ref_shim.c \
+gcc -c -O2 -DNDEBUG -fPIC -I "$BLD/include" -I "$BLD/src" native/xsmm_ref_shim.c \
     -o "$BLD/ref_shim.o"
 gcc -shared -o "$OUT" "$BLD/ref_shim.o" $OBJS -lm
 

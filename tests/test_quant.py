@@ -103,14 +103,17 @@ def test_fp4_pack_roundtrip():
 
 def test_nvfp4_large_amax_saturates_not_nan():
     # ADVICE r2: blocks with amax > ~2800 used to quantize to all-NaN via
-    # the unclamped f32->e4m3 scale cast; the reference saturates the HF8
-    # scale to 448 (code 0x78). Verify finite decode + max scale code.
+    # the unclamped f32->e4m3 scale cast. The reference's scale encoder
+    # (libxsmm_ref_float_to_hf8) clamps EVERY exponent-15 encoding to the
+    # code 0x78 — decoded 256, not the 448 its comment claims; it never
+    # emits 0x79..0x7E (byte-verified against the reference binary,
+    # test_refimpl_parity). Verify finite decode + the reference code.
     x = np.zeros((1, 16), np.float32)
     x[0, 0] = 5000.0
     payload, scales = quant.nvfp4_quantize_blocks(x)
     dec = np.asarray(quant.nvfp4_dequantize_blocks(payload, scales))
     assert np.isfinite(dec).all()
-    assert int(np.asarray(scales)[0, 0]) == 0x7E      # hf8 max-normal 448
+    assert int(np.asarray(scales)[0, 0]) == 0x78      # reference clamp code
     # NaN amax still propagates a NaN scale (0x7F payload-NaN code path)
     x[0, 0] = np.nan
     _, s2 = quant.nvfp4_quantize_blocks(x)

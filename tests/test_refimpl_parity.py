@@ -289,3 +289,101 @@ def test_matdiff_parity():
                   "l1_tst", "var_tst"):
         assert getattr(ours2, field) == getattr(theirs2, field), field
     assert np.isnan(ours2.avg_tst) and np.isnan(theirs2.avg_tst)
+
+
+def _cfunc(name, restype, argtypes):
+    lib = R._load()
+    fn = getattr(lib, name)
+    fn.restype = restype
+    fn.argtypes = argtypes
+    return fn
+
+
+def test_mx_block_quantizers_byte_exact():
+    """quant.py claims bit-faithful ports of the reference block
+    converters — checked against the reference BINARY here, not against
+    a re-reading of its source. Scales and payload bytes must be
+    identical for finite blocks."""
+    from libxsmm_tpu import quant as q_
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    mx4 = _cfunc("libxsmm_ref_fp32_to_mxfp4_block", None, [f32p, u8p, u8p])
+    nv4 = _cfunc("libxsmm_ref_fp32_to_nvfp4_block", None, [f32p, u8p, u8p])
+    mx8 = _cfunc("libxsmm_ref_fp32_to_mxfp8_block", None, [f32p, u8p, u8p])
+
+    def run_ref(fn, block, nbytes):
+        x = np.ascontiguousarray(block, np.float32)
+        out = np.zeros(nbytes, np.uint8)
+        scale = np.zeros(1, np.uint8)
+        fn(x.ctypes.data_as(f32p), out.ctypes.data_as(u8p),
+           scale.ctypes.data_as(u8p))
+        return out, int(scale[0])
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        blk32 = (rng.standard_normal(32) * 4 ** trial).astype(np.float32)
+        p, s = q_.mxfp4_quantize_blocks(blk32.reshape(1, 32))
+        rp, rs = run_ref(mx4, blk32, 16)
+        np.testing.assert_array_equal(np.asarray(p).reshape(-1), rp,
+                                      err_msg=f"mxfp4 payload t{trial}")
+        assert int(np.asarray(s).reshape(-1)[0]) == rs, f"mxfp4 scf t{trial}"
+        p8, s8 = q_.mxbf8_quantize_blocks(blk32.reshape(1, 32))
+        rp8, rs8 = run_ref(mx8, blk32, 32)
+        np.testing.assert_array_equal(
+            np.asarray(p8).reshape(-1).view(np.uint8), rp8,
+            err_msg=f"mxbf8 payload t{trial}")
+        assert int(np.asarray(s8).reshape(-1)[0]) == rs8
+        blk16 = (rng.standard_normal(16) * 3 ** trial).astype(np.float32)
+        pn, sn = q_.nvfp4_quantize_blocks(blk16.reshape(1, 16))
+        rpn, rsn = run_ref(nv4, blk16, 8)
+        np.testing.assert_array_equal(np.asarray(pn).reshape(-1), rpn,
+                                      err_msg=f"nvfp4 payload t{trial}")
+        assert int(np.asarray(sn).reshape(-1).view(np.uint8)[0]) == rsn
+
+
+def test_scalar_converters_byte_exact():
+    """bf16 rne/rnaz/truncate + bf8/hf8 rne scalar converts vs the
+    reference binary, including the non-finite and subnormal tails."""
+    from libxsmm_tpu import quant as q_
+    import ml_dtypes
+    f = ctypes.c_float
+    bf16 = _cfunc("libxsmm_convert_f32_to_bf16_rne", ctypes.c_ushort, [f])
+    bf16z = _cfunc("libxsmm_convert_f32_to_bf16_rnaz", ctypes.c_ushort, [f])
+    bf16t = _cfunc("libxsmm_convert_f32_to_bf16_truncate",
+                   ctypes.c_ushort, [f])
+    bf8 = _cfunc("libxsmm_convert_f32_to_bf8_rne", ctypes.c_ubyte, [f])
+    hf8 = _cfunc("libxsmm_convert_f32_to_hf8_rne", ctypes.c_ubyte, [f])
+    vals = np.array([0.0, -0.0, 1.0, -1.5, 3.1415927, 65504.0, 1e-40,
+                     448.0, 464.0, 3e4, np.inf, -np.inf, np.nan, 2.7e-3],
+                    np.float32)
+    ours16 = np.asarray(q_.rne_convert_fp32_bf16(vals)).view(np.uint16)
+    ours16z = np.asarray(q_.rnaz_convert_fp32_bf16(vals)).view(np.uint16)
+    ours16t = np.asarray(q_.truncate_convert_fp32_bf16(vals)).view(np.uint16)
+    ours8 = np.asarray(q_.rne_convert_fp32_bf8(vals)).view(np.uint8)
+    ours8h = np.asarray(q_.rne_convert_fp32_hf8(vals)).view(np.uint8)
+    for i, v in enumerate(vals):
+        assert ours16[i] == bf16(float(v)), f"bf16_rne {v}"
+        assert ours16z[i] == bf16z(float(v)), f"bf16_rnaz {v}"
+        assert ours16t[i] == bf16t(float(v)), f"bf16_trunc {v}"
+        assert ours8[i] == bf8(float(v)), f"bf8_rne {v}"
+        assert ours8h[i] == hf8(float(v)), f"hf8_rne {v}"
+
+
+def test_quantize_i16_parity():
+    """libxsmm_quantize_i16/dequantize_i16 vs ours (RNE round mode)."""
+    from libxsmm_tpu import quant as q_
+    n = 64
+    x = (RNG.standard_normal(n) * 10).astype(np.float32)
+    qi = _cfunc("libxsmm_quantize_i16", None,
+                [ctypes.POINTER(ctypes.c_float),
+                 ctypes.POINTER(ctypes.c_short), ctypes.c_int,
+                 ctypes.c_ubyte, ctypes.POINTER(ctypes.c_ubyte),
+                 ctypes.c_int])
+    out = np.zeros(n, np.int16)
+    scf = np.zeros(1, np.uint8)
+    qi(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)), n, 0,
+       scf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 80004)  # LIBXSMM_QUANT_FPHW_ROUND
+    ours_q, ours_scf = q_.quantize_i16(x)
+    assert int(scf[0]) == ours_scf
+    np.testing.assert_array_equal(np.asarray(ours_q), out)
