@@ -387,3 +387,164 @@ def test_quantize_i16_parity():
     ours_q, ours_scf = q_.quantize_i16(x)
     assert int(scf[0]) == ours_scf
     np.testing.assert_array_equal(np.asarray(ours_q), out)
+
+
+def _pack_ref_bits(mask):
+    """(m, n) bool -> reference column-major packed bytes (16-bit-padded
+    per-column stride)."""
+    m, n = mask.shape
+    ldbits = -(-m // 16) * 16
+    return np.packbits(
+        np.pad(mask.T.astype(np.uint8), ((0, 0), (0, ldbits - m))),
+        axis=1, bitorder="little").reshape(-1)
+
+
+def test_reduce_parity():
+    """Reduce flags are layout-mirrored by design: our row-major
+    REDUCE_ROWS (per-row sums, (m,1)) equals the reference's column-major
+    REDUCE_COLS on the same logical matrix, and vice versa (CLAUDE.md
+    row-major contract; empirically confirmed against the binary)."""
+    m, n = 12, 20
+    x = _f((m, n))
+    for op in (UnaryType.REDUCE_X_OP_ADD, UnaryType.REDUCE_X_OP_MAX,
+               UnaryType.REDUCE_X2_OP_ADD):
+        ours_rows = np.asarray(xt.dispatch_meltw_unary(
+            op, m, n, flags=UnaryFlags.REDUCE_ROWS)(x)).ravel()
+        ref_out = np.zeros(m, np.float32)
+        R.ref_meltw(1, op.value, int(UnaryFlags.REDUCE_COLS), m, n,
+                    D.F32, D.F32, D.F32, np.asfortranarray(x), out=ref_out)
+        np.testing.assert_allclose(ours_rows, ref_out, rtol=1e-6,
+                                   atol=1e-6)
+        ours_cols = np.asarray(xt.dispatch_meltw_unary(
+            op, m, n, flags=UnaryFlags.REDUCE_COLS)(x)).ravel()
+        ref_out2 = np.zeros(n, np.float32)
+        R.ref_meltw(1, op.value, int(UnaryFlags.REDUCE_ROWS), m, n,
+                    D.F32, D.F32, D.F32, np.asfortranarray(x),
+                    out=ref_out2)
+        np.testing.assert_allclose(ours_cols, ref_out2, rtol=1e-6,
+                                   atol=1e-6)
+
+
+def test_leaky_elu_runtime_alpha_parity():
+    """LEAKY_RELU/ELU forward with runtime alpha (op.primary) + packed
+    keep-mask, and the gradient-ABI backward ops (RELU_INV/LEAKY_RELU_INV
+    via bitmask, ELU_INV via saved forward output)."""
+    m, n = 16, 32
+    x = _f((m, n))
+    alpha = np.float32(0.17)
+    aptr = np.asarray([alpha], np.float32)
+    for op in (UnaryType.LEAKY_RELU, UnaryType.ELU):
+        kern = xt.dispatch_meltw_unary(op, m, n,
+                                       flags=UnaryFlags.BITMASK_2BYTEMULT)
+        ours, our_mask = kern(x, alpha=float(alpha))
+        ldbits = -(-m // 16) * 16
+        ref_out = np.zeros((m, n), np.float32, order="F")
+        ref_mask = np.zeros(n * ldbits // 8, np.uint8)
+        R.ref_meltw(1, op.value, int(UnaryFlags.BITMASK_2BYTEMULT), m, n,
+                    D.F32, D.F32, D.F32, np.asfortranarray(x),
+                    out=ref_out, out_s=ref_mask, op_p=aptr)
+        np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-6,
+                                   atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(xt.unpack_bitmask(np.asarray(our_mask), m, n)),
+            _ref_bits_to_mask(ref_mask, m, n))
+    # backward: RELU_INV / LEAKY_RELU_INV read the packed mask
+    g = _f((m, n))
+    mask = x > 0
+    for op, al in ((UnaryType.RELU_INV, 1.0),
+                   (UnaryType.LEAKY_RELU_INV, float(alpha))):
+        kern = xt.dispatch_meltw_unary(op, m, n,
+                                       flags=UnaryFlags.BITMASK_2BYTEMULT)
+        ours = np.asarray(kern(g, np.asarray(xt.pack_bitmask(mask)),
+                               alpha=al))
+        ref_out = np.zeros((m, n), np.float32, order="F")
+        R.ref_meltw(1, op.value, int(UnaryFlags.BITMASK_2BYTEMULT), m, n,
+                    D.F32, D.F32, D.F32, np.asfortranarray(g),
+                    in0_s=_pack_ref_bits(mask), out=ref_out,
+                    op_p=np.asarray([al], np.float32))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-6, atol=1e-7)
+    # ELU_INV consumes the saved FORWARD OUTPUT (in.secondary)
+    fwd = np.where(x > 0, x, alpha * (np.exp(x) - 1)).astype(np.float32)
+    kern = xt.dispatch_meltw_unary(UnaryType.ELU_INV, m, n)
+    ours = np.asarray(kern(g, fwd, alpha=float(alpha)))
+    ref_out = np.zeros((m, n), np.float32, order="F")
+    R.ref_meltw(1, UnaryType.ELU_INV.value, 0, m, n,
+                D.F32, D.F32, D.F32, np.asfortranarray(g),
+                in0_s=np.asfortranarray(fwd), out=ref_out, op_p=aptr)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-6, atol=1e-7)
+
+
+def test_dropout_inv_parity():
+    m, n = 16, 32
+    g = _f((m, n))
+    mask = RNG.random((m, n)) < 0.7
+    p = 0.3
+    from libxsmm_tpu.kernels.eltwise_pallas import dropout_inv
+    ours = np.asarray(dropout_inv(g, np.asarray(xt.pack_bitmask(mask)), p))
+    ref_out = np.zeros((m, n), np.float32, order="F")
+    R.ref_meltw(1, UnaryType.DROPOUT_INV.value,
+                int(UnaryFlags.BITMASK_2BYTEMULT), m, n,
+                D.F32, D.F32, D.F32, np.asfortranarray(g),
+                in0_s=_pack_ref_bits(mask), out=ref_out,
+                op_p=np.asarray([p], np.float32))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-6, atol=1e-7)
+
+
+def test_quant_i8_sign_sat_parity():
+    """UNARY_QUANT f32->i8 with SIGN_SAT + runtime scf (in.secondary):
+    saturating nearbyint against the reference bytes, incl. the
+    wraparound (non-sat) mode."""
+    m, n = 8, 16
+    x = (_f((m, n)) * 300).astype(np.float32)
+    scf = np.asarray([0.5], np.float32)
+    kern = xt.dispatch_meltw_unary(UnaryType.QUANT, m, n,
+                                   flags=UnaryFlags.SIGN_SAT_QUANT,
+                                   out_type=D.I8)
+    ours = np.asarray(kern(x, float(scf[0])))   # scale is the reference's
+    #                                             runtime in.secondary
+    ref_out = np.zeros((m, n), np.int8, order="F")
+    R.ref_meltw(1, UnaryType.QUANT.value,
+                int(UnaryFlags.SIGN_SAT_QUANT), m, n,
+                D.F32, D.I8, D.F32, np.asfortranarray(x),
+                in0_s=scf, out=ref_out.view(np.int8))
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_vnni2_transform_byte_parity():
+    """TRANSFORM_NORM_TO_VNNI2 byte layout vs the reference kernel: the
+    VNNI2 storage contract (pairs of rows interleaved) must match the
+    bytes the reference emits, not just our own pack/unpack round-trip."""
+    import ml_dtypes
+    m, n = 8, 16
+    x = _f((m, n)).astype(ml_dtypes.bfloat16)
+    kern = xt.dispatch_meltw_unary(UnaryType.TRANSFORM_NORM_TO_VNNI2,
+                                   m, n, in_type=D.BF16, out_type=D.BF16)
+    ours = np.asarray(kern(x)).view(np.uint16)
+    # reference output: column-major buffer of the same byte count;
+    # its VNNI2 layout for a col-major (m, n) matrix equals our row-major
+    # contract on the transposed view — compare the BYTES both emit for
+    # the same logical matrix through each side's own layout adapter
+    ref_out = np.zeros((m, n), ml_dtypes.bfloat16, order="F")
+    R.ref_meltw(1, UnaryType.TRANSFORM_NORM_TO_VNNI2.value, 0, m, n,
+                D.BF16, D.BF16, D.F32, np.asfortranarray(x), out=ref_out)
+    ref_u16 = np.asarray(ref_out).view(np.uint16)
+    # reference vnni2 of col-major: out[j/2][i][j%2] over (rows i, cols j)
+    # -> decode back to the logical matrix and compare against OUR decode
+    flat_ref = ref_u16.ravel(order="F")
+    dec_ref = np.zeros((m, n), np.uint16)
+    idx = 0
+    for j2 in range(n // 2):
+        for i in range(m):
+            for q in range(2):
+                dec_ref[i, j2 * 2 + q] = flat_ref[idx]
+                idx += 1
+    # ours: row-major VNNI2 (m/2 row-pairs interleaved along rows)
+    our_u16 = ours.reshape(m // 2, n * 2)
+    dec_ours = np.zeros((m, n), np.uint16)
+    for i2 in range(m // 2):
+        for j in range(n):
+            for q in range(2):
+                dec_ours[i2 * 2 + q, j] = our_u16[i2, j * 2 + q]
+    want = np.asarray(x).view(np.uint16)
+    np.testing.assert_array_equal(dec_ref, want)
+    np.testing.assert_array_equal(dec_ours, want)
