@@ -548,3 +548,44 @@ def test_vnni2_transform_byte_parity():
     want = np.asarray(x).view(np.uint16)
     np.testing.assert_array_equal(dec_ref, want)
     np.testing.assert_array_equal(dec_ours, want)
+
+
+def test_brgemm_offset_and_address_parity():
+    """BRGEMM offset mode (a/b.secondary = byte-offset arrays) and address
+    mode (a/b.primary = pointer arrays) vs the reference binary — the two
+    remaining reference batch addressing modes beside stride."""
+    m, n, k, br, pool = 8, 16, 12, 3, 5
+    a = _f((pool, m, k))
+    b = _f((pool, k, n))
+    idx_a = np.asarray([4, 0, 2], np.int32)
+    idx_b = np.asarray([1, 3, 0], np.int32)
+    # flat per-matrix F-order pools
+    abuf = np.stack([np.asfortranarray(a[i]).ravel(order="F")
+                     for i in range(pool)])
+    bbuf = np.stack([np.asfortranarray(b[i]).ravel(order="F")
+                     for i in range(pool)])
+
+    kern = xt.dispatch_brgemm(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.ADDRESS, br))
+    ours = np.asarray(kern(a, b, idx_a, idx_b))
+
+    # offset mode: byte offsets from the pool base
+    offs_a = (idx_a.astype(np.int64) * m * k * 4)
+    offs_b = (idx_b.astype(np.int64) * k * n * 4)
+    c = np.zeros((m, n), np.float32, order="F")
+    R.ref_gemm(m, n, k, D.F32, D.F32, D.F32, D.F32,
+               int(GemmFlags.BETA_0 | GemmFlags.BATCH_REDUCE_OFFSET),
+               abuf, bbuf, c, a2=offs_a, b2=offs_b, brcount=br)
+    np.testing.assert_allclose(ours, c, rtol=1e-5, atol=1e-5)
+
+    # address mode: arrays of raw pointers
+    base_a = abuf.ctypes.data
+    base_b = bbuf.ctypes.data
+    ptrs_a = (base_a + offs_a).astype(np.uint64)
+    ptrs_b = (base_b + offs_b).astype(np.uint64)
+    c2 = np.zeros((m, n), np.float32, order="F")
+    R.ref_gemm(m, n, k, D.F32, D.F32, D.F32, D.F32,
+               int(GemmFlags.BETA_0 | GemmFlags.BATCH_REDUCE_ADDRESS),
+               ptrs_a, ptrs_b, c2, brcount=br)
+    np.testing.assert_allclose(ours, c2, rtol=1e-5, atol=1e-5)
