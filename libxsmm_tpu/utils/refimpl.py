@@ -174,3 +174,36 @@ def ref_matdiff(ref: np.ndarray, tst: np.ndarray, dt) -> MatdiffInfoC:
     if rc != 0:
         raise ValueError(f"libxsmm_matdiff failed (rc={rc})")
     return info
+
+
+def ref_gemm_ext(m, n, k, dt_a, dt_b, dt_c, dt_comp, flags,
+                 a, b, c, d=None, br_type: int = 0, brcount: int = 0,
+                 stride_a: int = 0, stride_b: int = 0,
+                 ap_op: int = 0, ap_flags: int = 0,
+                 bp_op: int = 0, bp_flags: int = 0,
+                 cp_op: int = 0, cp_flags: int = 0, store_cp: int = 0,
+                 d_type: int = 0, d_flags: int = 0, d_dtype=None,
+                 ldd=None, cp_out=None, op_p=None,
+                 lda=None, ldb=None, ldc=None) -> np.ndarray:
+    """Reference fused GEMM-ext (unary argops + binary postop, XGEMM ext
+    ABI). br_type: 0=none 1=address 2=offset 4=stride (libxsmm_gemm_batch_reduce_type). Returns `c`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("reference oracle library unavailable")
+    fn = lib.xsmm_ref_gemm_ext
+    if fn.argtypes is None or not fn.argtypes:
+        fn.restype = ctypes.c_int
+        fn.argtypes = ([ctypes.c_uint] * 12 + [ctypes.c_ulonglong]
+                       + [ctypes.c_longlong] * 2 + [ctypes.c_uint] * 11
+                       + [ctypes.c_void_p] * 6)
+    rc = fn(m, n, k, lda or m, ldb or k, ldc or m,
+            dt_enum(dt_a), dt_enum(dt_b), dt_enum(dt_c), dt_enum(dt_comp),
+            flags, br_type, brcount, stride_a, stride_b,
+            ap_op, ap_flags, bp_op, bp_flags, cp_op, cp_flags, store_cp,
+            d_type, d_flags,
+            dt_enum(d_dtype if d_dtype is not None else dt_c),
+            ldd if ldd is not None else m,
+            _ptr(a), _ptr(b), _ptr(c), _ptr(d), _ptr(cp_out), _ptr(op_p))
+    if rc != 0:
+        raise ValueError(f"reference gemm_ext rejected (rc={rc})")
+    return c

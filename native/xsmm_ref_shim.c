@@ -113,6 +113,85 @@ int xsmm_ref_meltw(unsigned int operation, unsigned short type,
  * flags = stride-mode BRGEMM (op.tertiary carries &brcount per the
  * reference ABI; stride hints ride c1/c2 via descriptor_init args).
  * a2/b2: secondary operands (sub-byte/MX scale pointers where relevant). */
+/* GEMM-ext: fused unary argops + binary postop through the reference's
+ * XGEMM ext ABI (libxsmm_gemm_descriptor_init_brgemm_ext +
+ * libxsmm_reference_gemm with a libxsmm_gemm_ext_param). br_type:
+ * 0=none 1=address 2=offset 4=stride (libxsmm_gemm_batch_reduce_type). */
+int xsmm_ref_gemm_ext(unsigned int m, unsigned int n, unsigned int k,
+                      unsigned int lda, unsigned int ldb, unsigned int ldc,
+                      unsigned int dt_a, unsigned int dt_b,
+                      unsigned int dt_c, unsigned int dt_comp,
+                      unsigned int flags, unsigned int br_type,
+                      unsigned long long brcount,
+                      long long stride_a, long long stride_b,
+                      unsigned int ap_op, unsigned int ap_flags,
+                      unsigned int bp_op, unsigned int bp_flags,
+                      unsigned int cp_op, unsigned int cp_flags,
+                      unsigned int store_cp,
+                      unsigned int d_type, unsigned int d_flags,
+                      unsigned int d_dtype, unsigned int ldd,
+                      void* a, void* b, void* c, void* d,
+                      void* cp_out, void* op_p) {
+  libxsmm_descriptor_blob blob;
+  libxsmm_gemm_shape shp;
+  libxsmm_gemm_batch_reduce_config brc;
+  libxsmm_gemm_ext_unary_argops uops;
+  libxsmm_gemm_ext_binary_postops bops;
+  libxsmm_gemm_descriptor* desc;
+  memset(&shp, 0, sizeof(shp));
+  memset(&brc, 0, sizeof(brc));
+  memset(&uops, 0, sizeof(uops));
+  memset(&bops, 0, sizeof(bops));
+  shp.m = (libxsmm_blasint)m; shp.n = (libxsmm_blasint)n;
+  shp.k = (libxsmm_blasint)k;
+  shp.lda = (libxsmm_blasint)lda; shp.ldb = (libxsmm_blasint)ldb;
+  shp.ldc = (libxsmm_blasint)ldc;
+  shp.a_in_type = (libxsmm_datatype)dt_a;
+  shp.b_in_type = (libxsmm_datatype)dt_b;
+  shp.out_type = (libxsmm_datatype)dt_c;
+  shp.comp_type = (libxsmm_datatype)dt_comp;
+  brc.br_type = (libxsmm_gemm_batch_reduce_type)br_type;
+  brc.br_stride_a_hint = (libxsmm_blasint)stride_a;
+  brc.br_stride_b_hint = (libxsmm_blasint)stride_b;
+  uops.ldap = (libxsmm_blasint)m;
+  uops.ap_unary_type = (libxsmm_meltw_unary_type)ap_op;
+  uops.ap_unary_flags = (libxsmm_bitfield)ap_flags;
+  uops.ldbp = (libxsmm_blasint)k;
+  uops.bp_unary_type = (libxsmm_meltw_unary_type)bp_op;
+  uops.bp_unary_flags = (libxsmm_bitfield)bp_flags;
+  uops.ldcp = (libxsmm_blasint)ldc;
+  uops.cp_unary_type = (libxsmm_meltw_unary_type)cp_op;
+  uops.cp_unary_flags = (libxsmm_bitfield)cp_flags;
+  uops.store_cp = (libxsmm_blasint)store_cp;
+  bops.ldd = (libxsmm_blasint)ldd;
+  bops.d_in_type = (libxsmm_datatype)d_dtype;
+  bops.d_binary_type = (libxsmm_meltw_binary_type)d_type;
+  bops.d_binary_flags = (libxsmm_bitfield)d_flags;
+  desc = libxsmm_gemm_descriptor_init_brgemm_ext(
+      &blob, shp, (libxsmm_bitfield)flags,
+      (libxsmm_bitfield)LIBXSMM_GEMM_PREFETCH_NONE, brc, uops, bops);
+  if (NULL == desc) return 1;
+  if (br_type == LIBXSMM_GEMM_BATCH_REDUCE_STRIDE) {
+    desc->c1 = stride_a;
+    desc->c2 = stride_b;
+  }
+  {
+    libxsmm_gemm_ext_param p;
+    unsigned long long br = brcount;
+    memset(&p, 0, sizeof(p));
+    p.a.primary = a;
+    p.b.primary = b;
+    p.c.primary = c;
+    p.d.primary = d;
+    p.cp.primary = cp_out;
+    p.op.primary = op_p;
+    p.op.tertiary = &br;
+    libxsmm_reference_gemm(&p, desc);
+  }
+  return 0;
+}
+
+
 int xsmm_ref_gemm(unsigned int m, unsigned int n, unsigned int k,
                   unsigned int lda, unsigned int ldb, unsigned int ldc,
                   unsigned int dt_a, unsigned int dt_b, unsigned int dt_c,

@@ -589,3 +589,40 @@ def test_brgemm_offset_and_address_parity():
                int(GemmFlags.BETA_0 | GemmFlags.BATCH_REDUCE_ADDRESS),
                ptrs_a, ptrs_b, c2, brcount=br)
     np.testing.assert_allclose(ours, c2, rtol=1e-5, atol=1e-5)
+
+
+def test_gemm_ext_fused_parity():
+    """Fused BRGEMM-ext vs the reference XGEMM ext ABI. The reference's
+    PORTABLE ext impl fuses exactly: cp = RELU (+bitmask) or SIGMOID, and
+    a COLUMN-bias binary ADD (BCAST_COL, one value per output row) —
+    generator_gemm_reference_impl.c:405-427. Pin that support matrix:
+    colbias + RELU, order of application from the binary."""
+    from libxsmm_tpu.descriptor import (BinaryFlags, BinaryPostops,
+                                        BinaryType, UnaryArgops)
+    m, n, k, br = 8, 16, 12, 3
+    a = _f((br, m, k))
+    b = _f((br, k, n))
+    bias = _f((m, 1))                   # one value per output ROW
+    kern = xt.dispatch_brgemm_ext(
+        GemmShape(m, n, k), GemmFlags.BETA_0,
+        BatchReduceConfig(BatchReduceType.STRIDE, br),
+        argops=UnaryArgops(cp_type=UnaryType.RELU),
+        postops=BinaryPostops(d_type=BinaryType.ADD))
+    ours = np.asarray(kern(a, b, bias))
+
+    abuf = np.stack([np.asfortranarray(a[i]).ravel(order="F")
+                     for i in range(br)])
+    bbuf = np.stack([np.asfortranarray(b[i]).ravel(order="F")
+                     for i in range(br)])
+    c = np.zeros((m, n), np.float32, order="F")
+    R.ref_gemm_ext(
+        m, n, k, D.F32, D.F32, D.F32, D.F32,
+        int(GemmFlags.BETA_0), abuf, bbuf, c,
+        d=np.ascontiguousarray(bias.ravel()), br_type=4, brcount=br,
+        stride_a=m * k * 4, stride_b=k * n * 4,
+        cp_op=UnaryType.RELU.value,
+        d_type=BinaryType.ADD.value,
+        d_flags=int(BinaryFlags.BCAST_COL_IN_0), ldd=m)
+    want = np.maximum(np.einsum("bmk,bkn->mn", a, b) + bias, 0.0)
+    np.testing.assert_allclose(c, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ours, c, rtol=1e-5, atol=1e-5)
