@@ -626,3 +626,40 @@ def test_gemm_ext_fused_parity():
     want = np.maximum(np.einsum("bmk,bkn->mn", a, b) + bias, 0.0)
     np.testing.assert_allclose(c, want, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ours, c, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dt,npdt", [
+    (D.BF16, "bfloat16"), (D.F16, "float16"),
+    (D.BF8, "float8_e5m2"), (D.HF8, "float8_e4m3fn"),
+])
+@pytest.mark.parametrize("op", [UnaryType.RELU, UnaryType.X2,
+                                UnaryType.NEGATE, UnaryType.IDENTITY])
+def test_unary_dtype_matrix_parity(op, dt, npdt):
+    """The narrow in/out dtype matrix vs the reference binary (VERDICT r2
+    item 7, upgraded from our-own-oracle to the reference's code).
+
+    Inputs are generated IN the narrow dtype (exactly representable), so
+    the compute is exact and only the STORE rounding can differ: the
+    reference stores through its converters (bf16 RNE+DAZ, bf8 via double
+    rounding through f16) while our kernels use the native jnp cast —
+    a documented <=1-ulp policy divergence, so codes may differ by at
+    most one."""
+    import ml_dtypes
+    m, n = 8, 16
+    mdt = np.float16 if npdt == "float16" else getattr(ml_dtypes, npdt)
+    x = (_f((m, n)) * 0.5).astype(mdt)
+    kern = xt.dispatch_meltw_unary(op, m, n, in_type=dt, out_type=dt)
+    ours = np.asarray(kern(x))
+    ref_out = np.zeros((m, n), mdt, order="F")
+    R.ref_meltw(1, op.value, 0, m, n, dt, dt, D.F32,
+                np.asfortranarray(x), out=ref_out)
+    a = ours.astype(np.float32)
+    b = np.asarray(ref_out).astype(np.float32)
+    exact = a == b
+    # <=1 code step where store-rounding policies differ
+    ubits = np.dtype(mdt).itemsize * 8
+    ut = np.uint16 if ubits == 16 else np.uint8
+    diff = np.abs(ours.view(ut).astype(np.int32)
+                  - np.asarray(ref_out).view(ut).astype(np.int32))
+    assert (exact | (diff <= 1)).all(), (op, dt, int(diff.max()))
+    assert exact.mean() > 0.9, "more than rounding-policy divergence"
