@@ -275,8 +275,9 @@ def make_brgemm_case():
                 shape, GemmFlags.BETA_0, br_cfg, step_groups=sg,
                 pack_q=q * mult if mult > 1 else None)
             cands.append(lambda b_, c_=c_, a_p=a_p: c_(a_p, b_))
-            variants.append((q * mult, sg))
+            variants.append({"pack_q": q * mult, "step_groups": sg})
     kern, _ = _pick_variant(cands, (b0,))
+    win_variant = variants[cands.index(kern)]
 
     # structural streaming-SoL twin (same block specs, no MXU work): the
     # shape is HBM-bound at ~0.53 of bf16 peak by plain roofline, so the
@@ -314,7 +315,7 @@ def make_brgemm_case():
 
     bytes_moved = br * (m * k + k * n) * 2 + m * n * 4
     return ((ChainCase(step, b0), ChainCase(sol_step, b0)),
-            (2 * br * m * n * k, bytes_moved), sol_twin_ok)
+            (2 * br * m * n * k, bytes_moved), sol_twin_ok, win_variant)
 
 
 def make_brgemm_fused_case():
@@ -605,7 +606,7 @@ def main():
     smm_case, (smm_flops, smm_bytes) = make_smm_case()
     sol_case, sol_bytes = make_smm_sol_case()
     ((brg_case, brg_sol_case), (brg_flops, brg_bytes),
-     brg_sol_twin_ok) = make_brgemm_case()
+     brg_sol_twin_ok, brg_variant) = make_brgemm_case()
     brgf_case, brgf_flops = make_brgemm_fused_case()
     fss_case, (fss_nnzn, fss_kind, fss_bytes) = make_fsspmdm_case()
     fsst_cases, (fsst_nnzn, fsst_kind) = make_fsspmdm_tall_case()
@@ -734,6 +735,7 @@ def main():
             "smm32_f32_gflops": round(smm_rate / 1e9, 1),
             "smm32_stream_gbps": round(smm_bytes / smm_case.best / 1e9, 1),
             "brgemm_bf16_gflops": round(brg_rate / 1e9, 1),
+            "brgemm_winning_variant": brg_variant,
             "brgemm_peak_fraction": brg_peak_frac,
             # time vs the structural streaming twin (same block specs,
             # no MXU work): ~1.0 = compute fully hidden behind the

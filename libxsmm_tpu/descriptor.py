@@ -475,8 +475,13 @@ def create_gemm_shape(m: int, n: int, k: int, lda=None, ldb=None, ldc=None,
 
     The reference is column-major (lda >= m); here arrays are row-major so
     the packed leading dims are k/n/n for A/B/C."""
-    _check_ld("lda", lda, k, m)
-    _check_ld("ldb", ldb, n, k)
+    # STRICT natural dims for GEMM (unlike meltw ldo, where the output
+    # shape is genuinely op-dependent): accepting the column-major
+    # canonical lda=m / ldb=k here would silently validate exactly the
+    # most likely porting mistake; a transposed-operand port passes
+    # 0/None (review finding r3)
+    _check_ld("lda", lda, k)
+    _check_ld("ldb", ldb, n)
     _check_ld("ldc", ldc, n)
     return GemmShape(m=m, n=n, k=k, a_in_type=Datatype(a_in_type),
                      b_in_type=Datatype(b_in_type),

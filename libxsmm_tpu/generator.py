@@ -121,15 +121,15 @@ def _gemm_example_avals(desc: GemmDescriptor):
     b_shape = ((s.n, s.k) if desc.flags & GemmFlags.TRANS_B
                else (s.k, s.n))
     # VNNI-packed operands: the flag + dtype pack factor fully determine
-    # the stored shape ((r, c) -> (r//f, c*f), ops/gemm._undo_vnni) — the
-    # natural shapes traced to ERR_TRACE_FAILED for every VNNI descriptor
-    def _vnni_factor(dt):
-        return max(1, 32 // (np.dtype(dt).itemsize * 8))
+    # the stored shape ((r, c) -> (r//f, c*f), ops/gemm._undo_vnni). Use
+    # the SAME factor helper the kernel uses — a jnp-itemsize
+    # reimplementation diverges for 4-bit dtypes (factor 4 vs 8)
+    from .ops.gemm import vnni_factor as _vf
     if desc.flags & GemmFlags.VNNI_A:
-        f = _vnni_factor(adt)
+        f = _vf(s.a_in_type)
         a_shape = (a_shape[0] // f, a_shape[1] * f)
     if desc.flags & GemmFlags.VNNI_B:
-        f = _vnni_factor(bdt)
+        f = _vf(s.b_in_type)
         b_shape = (b_shape[0] // f, b_shape[1] * f)
     br = desc.br.br_type
     hint = desc.br.br_count_hint or 4

@@ -85,18 +85,25 @@ def matdiff(ref, tst) -> MatdiffInfo:
 
     info = MatdiffInfo()
 
-    # NaN/Inf sentinel contract (libxsmm_math.c:278-295): a non-finite
-    # REF poisons the ref statistics (result_nan=2), a non-finite TST not
-    # equal to ref poisons the tst statistics (result_nan=1); all norms
-    # become +inf, min/max become the +inf/-inf sentinels, avg carries the
-    # NaN — NOT NumPy NaN propagation, which matdiff_reduce's comparisons
-    # would silently drop.
-    ref_bad = ~np.isfinite(ref)
-    tst_bad = (~np.isfinite(tst)) & ~(tst == ref)
-    if ref_bad.any() or tst_bad.any():
-        nan_side = "ref" if ref_bad.any() else "tst"
-        bad = ref_bad if nan_side == "ref" else tst_bad
-        idx = int(np.argmax(bad))
+    # NaN/Inf sentinel contract (libxsmm_math.c:278-295 + matdiff.h:42):
+    # an element is OK when tst is not NaN AND (finite OR equal to ref) —
+    # so IDENTICAL non-finite pairs (both +inf, e.g. matching EXP
+    # overflow) do NOT poison anything. A bad tst element enters the
+    # sentinel branch: blame tst (result_nan=1) when the ref element is
+    # finite, else ref (result_nan=2). All norms become +inf, the poisoned
+    # side's min/max become the +inf/-inf sentinels, avg carries the NaN —
+    # NOT NumPy NaN propagation, which matdiff_reduce's comparisons would
+    # silently drop. Documented divergence: the clean side's l1/min/max/
+    # avg/var are computed over the FULL array here; the reference's scan
+    # breaks at the first bad element, leaving scan-order-dependent
+    # partial sums — junk not worth reproducing.
+    with np.errstate(invalid="ignore"):
+        tst_bad = np.isnan(tst) | (np.isinf(tst) & ~(tst == ref))
+    if tst_bad.any():
+        idx = int(np.argmax(tst_bad))
+        i0, j0 = divmod(idx, ref.shape[1])
+        nan_side = "tst" if np.isfinite(ref[i0, j0]) else "ref"
+        bad = tst_bad
         i, j = divmod(idx, ref.shape[1])
         info.m, info.n = i, j
         info.v_ref = float(ref[i, j])
@@ -125,7 +132,13 @@ def matdiff(ref, tst) -> MatdiffInfo:
                 info.var_tst = float(((tst - info.avg_tst) ** 2).mean())
         return info
 
-    diff = tst - ref
+    # equal pairs (including equal non-finites, the reference's ti==ri OK
+    # path) difference to exactly zero; a non-finite REF element with an
+    # unequal finite tst maps to a +inf difference (the reference's DELTA
+    # of an inf operand)
+    with np.errstate(invalid="ignore"):
+        diff = np.where(tst == ref, 0.0, tst - ref)
+        diff = np.where(np.isnan(diff), np.inf, diff)
     adiff = np.abs(diff)
     aref = np.abs(ref)
     atst = np.abs(tst)

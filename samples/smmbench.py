@@ -43,8 +43,11 @@ def main(size=32, batch=16384):
     # windows (CLAUDE.md); the runner calibrates and subtracts the null
     from libxsmm_tpu.utils.timer import bench_chain
 
-    def run(fn, state, traffic_bytes, nflops, reps=16, rounds=3):
-        best = bench_chain(fn, (state,), reps=reps, rounds=rounds)
+    def run(fn, args, traffic_bytes, nflops, reps=16, rounds=3):
+        # operands ride as bench_chain ARGUMENTS (device-resident once);
+        # captured in a lambda they bake into the runner's jit as closure
+        # constants, re-uploaded per launch OUTSIDE the null subtraction
+        best = bench_chain(fn, args, chain_idx=0, reps=reps, rounds=rounds)
         return nflops / best / 1e9, traffic_bytes / best / 1e9
 
     a_p = xt.pack_batched(
@@ -57,7 +60,7 @@ def main(size=32, batch=16384):
     # case 1: stream A, B, C
     kern1 = xt.dispatch_gemm_batched_packed(GemmShape(m, n, k),
                                             GemmFlags.BETA_0)
-    gf, gb = run(lambda a: kern1(a, b_p), a_p,
+    gf, gb = run(kern1, (a_p, b_p),
                  batch * (m*k + k*n + m*n) * 4, flops)
     print(f"case 1 (stream A,B,C; batched SMM):   {gf:8.1f} GF/s {gb:7.1f} GB/s")
 
@@ -70,21 +73,21 @@ def main(size=32, batch=16384):
     a3 = jnp.asarray(rng.standard_normal((batch, m, k)), jnp.float32)
     b3 = jnp.asarray(rng.standard_normal((batch, k, n)) * 0.01, jnp.float32)
 
-    def step2(a):
-        out = kern2(a, b3)          # (m, n) accumulated over the batch
+    def step2(a, b):
+        out = kern2(a, b)           # (m, n) accumulated over the batch
         return a + out[None, :m, :k] * 1e-9
 
-    gf, gb = run(step2, a3, batch * (m*k + k*n) * 4, flops)
+    gf, gb = run(step2, (a3, b3), batch * (m*k + k*n) * 4, flops)
     print(f"case 2 (stream A,B; C on-chip; BRGEMM):{gf:7.1f} GF/s {gb:7.1f} GB/s")
 
     # case 3: stream A, C; B shared across the batch
     bs = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.float32)
     b_tiled = xt.pack_batched(jnp.broadcast_to(bs, (p, k, n)), p)[0]
 
-    def step3(a):
-        return kern1(a, jnp.broadcast_to(b_tiled, (G, k, p * n)))
+    def step3(a, bt):
+        return kern1(a, jnp.broadcast_to(bt, (G, k, p * n)))
 
-    gf, gb = run(step3, a_p, batch * (m*k + m*n) * 4, flops)
+    gf, gb = run(step3, (a_p, b_tiled), batch * (m*k + m*n) * 4, flops)
     print(f"case 3 (stream A,C; B cached):        {gf:8.1f} GF/s {gb:7.1f} GB/s")
 
     # case 4: stream B, C; A shared — C_i = A @ B_i is ONE plain MXU dot
@@ -92,14 +95,14 @@ def main(size=32, batch=16384):
     a_sh = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.float32)
 
     @jax.named_scope("smmbench_case4")
-    def step4(b):
+    def step4(b, ash):
         out = jax.lax.dot_general(
-            a_sh, b, (((1,), (1,)), ((), ())),
+            ash, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # (m, G, p*n)
         return jnp.swapaxes(out, 0, 1) * 0.999 + b * 1e-6
 
-    gf, gb = run(step4, b_p, batch * (k*n + m*n) * 4, flops)
+    gf, gb = run(step4, (b_p, a_sh), batch * (k*n + m*n) * 4, flops)
     print(f"case 4 (stream B,C; A cached):        {gf:8.1f} GF/s {gb:7.1f} GB/s")
 
     # case 5: nothing streamed — repeat the same multiply (MXU latency)
@@ -108,7 +111,7 @@ def main(size=32, batch=16384):
     b5 = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.float32)
     # tiny serial workload: needs a deep inner chain or launch overhead
     # (1.2-14 ms on this backend) swamps the ~1 us kernel
-    gf, gb = run(lambda a: kern5(a, b5) * 0.999 + a * 1e-6, a5,
+    gf, gb = run(lambda a, b: kern5(a, b) * 0.999 + a * 1e-6, (a5, b5),
                  0, 2 * m * n * k, reps=4096)
     print(f"case 5 (cached; repeated single SMM): {gf:8.1f} GF/s per-call "
           f"{2*m*n*k/gf/1e9*1e9:.0f} ns")

@@ -18,7 +18,11 @@ import numpy as np
 
 
 def main():
-    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # positional max_devices is optional and flags may come first:
+    # `spmm_scaling.py --tpu` must not die on int("--tpu")
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")
+           and not sys.argv[max(0, sys.argv.index(a) - 1)].startswith("--")]
+    max_dev = int(pos[0]) if pos else 8
     density = 0.1
     ncols = 256
     if "--density" in sys.argv:

@@ -117,8 +117,17 @@ def test_nan_sentinel_contract():
     assert np.isinf(info.l1_tst) and np.isinf(info.var_tst)
     assert np.isnan(info.avg_tst)
     assert info.min_ref == 1.0 and info.max_ref == 1.0   # ref side intact
+    # blame follows the REF element at the first bad tst position
+    # (libxsmm_math.c:98): ref also bad there -> ref-side sentinel
     ref2 = ref.copy()
-    ref2[0, 2] = np.nan
+    ref2[1, 1] = np.nan
     info2 = matdiff(ref2, tst)
     assert info2.min_ref == np.inf and info2.max_ref == -np.inf
     assert np.isinf(info2.l1_ref) and np.isnan(info2.avg_ref)
+    # IDENTICAL non-finite pairs are the reference's ti==ri OK path:
+    # byte-equal arrays with an inf must NOT poison anything
+    both = np.ones((3, 3))
+    both[0, 0] = np.inf
+    info3 = matdiff(both, both.copy())
+    assert info3.linf_abs == 0.0 and info3.norm1_abs == 0.0
+    assert info3.normf_rel == 0.0
