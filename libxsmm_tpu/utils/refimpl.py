@@ -207,3 +207,62 @@ def ref_gemm_ext(m, n, k, dt_a, dt_b, dt_c, dt_comp, flags,
     if rc != 0:
         raise ValueError(f"reference gemm_ext rejected (rc={rc})")
     return c
+
+
+def _meqn_bind(lib):
+    if getattr(lib, "_meqn_bound", False):
+        return
+    lib.xsmm_ref_meqn_create.restype = ctypes.c_int
+    lib.xsmm_ref_meqn_create.argtypes = []
+    lib.xsmm_ref_meqn_push_arg.restype = ctypes.c_int
+    lib.xsmm_ref_meqn_push_arg.argtypes = [ctypes.c_int] * 5 + [ctypes.c_uint]
+    lib.xsmm_ref_meqn_push_op.restype = ctypes.c_int
+    lib.xsmm_ref_meqn_push_op.argtypes = [ctypes.c_int] + [ctypes.c_uint] * 4 \
+        + [ctypes.c_int]
+    lib.xsmm_ref_meqn_run.restype = ctypes.c_int
+    lib.xsmm_ref_meqn_run.argtypes = [ctypes.c_int, ctypes.c_uint,
+                                      ctypes.c_uint, ctypes.c_void_p,
+                                      ctypes.c_void_p]
+    lib._meqn_bound = True
+
+
+def ref_meqn_create() -> int:
+    lib = _load()
+    _meqn_bind(lib)
+    return lib.xsmm_ref_meqn_create()
+
+
+def ref_meqn_push_arg(idx: int, m: int, n: int, in_pos: int, dt,
+                      ld=None) -> None:
+    lib = _load()
+    _meqn_bind(lib)
+    rc = lib.xsmm_ref_meqn_push_arg(idx, m, n, ld or m, in_pos, dt_enum(dt))
+    if rc != 0:
+        raise ValueError(f"reference meqn_push_arg failed (rc={rc})")
+
+
+def ref_meqn_push_op(idx: int, arity: int, op_type: int, dt,
+                     flags: int = 0, op_arg_pos: int = -1) -> None:
+    lib = _load()
+    _meqn_bind(lib)
+    rc = lib.xsmm_ref_meqn_push_op(idx, arity, op_type, dt_enum(dt), flags,
+                                   op_arg_pos)
+    if rc != 0:
+        raise ValueError(f"reference meqn_push_op failed (rc={rc})")
+
+
+def ref_meqn_run(idx: int, inputs, out: np.ndarray, out_dt,
+                 ldo=None) -> np.ndarray:
+    """Execute the reference equation. `inputs` is the in_pos-ordered list
+    of F-order arrays; each becomes a libxsmm_matrix_arg (primary pointer,
+    rest NULL). Returns `out` (F-order, preallocated)."""
+    lib = _load()
+    _meqn_bind(lib)
+    table = np.zeros((len(inputs), 6), np.uint64)
+    for i, a in enumerate(inputs):
+        table[i, 0] = a.ctypes.data
+    rc = lib.xsmm_ref_meqn_run(idx, ldo if ldo is not None else out.shape[0],
+                               dt_enum(out_dt), _ptr(table), _ptr(out))
+    if rc != 0:
+        raise ValueError(f"reference meqn_run failed (rc={rc})")
+    return out

@@ -21,11 +21,15 @@
 #include <stddef.h>
 #include <string.h>
 
+#include <stdlib.h>
+
 #include <libxsmm_typedefs.h>
 #include <libxsmm_generator.h>
 #include "libxsmm_main.h"
+#include "libxsmm_matrixeqn.h"
 #include "generator_mateltwise_reference_impl.h"
 #include "generator_gemm_reference_impl.h"
+#include "generator_matequation_reference_impl.h"
 
 /* ---- stubs for symbols the linked reference TUs reference only on debug/
  * verbose paths (their real homes, libxsmm_main.c / libxsmm_timer.c, pull
@@ -106,6 +110,117 @@ int xsmm_ref_meltw(unsigned int operation, unsigned short type,
   }
   return 2;
 }
+
+/* ---- matrix equations --------------------------------------------------
+ * Flat wrappers over the reference's PUBLIC equation builder (the struct-
+ * by-value signatures are awkward through ctypes) plus an executor that
+ * reproduces the x86 reference JIT's setup (generator_x86_reference.c:
+ * 115-210): unfold the optimized exec tree per timestamp, patch the last
+ * op with the output ld/dtype, allocate the tmp scratchpad, and call
+ * libxsmm_reference_matequation. */
+
+int xsmm_ref_meqn_create(void) { return libxsmm_meqn_create(); }
+
+int xsmm_ref_meqn_push_arg(int idx, int m, int n, int ld, int in_pos,
+                           unsigned int dtype) {
+  libxsmm_meqn_arg_metadata md;
+  libxsmm_meqn_arg_shape shp;
+  libxsmm_matrix_arg_attributes attr;
+  memset(&attr, 0, sizeof(attr));
+  md.eqn_idx = idx;
+  md.in_arg_pos = in_pos;
+  shp.m = m; shp.n = n; shp.ld = ld;
+  shp.type = (libxsmm_datatype)dtype;
+  attr.type = LIBXSMM_MATRIX_ARG_TYPE_SINGULAR;
+  attr.set_type = LIBXSMM_MATRIX_ARG_SET_TYPE_NONE;
+  return libxsmm_meqn_push_back_arg(md, shp, attr);
+}
+
+int xsmm_ref_meqn_push_op(int idx, unsigned int arity, unsigned int type,
+                          unsigned int dtype, unsigned int flags,
+                          int op_arg_pos) {
+  libxsmm_meqn_op_metadata md;
+  md.eqn_idx = idx;
+  md.op_arg_pos = op_arg_pos;
+  if (arity == 1) {
+    return libxsmm_meqn_push_back_unary_op(
+        md, (libxsmm_meltw_unary_type)type, (libxsmm_datatype)dtype,
+        (libxsmm_bitfield)flags);
+  }
+  if (arity == 2) {
+    return libxsmm_meqn_push_back_binary_op(
+        md, (libxsmm_meltw_binary_type)type, (libxsmm_datatype)dtype,
+        (libxsmm_bitfield)flags);
+  }
+  if (arity == 3) {
+    return libxsmm_meqn_push_back_ternary_op(
+        md, (libxsmm_meltw_ternary_type)type, (libxsmm_datatype)dtype,
+        (libxsmm_bitfield)flags);
+  }
+  return 1;
+}
+
+static libxsmm_meqn_elem* xsmm_ref_find_op_at(libxsmm_meqn_elem* node,
+                                              libxsmm_blasint t) {
+  libxsmm_meqn_elem* r;
+  if (node == NULL || node->type == LIBXSMM_MATRIX_EQN_NODE_ARG) return NULL;
+  if (node->visit_timestamp == t) return node;
+  r = xsmm_ref_find_op_at(node->le, t);
+  if (r != NULL) return r;
+  r = xsmm_ref_find_op_at(node->ri, t);
+  if (r != NULL) return r;
+  return xsmm_ref_find_op_at(node->r2, t);
+}
+
+/* inputs: array of libxsmm_matrix_arg (6 pointers each) in in_pos order */
+int xsmm_ref_meqn_run(int idx, unsigned int ldo, unsigned int out_dt,
+                      void* inputs, void* out_ptr) {
+  libxsmm_matrix_eqn* eqn = libxsmm_meqn_get_equation(idx);
+  libxsmm_meqn_elem* tree;
+  unsigned long long padded, tmp_size, scratch_size;
+  libxsmm_blasint t, last;
+  unsigned char* scratch;
+  libxsmm_meqn_param p;
+  if (eqn == NULL || eqn->is_constructed == 0) return 1;
+  last = eqn->eqn_root->visit_timestamp;
+  padded = ((((unsigned long long)(last + 1) * 5
+              * sizeof(libxsmm_meqn_elem)) + 63) / 64) * 64;
+  tree = (libxsmm_meqn_elem*)malloc(padded);
+  if (tree == NULL) return 2;
+  memset(tree, 0, padded);
+  for (t = 0; t <= last; t++) {
+    libxsmm_meqn_elem* cur = xsmm_ref_find_op_at(eqn->eqn_root, t);
+    if (cur != NULL) {
+      tree[t * 5 + 0] = *cur;
+      if (cur->le != NULL) tree[t * 5 + 1] = *(cur->le);
+      if (cur->ri != NULL) tree[t * 5 + 2] = *(cur->ri);
+      if (cur->r2 != NULL) tree[t * 5 + 3] = *(cur->r2);
+      if (cur->up != NULL) tree[t * 5 + 4] = *(cur->up);
+    }
+    if (t == last) {
+      tree[t * 5 + 0].reg_score = -1;
+      tree[t * 5 + 0].tmp.ld = (libxsmm_blasint)ldo;
+      tree[t * 5 + 0].tmp.dtype = (libxsmm_datatype)out_dt;
+    }
+  }
+  tmp_size = (unsigned long long)eqn->eqn_root->max_tmp_size
+             * (unsigned long long)eqn->eqn_root->tree_max_comp_tsize;
+  tmp_size = (tmp_size % 64 == 0) ? tmp_size : ((tmp_size + 63) / 64) * 64;
+  scratch_size = tmp_size
+                 * (unsigned long long)(eqn->eqn_root->reg_score > 0
+                                        ? eqn->eqn_root->reg_score : 1);
+  scratch = (unsigned char*)malloc((size_t)scratch_size + 64);
+  if (scratch == NULL) { free(tree); return 3; }
+  memset(&p, 0, sizeof(p));
+  p.ops_args = NULL;
+  p.inputs = (const libxsmm_matrix_arg*)inputs;
+  p.output.primary = out_ptr;
+  libxsmm_reference_matequation(&p, tree, scratch, tmp_size);
+  free(scratch);
+  free(tree);
+  return 0;
+}
+
 
 /* ---- gemm / brgemm ----------------------------------------------------
  * flags: LIBXSMM_GEMM_FLAG_* bitfield (libxsmm_tpu GemmFlags mirrors it).

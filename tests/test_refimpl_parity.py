@@ -663,3 +663,59 @@ def test_unary_dtype_matrix_parity(op, dt, npdt):
                   - np.asarray(ref_out).view(ut).astype(np.int32))
     assert (exact | (diff <= 1)).all(), (op, dt, int(diff.max()))
     assert exact.mean() > 0.9, "more than rounding-policy divergence"
+
+
+def test_matrix_equation_parity():
+    """Equation trees executed by the reference's OWN engine (the exec-plan
+    + libxsmm_reference_matequation path every reference backend JITs) vs
+    our fused-jit evaluator: same push_back sequence, same args."""
+    from libxsmm_tpu.ops.equation import (dispatch_meqn, meqn_create,
+                                          meqn_destroy, meqn_push_back_arg,
+                                          meqn_push_back_binary_op,
+                                          meqn_push_back_ternary_op,
+                                          meqn_push_back_unary_op)
+    from libxsmm_tpu.descriptor import TernaryType
+    m, n = 16, 24
+    a, b, c = _f((m, n)), _f((m, n)), _f((m, n))
+
+    # ours: RELU(MULADD(a, b, c))
+    idx = meqn_create()
+    meqn_push_back_unary_op(idx, UnaryType.RELU)
+    meqn_push_back_ternary_op(idx, TernaryType.MULADD)
+    meqn_push_back_arg(idx, m, n, in_pos=0)
+    meqn_push_back_arg(idx, m, n, in_pos=1)
+    meqn_push_back_arg(idx, m, n, in_pos=2)
+    ours = np.asarray(dispatch_meqn(idx, m, n)(a, b, c))
+    meqn_destroy(idx)
+
+    # reference: identical push sequence through its own builder
+    ridx = R.ref_meqn_create()
+    R.ref_meqn_push_op(ridx, 1, UnaryType.RELU.value, D.F32)
+    R.ref_meqn_push_op(ridx, 3, TernaryType.MULADD.value, D.F32)
+    R.ref_meqn_push_arg(ridx, m, n, 0, D.F32)
+    R.ref_meqn_push_arg(ridx, m, n, 1, D.F32)
+    R.ref_meqn_push_arg(ridx, m, n, 2, D.F32)
+    ref_out = np.zeros((m, n), np.float32, order="F")
+    R.ref_meqn_run(ridx, [np.asfortranarray(a), np.asfortranarray(b),
+                          np.asfortranarray(c)], ref_out, D.F32)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-6, atol=1e-6)
+
+    # binary chain: (a + b) * c
+    idx2 = meqn_create()
+    meqn_push_back_binary_op(idx2, BinaryType.MUL)
+    meqn_push_back_binary_op(idx2, BinaryType.ADD)
+    meqn_push_back_arg(idx2, m, n, in_pos=0)
+    meqn_push_back_arg(idx2, m, n, in_pos=1)
+    meqn_push_back_arg(idx2, m, n, in_pos=2)
+    ours2 = np.asarray(dispatch_meqn(idx2, m, n)(a, b, c))
+    meqn_destroy(idx2)
+    ridx2 = R.ref_meqn_create()
+    R.ref_meqn_push_op(ridx2, 2, BinaryType.MUL.value, D.F32)
+    R.ref_meqn_push_op(ridx2, 2, BinaryType.ADD.value, D.F32)
+    R.ref_meqn_push_arg(ridx2, m, n, 0, D.F32)
+    R.ref_meqn_push_arg(ridx2, m, n, 1, D.F32)
+    R.ref_meqn_push_arg(ridx2, m, n, 2, D.F32)
+    ref_out2 = np.zeros((m, n), np.float32, order="F")
+    R.ref_meqn_run(ridx2, [np.asfortranarray(a), np.asfortranarray(b),
+                           np.asfortranarray(c)], ref_out2, D.F32)
+    np.testing.assert_allclose(ours2, ref_out2, rtol=1e-6, atol=1e-6)
