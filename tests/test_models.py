@@ -271,3 +271,114 @@ def test_cnn_sharded_step_matches_single():
     for a, bb in zip(jax.tree.leaves(single_p), jax.tree.leaves(shard_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# TPP-Attention (fourth model family: the TPP paper's flagship composition)
+# ---------------------------------------------------------------------------
+
+def _attn_oracle(p, x, cfg):
+    """NumPy forward oracle for one pre-LN encoder block."""
+    import numpy as _np
+
+    def ln(v, g, b, eps=1e-5):
+        mu = v.mean(-1, keepdims=True)
+        rs = 1.0 / _np.sqrt(((v - mu) ** 2).mean(-1, keepdims=True) + eps)
+        return (v - mu) * rs * g + b
+
+    def sm(s):
+        e = _np.exp(s - s.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    p = {k: _np.asarray(v, _np.float32) for k, v in p.items()}
+    x = _np.asarray(x, _np.float32)
+    b, s, d = x.shape
+    hd, nh = cfg.head_dim, cfg.heads
+    xl = ln(x, p["ln1_g"], p["ln1_b"])
+    qkv = (xl.reshape(b * s, d) @ p["wqkv"] + p["bqkv"]).reshape(
+        b, s, 3, nh, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    sc = _np.einsum("bqhd,bkhd->bhqk", q, k) / _np.sqrt(hd)
+    ctx = _np.einsum("bhqk,bkhd->bqhd", sm(sc), v).reshape(b * s, d)
+    h = x + (ctx @ p["wo"] + p["bo"]).reshape(b, s, d)
+    y = ln(h, p["ln2_g"], p["ln2_b"]).reshape(b * s, d)
+    y = y @ p["w1"] + p["b1"]
+    import math
+    y = 0.5 * y * (1.0 + _np.vectorize(math.erf)(y / _np.sqrt(2.0)))
+    return h + (y @ p["w2"] + p["b2"]).reshape(b, s, d)
+
+
+def test_attention_forward_matches_oracle():
+    from libxsmm_tpu.models.tpp_attention import (AttentionConfig, forward,
+                                                  init_params)
+    cfg = AttentionConfig(dim=32, heads=4, ffn_mult=2)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)
+    out = forward(params, x, cfg)
+    ref = _attn_oracle(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_attention_train_loss_decreases():
+    from libxsmm_tpu.models.tpp_attention import (AttentionConfig,
+                                                  init_params, loss_fn,
+                                                  train_step)
+    cfg = AttentionConfig(dim=32, heads=4, ffn_mult=2)
+    params = init_params(cfg, seed=1)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 8, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((4, 8, 32)) * 0.1, jnp.float32)
+    step = jax.jit(lambda p, x, y: train_step(p, x, y, cfg, lr=1e-2))
+    l0 = float(loss_fn(params, x, y, cfg))
+    for _ in range(5):
+        params, loss = step(params, x, y)
+    assert float(loss) < l0
+
+
+def test_attention_dropout_path_grads():
+    from libxsmm_tpu.models.tpp_attention import (AttentionConfig,
+                                                  init_params, loss_fn)
+    cfg = AttentionConfig(dim=32, heads=4, ffn_mult=2, dropout_p=0.25)
+    params = init_params(cfg, seed=2)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)
+    y = jnp.zeros((2, 8, 32), jnp.float32)
+    loss, grads = jax.value_and_grad(loss_fn)(params, x, y, cfg, 7)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    # dropout actually dropped something: two seeds give different losses
+    loss2 = loss_fn(params, x, y, cfg, 104729)
+    assert float(loss) != float(loss2)
+
+
+def test_attention_sharded_step_matches_single():
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from libxsmm_tpu.models.tpp_attention import (AttentionConfig,
+                                                  init_params,
+                                                  make_sharded_train_step,
+                                                  shard_params, train_step)
+    from libxsmm_tpu.parallel.mesh import make_mesh
+
+    cfg = AttentionConfig(dim=32, heads=4, ffn_mult=2)
+    params = init_params(cfg, seed=3)
+    rng = np.random.default_rng(3)
+    x = np.asarray(rng.standard_normal((8, 8, 32)), np.float32)
+    y = np.asarray(rng.standard_normal((8, 8, 32)) * 0.1, np.float32)
+
+    single_p, single_loss = jax.jit(
+        lambda p, x, y: train_step(p, x, y, cfg))(params, x, y)
+
+    mesh = make_mesh([("dp", 2), ("tp", 2)])
+    step, xsharding = make_sharded_train_step(cfg, mesh)
+    sp = shard_params(params, mesh)
+    xs = jax.device_put(x, xsharding)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ys = jax.device_put(y, NamedSharding(mesh, P("dp", None, None)))
+    shard_p, shard_loss = step(sp, xs, ys)
+    assert abs(float(shard_loss) - float(single_loss)) < 1e-5
+    for a, bb in zip(jax.tree.leaves(single_p), jax.tree.leaves(shard_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)
