@@ -108,6 +108,7 @@ from .ops.sparse import (BcscMatrix, BsrMatrix, CscMatrix, CsrMatrix,
                          create_packed_spgemm_csr, create_spgemm_csr_areg)
 from .ops.packed import (create_packed_gemm, create_packed_gemm_ac_rm,
                          create_packed_gemm_bc_rm)
+from .ops.attention import dispatch_flash_attention
 from .generator import (GeneratedCode, XsmmGeneratorError,
                         generator_gemm_directasm, generator_gemm_inlineasm,
                         generator_gemm_kernel,

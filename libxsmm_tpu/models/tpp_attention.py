@@ -49,6 +49,9 @@ class AttentionConfig:
     ffn_mult: int = 4         # FFN hidden = ffn_mult * dim
     dropout_p: float = 0.0    # attention+FFN dropout (0 disables)
     dtype: str = "float32"    # activation/weight storage dtype
+    flash: bool = False       # fused Pallas attention (scores stay in VMEM;
+                              # incompatible with attention-prob dropout)
+    causal: bool = False      # autoregressive masking
 
     @property
     def head_dim(self) -> int:
@@ -126,18 +129,39 @@ def attention(params: dict, x, cfg: AttentionConfig, seed=None):
     qkv = qkv.astype(x.dtype).reshape(b, s, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (b, s, nh, hd)
 
-    # score BRGEMM: one batched (s, hd) x (hd, s) contraction per (b, head)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32,
-                        precision=pass_precision(x.dtype))
-    probs = _softmax_rows(scores * (1.0 / np.sqrt(hd))).astype(x.dtype)
-    if cfg.dropout_p > 0.0 and seed is not None:
-        probs = _dropout(probs, cfg.dropout_p, seed)
+    if cfg.flash:
+        # fused Pallas kernel: the (s, s) score/prob panels stay in VMEM
+        if cfg.dropout_p > 0.0:
+            raise ValueError("flash attention has no materialized probs "
+                             "to drop; set dropout_p=0")
+        from ..ops.attention import dispatch_flash_attention
+        from ..dtypes import from_jnp
 
-    # context BRGEMM: (s, s) x (s, hd) per (b, head), heads re-concatenated
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32,
-                     precision=pass_precision(x.dtype)).astype(x.dtype)
+        kern = dispatch_flash_attention(b * nh, s, hd,
+                                        from_jnp(jnp.dtype(x.dtype)),
+                                        causal=cfg.causal)
+        qb = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
+        kTb = k.transpose(0, 2, 3, 1).reshape(b * nh, hd, s)
+        vb = v.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
+        ctx = kern(qb, kTb, vb).reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
+    else:
+        # score BRGEMM: batched (s, hd) x (hd, s) per (b, head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32,
+                            precision=pass_precision(x.dtype))
+        if cfg.causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            scores = jnp.where((col <= row)[None, None], scores,
+                               jnp.finfo(jnp.float32).min)
+        probs = _softmax_rows(scores * (1.0 / np.sqrt(hd))).astype(x.dtype)
+        if cfg.dropout_p > 0.0 and seed is not None:
+            probs = _dropout(probs, cfg.dropout_p, seed)
+
+        # context BRGEMM: (s, s) x (s, hd) per (b, head)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32,
+                         precision=pass_precision(x.dtype)).astype(x.dtype)
     out = _linear(ctx.reshape(b * s, d), params["wo"], params["bo"])
     return out.astype(x.dtype).reshape(b, s, d)
 

@@ -191,9 +191,13 @@ def test_cnn_conv_matches_lax_conv():
     w = np.asarray(rng.standard_normal((3, 3, 5, 7)), np.float32)
     b = np.asarray(rng.standard_normal((7,)), np.float32)
     for stride in (1, 2):
+        # HIGHEST: the oracle must not run at TPU-default bf16 conv passes
+        # (the library side already does, via pass_precision) — found by
+        # the r3 TPU re-run, 0.05 abs error at default precision
         want = jax.lax.conv_general_dilated(
             x, w, (stride, stride), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
         want = np.maximum(np.asarray(want) + b, 0.0)
         got = np.asarray(conv2d_tpp(x, w, b, stride=stride,
                                     activation="relu"))
