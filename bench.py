@@ -361,6 +361,36 @@ def make_brgemm_fused_case():
     return ChainCase(step, b0), 2 * br * m * n * k
 
 
+def make_flash_attention_case():
+    """Fused flash-attention Pallas kernel vs the naive XLA composition,
+    serving shape (bh=16, s=2048, hd=128, bf16). The fused kernel keeps
+    the (s, s) score/prob panels in VMEM; the naive path writes+reads them
+    through HBM. The chain feeds the output back as the next query block
+    (same shape/dtype, full-output consumption — softmax-bounded values
+    keep magnitudes stable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libxsmm_tpu.dtypes import Datatype
+    from libxsmm_tpu.ops.attention import _naive, dispatch_flash_attention
+
+    bh, s, hd = (2, 256, 64) if SMOKE else (16, 2048, 128)
+    rng = np.random.default_rng(0)
+    q0 = jax.device_put(
+        jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.bfloat16))
+    kT = jax.device_put(
+        jnp.asarray(rng.standard_normal((bh, hd, s)), jnp.bfloat16))
+    v = jax.device_put(
+        jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.bfloat16))
+    kern = dispatch_flash_attention(bh, s, hd, Datatype.BF16)
+    naive = jax.jit(lambda q, kT, v: _naive(q, kT, v, hd ** -0.5, False))
+    cases = {
+        "fused": ChainCase(lambda q: kern(q, kT, v), q0),
+        "naive": ChainCase(lambda q: naive(q, kT, v), q0),
+    }
+    return cases, 4 * bh * s * s * hd
+
+
 def make_fsspmdm_case():
     """PyFR operator, N=4800 streaming (reference TEST_N default): the
     REAL p4/hex m0 interp matrix (150x125, nnz=750) from the reference's
@@ -613,12 +643,13 @@ def main():
     bcsc_cases, (bcsc_nnz, bcsc_m) = make_bcsc_case(0.2)
     bcsc5_cases, (bcsc5_nnz, bcsc5_m) = make_bcsc_case(0.05)
     bcl_cases, bcl_panels = make_bcsc_clustered_case()
+    flash_cases, flash_flops = make_flash_attention_case()
 
     cases = [copy_case, pf32_case, pbf16_case, smm_case, sol_case,
              brg_case, brg_sol_case, brgf_case, fss_case] \
         + list(fsst_cases.values()) \
         + list(bcsc_cases.values()) + list(bcsc5_cases.values()) \
-        + list(bcl_cases.values())
+        + list(bcl_cases.values()) + list(flash_cases.values())
     # Interleave over time windows (the device is time-shared with >10x
     # minute-scale swings, including WITHIN a round — a per-round ratio is
     # noisy in both directions). Run all cases for ROUNDS windows, then
@@ -779,6 +810,16 @@ def main():
                 bcl_cases["clustered"], bcl_cases["unclustered"]), 3)
                 if len(bcl_cases) == 2 else None),
             "bcsc_clustered_panels": bcl_panels,
+            # fused attention vs the naive XLA composition (bf16, bh=16,
+            # s=2048, hd=128): speedup = median of same-window paired
+            # ratios; dev-run measurements 2.9-7.6x over s=1024-4096
+            "flash_attn_tf_s": round(
+                flash_flops / flash_cases["fused"].best / 1e12, 1),
+            "flash_attn_naive_tf_s": round(
+                flash_flops / flash_cases["naive"].best / 1e12, 1),
+            "flash_attn_speedup": round(
+                paired_ratio(flash_cases["fused"], flash_cases["naive"]),
+                3),
             "dispatch_us": round(dispatch_us, 3),
         },
     }
