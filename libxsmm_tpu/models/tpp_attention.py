@@ -60,7 +60,13 @@ class AttentionConfig:
 
 
 def init_params(cfg: AttentionConfig, seed: int = 0) -> dict:
-    """One encoder block: fused QKV, output proj, 2-layer FFN, 2 layernorms."""
+    """One encoder block: fused QKV, output proj, 2-layer FFN, 2 layernorms.
+
+    wqkv columns are laid out (heads, 3, head_dim) — head-MAJOR (the
+    Megatron convention), so the tp sharding P(None, 'tp') splits on head
+    boundaries whenever tp divides heads and the QKV activation never
+    needs a reshard (advisor r3: the previous (3, heads, head_dim) order
+    made tp shards cross q/k/v boundaries unless tp divided 3)."""
     rng = np.random.default_rng(seed)
     d, h = cfg.dim, cfg.ffn_mult * cfg.dim
 
@@ -101,16 +107,33 @@ def _layernorm(x, gamma, beta, eps: float = 1e-5):
 
 def _dropout(x, p: float, seed):
     """Inverted-scale dropout through the library's Pallas PRNG kernel
-    (kernels/eltwise_pallas.dropout); the mask is a constant w.r.t. grad
-    (reference DROPOUT_INV replays the saved bitmask, ops/eltwise.py)."""
+    (kernels/eltwise_pallas.dropout). The kernel's own output IS the
+    forward value (it already applies the 1/(1-p) rescale); the backward
+    replays the saved keep-mask — the reference's DROPOUT / DROPOUT_INV
+    pairing (ops/eltwise.py). Advisor r3: the previous version discarded
+    the kernel output and recomputed flat*mask*scale, pure waste on the
+    training hot path."""
     if p <= 0.0:
         return x
     from ..kernels.eltwise_pallas import dropout as _drop
 
-    flat = x.reshape(-1, x.shape[-1])
-    out, mask = _drop(flat, seed, p)
-    keep = jax.lax.stop_gradient(mask.astype(x.dtype))
-    return (flat * keep * (1.0 / (1.0 - p))).reshape(x.shape).astype(x.dtype)
+    scale = 1.0 / (1.0 - p)
+
+    @jax.custom_vjp
+    def drop(flat):
+        out, _ = _drop(flat, seed, p)
+        return out.astype(flat.dtype)
+
+    def drop_fwd(flat):
+        out, mask = _drop(flat, seed, p)
+        return out.astype(flat.dtype), mask
+
+    def drop_bwd(mask, g):
+        gi = jnp.where(mask != 0, g.astype(jnp.float32) * scale, 0.0)
+        return (gi.astype(g.dtype),)
+
+    drop.defvjp(drop_fwd, drop_bwd)
+    return drop(x.reshape(-1, x.shape[-1])).reshape(x.shape).astype(x.dtype)
 
 
 def _linear(x, w, b):
@@ -126,24 +149,31 @@ def attention(params: dict, x, cfg: AttentionConfig, seed=None):
     hd, nh = cfg.head_dim, cfg.heads
 
     qkv = _linear(x.reshape(b * s, d), params["wqkv"], params["bqkv"])
-    qkv = qkv.astype(x.dtype).reshape(b, s, 3, nh, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (b, s, nh, hd)
+    # head-major fused-QKV column layout (nh, 3, hd): see init_params
+    qkv = qkv.astype(x.dtype).reshape(b, s, nh, 3, hd)
+    q, k, v = (qkv[:, :, :, 0], qkv[:, :, :, 1],
+               qkv[:, :, :, 2])                          # (b, s, nh, hd)
 
     if cfg.flash:
-        # fused Pallas kernel: the (s, s) score/prob panels stay in VMEM
-        if cfg.dropout_p > 0.0:
-            raise ValueError("flash attention has no materialized probs "
-                             "to drop; set dropout_p=0")
+        # fused Pallas kernel: the (s, s) score/prob panels stay in VMEM;
+        # attention-prob dropout fuses too (v2 position-hash mask, no
+        # materialized probs needed — the r3 "no dropout under flash"
+        # restriction is gone). seed=None (eval) dispatches the p=0 kernel.
         from ..ops.attention import dispatch_flash_attention
         from ..dtypes import from_jnp
 
+        p_drop = cfg.dropout_p if seed is not None else 0.0
         kern = dispatch_flash_attention(b * nh, s, hd,
                                         from_jnp(jnp.dtype(x.dtype)),
-                                        causal=cfg.causal)
+                                        causal=cfg.causal,
+                                        dropout_p=p_drop)
         qb = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
         kTb = k.transpose(0, 2, 3, 1).reshape(b * nh, hd, s)
         vb = v.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
-        ctx = kern(qb, kTb, vb).reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
+        # seed + 2: decorrelated from the FFN/prob _dropout streams
+        ctxb = (kern(qb, kTb, vb, seed=seed + 2) if p_drop > 0.0
+                else kern(qb, kTb, vb))
+        ctx = ctxb.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
     else:
         # score BRGEMM: batched (s, hd) x (hd, s) per (b, head)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -187,6 +217,12 @@ def loss_fn(params, x, y, cfg: AttentionConfig, seed=None):
 
 def train_step(params, x, y, cfg: AttentionConfig, lr: float = 1e-3,
                seed=None):
+    if cfg.dropout_p > 0.0 and seed is None:
+        # training with dropout configured but no seed would silently run
+        # WITHOUT dropout (seed=None short-circuits _dropout) — refuse
+        # rather than mis-train (advisor r3; eval goes through forward/
+        # loss_fn directly, where seed=None means inference-mode)
+        raise ValueError("cfg.dropout_p > 0 requires a seed in train_step")
     loss, grads = jax.value_and_grad(loss_fn)(params, x, y, cfg, seed)
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return new_params, loss
@@ -215,14 +251,21 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def make_sharded_train_step(cfg: AttentionConfig, mesh: Mesh,
-                            lr: float = 1e-3):
+                            lr: float = 1e-3, seed=None):
     """jit the FULL train step over a (dp, tp) mesh. Activations are
     batch-sharded; the head axis of the fused-QKV output shards over tp via
-    the weight shardings (GSPMD propagates them through the reshapes)."""
+    the weight shardings (GSPMD propagates them through the reshapes).
+
+    `seed` feeds the dropout PRNG when cfg.dropout_p > 0 (required then:
+    a dropout config without a seed raises instead of silently training
+    without dropout — advisor r3)."""
+    if cfg.dropout_p > 0.0 and seed is None:
+        raise ValueError("cfg.dropout_p > 0 requires seed= in "
+                         "make_sharded_train_step")
     xsharding = NamedSharding(mesh, P("dp", None, None))
 
     @jax.jit
     def step(params, x, y):
-        return train_step(params, x, y, cfg, lr)
+        return train_step(params, x, y, cfg, lr, seed=seed)
 
     return step, xsharding

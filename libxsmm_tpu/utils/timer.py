@@ -87,19 +87,31 @@ _NULL_FN = None
 class _ChainRunner:
     """One calibrated chained-timing loop (shared by bench_chain and
     bench_chain_interleaved): reps fold inside ONE jit launch via
-    lax.fori_loop, the chain consumes every output leaf (times 0.0) so
-    nothing is memoized/DCE'd, and the rep count is calibrated so a launch
-    runs well past the measured per-launch overhead.
+    lax.fori_loop with a RUNTIME trip count, the chain consumes every
+    output leaf (times 0.0) so nothing is memoized/DCE'd, and the rep
+    count is calibrated so a launch runs well past the measured per-launch
+    overhead.
+
+    The trip count is a traced jit ARGUMENT (fori_loop lowers to
+    while_loop), so recalibrating the rep count NEVER recompiles — one
+    executable per kernel, any rep count (measured r4: dynamic-n matmul
+    loop scales honestly 16->1024 reps with zero recompiles; the r2/r3
+    power-of-two quantization existed only because a static trip count
+    was part of the compile-cache key).
 
     The calibration LOOPS until the target is reached: a single one-shot
     rescale (the r2 implementation) diverges in degraded windows — with
     ~28 ms launch overhead the probe time IS the overhead, so one rescale
     lands at overhead^2/(reps*2*target) per rep (~260 us) for every
     candidate regardless of its work (observed in the r3 BCSC probe). The
-    measured overhead is also SUBTRACTED from each launch timing."""
+    measured overhead is also SUBTRACTED from each launch timing.
+
+    `deadline` (absolute time.perf_counter() value) bounds calibration:
+    past it the runner keeps whatever rep count it has — degraded
+    precision, bounded wall clock (VERDICT r3 #1)."""
 
     def __init__(self, fn: Callable, args: Tuple, chain_idx: int,
-                 reps: int, min_launch_s: float):
+                 reps: int, min_launch_s: float, deadline: float = None):
         args = tuple(args)
         # The chained operand may itself be a pytree — packed GEMM operands
         # are (payload, scales) tuples. Chain through its FIRST leaf: one
@@ -139,42 +151,36 @@ class _ChainRunner:
             zero = (total * 0.0).astype(x.dtype)
             return x.at[(0,) * x.ndim].add(zero)
 
-        def make(r):
-            def run(s, tail, rest):
-                return jax.lax.fori_loop(
-                    0, r, lambda i, ss: step(ss, tail, rest), s)
-            jr = jax.jit(run)
-            return lambda s: jr(s, tail_dev, rest_dev)
+        def run(s, tail, rest, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, ss: step(ss, tail, rest), s)
+
+        jr = jax.jit(run)
+        self._looped = lambda s, n: jr(s, tail_dev, rest_dev, n)
 
         self._null = launch_overhead(refresh=True)
         # the launch must dwarf the overhead even after subtraction
         target = max(min_launch_s, 3.0 * self._null)
-        self.reps = reps
-        self._looped = make(reps)
-        x = self._looped(jax.device_put(leaves[0]))  # compile + warmup
+        self.reps = max(1, reps)
+        x = self._looped(jax.device_put(leaves[0]), 1)  # compile + warmup
         device_sync(x)
         for _ in range(8):
+            if deadline is not None and time.perf_counter() >= deadline:
+                break                      # degraded-but-bounded (r3 fix)
             t0 = time.perf_counter()
-            x = self._looped(x)
+            x = self._looped(x, self.reps)
             device_sync(x)
             t_probe = time.perf_counter() - t0
             if t_probe >= target or self.reps >= 200000:
                 break
             # estimate the true per-rep cost net of overhead and size the
-            # next launch to ~1.3x target. Rep counts are rounded UP to a
-            # power of two: the looped executable's cache key includes the
-            # trip count, so quantized counts hit the persistent compile
-            # cache across calibration iterations, runs, and processes —
-            # raw timing-derived counts recompile every time (~30-100 s
-            # per compile through the tunnel)
+            # next launch to ~1.3x target; the dynamic trip count makes
+            # this a pure re-run, never a recompile
             per = max((t_probe - self._null) / self.reps, 1e-9)
             want = int((1.3 * target) / per)
-            want = 1 << max(1, (want - 1).bit_length())
-            # always grow, always a power of two
-            self.reps = min(1 << 18, max(1 << self.reps.bit_length(), want))
-            self._looped = make(self.reps)
-            x = self._looped(x)                # compile + warmup anew
-            device_sync(x)
+            if want <= self.reps:
+                break
+            self.reps = min(200000, want)
         self._x = x
 
     def run_once(self, null: float = None) -> float:
@@ -187,7 +193,7 @@ class _ChainRunner:
         if null is None:
             null = self._null
         t0 = time.perf_counter()
-        self._x = self._looped(self._x)
+        self._x = self._looped(self._x, self.reps)
         device_sync(self._x)
         t = time.perf_counter() - t0
         return max(t - null, 0.25 * t) / self.reps
@@ -195,17 +201,20 @@ class _ChainRunner:
 
 def bench_chain(fn: Callable, args: Tuple, chain_idx: int = 0,
                 reps: int = 20, rounds: int = 3,
-                min_launch_s: float = 0.05) -> float:
+                min_launch_s: float = 0.05,
+                deadline: float = None) -> float:
     """Best seconds per call over `rounds` calibrated chained launches
     (see _ChainRunner for the measurement discipline)."""
-    runner = _ChainRunner(fn, args, chain_idx, reps, min_launch_s)
+    runner = _ChainRunner(fn, args, chain_idx, reps, min_launch_s,
+                          deadline=deadline)
     return min(runner.run_once(launch_overhead(refresh=True))
                for _ in range(max(1, rounds)))
 
 
 def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
                             min_launch_s: float = 0.05,
-                            per_round: bool = False):
+                            per_round: bool = False,
+                            deadline: float = None):
     """Best seconds per call for SEVERAL candidates with their timed
     launches INTERLEAVED round by round: candidate i's round-r launch runs
     adjacent to candidate j's, so every candidate samples the same
@@ -228,14 +237,22 @@ def bench_chain_interleaved(cands, reps: int = 20, rounds: int = 3,
     """
     runners = []
     for fn, args, chain_idx in cands:
+        if deadline is not None and time.perf_counter() >= deadline:
+            # budget exhausted mid-construction: later candidates are
+            # dropped (None) rather than blowing the caller's wall clock
+            runners.append(None)
+            continue
         try:
             runners.append(_ChainRunner(fn, args, chain_idx, reps,
-                                        min_launch_s))
+                                        min_launch_s, deadline=deadline))
         except Exception:
             runners.append(None)
     best = [float("inf") if r is not None else None for r in runners]
     rows = [[] for _ in runners]
-    for _ in range(max(1, rounds)):
+    for rnd in range(max(1, rounds)):
+        if (deadline is not None and rnd > 0
+                and time.perf_counter() >= deadline):
+            break                  # every built runner already has 1 round
         # one null per round, shared by every candidate: runner construction
         # is sequential and slow (tunnel compiles), so construction-time
         # nulls can straddle a window change and over/under-subtract one

@@ -134,14 +134,23 @@ def test_model_flash_train_step():
     assert float(loss) < l0
 
 
-def test_flash_rejects_dropout():
-    from libxsmm_tpu.models.tpp_attention import (AttentionConfig, forward,
-                                                  init_params)
-    cfg = AttentionConfig(dim=128, heads=2, flash=True, dropout_p=0.1)
+def test_model_flash_dropout_train_step():
+    """v2: attention-prob dropout fuses into the flash kernel (the r3
+    restriction is gone); gradients flow and training is seed-sensitive."""
+    from libxsmm_tpu.models.tpp_attention import (AttentionConfig,
+                                                  init_params, loss_fn)
+    cfg = AttentionConfig(dim=128, heads=2, ffn_mult=2, flash=True,
+                          dropout_p=0.25)
     params = init_params(cfg, seed=7)
-    x = jnp.zeros((1, 128, 128), jnp.float32)
-    with pytest.raises(ValueError, match="flash attention"):
-        forward(params, x, cfg, seed=3)
+    rng = np.random.default_rng(7)
+    x = _rand(rng, 2, 128, 128)
+    y = jnp.zeros((2, 128, 128), jnp.float32)
+    loss, grads = jax.value_and_grad(loss_fn)(params, x, y, cfg, 31)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    loss2 = loss_fn(params, x, y, cfg, 104729)
+    assert float(loss) != float(loss2)
 
 
 def test_flash_bad_args():
@@ -149,3 +158,189 @@ def test_flash_bad_args():
         dispatch_flash_attention(0, 128, 64)
     with pytest.raises(ValueError):
         dispatch_flash_attention(1, 128, 64, Datatype.I8)
+    with pytest.raises(ValueError):
+        dispatch_flash_attention(2, 128, 64, dropout_p=1.0)
+    with pytest.raises(ValueError):
+        dispatch_flash_attention(2, 128, 64, bias_bh=3)
+
+
+# ---------------------------------------------------------------------------
+# v2: online softmax, fused dropout/bias, LSE, Pallas backward
+# ---------------------------------------------------------------------------
+
+
+def test_flash_online_multiblock_matches_oracle():
+    """Force bk < s so the online-softmax recurrence (running max /
+    denominator / acc rescale) is exercised, not the single-panel
+    degenerate case."""
+    from libxsmm_tpu.kernels.attention_pallas import build_flash_attention
+
+    rng = np.random.default_rng(10)
+    bh, s, hd = 2, 512, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    for causal in (False, True):
+        f = build_flash_attention(bh, s, hd, jnp.float32, causal=causal,
+                                  block_override=(128, 128))
+        out = np.asarray(f(0, q, kT, v))
+        ref = _oracle(q, kT, v, hd ** -0.5, causal)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_lse_output():
+    from libxsmm_tpu.kernels.attention_pallas import build_flash_attention
+
+    rng = np.random.default_rng(11)
+    bh, s, hd = 2, 256, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    f = build_flash_attention(bh, s, hd, jnp.float32, return_lse=True,
+                              block_override=(128, 128))
+    _, lse = f(0, q, kT, v)
+    assert lse.shape == (bh, s, 128)       # lane-broadcast stat layout
+    scores = np.einsum("bqd,bdk->bqk", np.asarray(q), np.asarray(kT)) \
+        * hd ** -0.5
+    mx = scores.max(-1)
+    ref = mx + np.log(np.exp(scores - mx[..., None]).sum(-1))
+    np.testing.assert_allclose(np.asarray(lse[..., 0]), ref,
+                               rtol=1e-5, atol=1e-5)
+    # every lane carries the same value
+    np.testing.assert_array_equal(np.asarray(lse).min(-1),
+                                  np.asarray(lse).max(-1))
+
+
+def test_flash_dropout_matches_naive_mask():
+    """Fused dropout vs the XLA fallback evaluating the SAME position
+    hash: identical kept set, identical values."""
+    from libxsmm_tpu.ops.attention import _naive
+
+    rng = np.random.default_rng(12)
+    bh, s, hd = 2, 256, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    kern = dispatch_flash_attention(bh, s, hd, Datatype.F32, dropout_p=0.3)
+    out = np.asarray(kern(q, kT, v, seed=7))
+    ref = np.asarray(_naive(q, kT, v, hd ** -0.5, False, None, 0.3, 7))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    # seed-sensitive, and requires a seed at all
+    out2 = np.asarray(kern(q, kT, v, seed=8))
+    assert (out != out2).any()
+    with pytest.raises(ValueError, match="seed"):
+        kern(q, kT, v)
+
+
+def test_flash_dropout_gradients_replay_mask():
+    """The Pallas backward recomputes the identical dropout mask from the
+    position hash: grads match jax.grad through the naive composition
+    with the same mask (VERDICT r3 #4 done-criterion)."""
+    from libxsmm_tpu.ops.attention import _naive
+
+    rng = np.random.default_rng(13)
+    bh, s, hd = 2, 256, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    kern = dispatch_flash_attention(bh, s, hd, Datatype.F32, causal=True,
+                                    dropout_p=0.25)
+
+    def loss_fused(q, kT, v):
+        return jnp.sum(kern(q, kT, v, seed=5) ** 2)
+
+    def loss_naive(q, kT, v):
+        return jnp.sum(_naive(q, kT, v, hd ** -0.5, True, None, 0.25,
+                              5) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, kT, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, kT, v)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("bias_bh", [1, 2])
+def test_flash_bias_matches_naive(bias_bh):
+    from libxsmm_tpu.ops.attention import _naive
+
+    rng = np.random.default_rng(14)
+    bh, s, hd = 2, 256, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    bias = _rand(rng, bias_bh, s, s) * 0.5
+    kern = dispatch_flash_attention(bh, s, hd, Datatype.F32,
+                                    bias_bh=bias_bh)
+    out = np.asarray(kern(q, kT, v, bias=bias))
+    ref = np.asarray(_naive(q, kT, v, hd ** -0.5, False, bias))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="bias"):
+        kern(q, kT, v)                 # bias operand required
+
+
+def test_flash_bias_grad_per_head():
+    """bias_requires_grad with a per-(batch*head) bias: exact dbias from
+    the fused dkv kernel's ds blocks."""
+    from libxsmm_tpu.ops.attention import _naive
+
+    rng = np.random.default_rng(15)
+    bh, s, hd = 2, 256, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    bias = _rand(rng, bh, s, s) * 0.5
+    kern = dispatch_flash_attention(bh, s, hd, Datatype.F32, bias_bh=bh,
+                                    bias_requires_grad=True)
+    assert not kern.info.is_reference_kernel
+
+    def loss_fused(bias):
+        return jnp.sum(kern(q, kT, v, bias=bias) ** 2)
+
+    def loss_naive(bias):
+        return jnp.sum(_naive(q, kT, v, hd ** -0.5, False, bias) ** 2)
+
+    db_f = jax.grad(loss_fused)(bias)
+    db_n = jax.grad(loss_naive)(bias)
+    np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_n),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bias_grad_broadcast_routes_to_xla():
+    """bias_requires_grad + broadcast (1, s, s) bias: the fused path
+    cannot reduce the batch grid race-free — dispatch transparently uses
+    the XLA composition (flagged as reference) and the gradient is exact."""
+    from libxsmm_tpu.ops.attention import _naive
+
+    rng = np.random.default_rng(16)
+    bh, s, hd = 2, 256, 32
+    q, v = _rand(rng, bh, s, hd), _rand(rng, bh, s, hd)
+    kT = _rand(rng, bh, hd, s)
+    bias = _rand(rng, 1, s, s) * 0.5
+    kern = dispatch_flash_attention(bh, s, hd, Datatype.F32, bias_bh=1,
+                                    bias_requires_grad=True)
+    assert kern.info.is_reference_kernel
+
+    def loss_fused(bias):
+        return jnp.sum(kern(q, kT, v, bias=bias) ** 2)
+
+    def loss_naive(bias):
+        return jnp.sum(_naive(q, kT, v, hd ** -0.5, False, bias) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_fused)(bias)),
+                               np.asarray(jax.grad(loss_naive)(bias)),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_causal_nflops_halved():
+    k_c = dispatch_flash_attention(1, 128, 32, Datatype.F32, causal=True)
+    k_n = dispatch_flash_attention(1, 128, 32, Datatype.F32, causal=False)
+    assert k_n.info.nflops == 4 * 128 * 128 * 32
+    assert k_c.info.nflops == 2 * 128 * (128 + 1) * 32   # advisor r3
+
+
+def test_flash_long_sequence_envelope():
+    """v2 lifts the r3 s<=4096 cap: the envelope admits s=8192+ and the
+    VMEM formula picks blocks that fit (advisor r3 medium: the old fixed
+    bq oversubscribed VMEM at the f32 s=4096/hd=256 corner)."""
+    from libxsmm_tpu.kernels import attention_pallas as ap
+
+    assert ap.supported(8192, 128, jnp.bfloat16)
+    assert ap.supported(16384, 128, jnp.bfloat16)
+    assert ap.supported(4096, 256, jnp.float32)
+    bq, bk = ap._blocks(4096, 256, jnp.float32)
+    assert ap._fwd_vmem(bq, bk, 4096, 256, 4, False) <= ap._VMEM_BUDGET

@@ -299,9 +299,11 @@ def _attn_oracle(p, x, cfg):
     b, s, d = x.shape
     hd, nh = cfg.head_dim, cfg.heads
     xl = ln(x, p["ln1_g"], p["ln1_b"])
+    # head-major fused-QKV column layout (nh, 3, hd): tpp_attention
+    # init_params (Megatron convention, head-aligned tp shards)
     qkv = (xl.reshape(b * s, d) @ p["wqkv"] + p["bqkv"]).reshape(
-        b, s, 3, nh, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        b, s, nh, 3, hd)
+    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
     sc = _np.einsum("bqhd,bkhd->bhqk", q, k) / _np.sqrt(hd)
     ctx = _np.einsum("bhqk,bkhd->bqhd", sm(sc), v).reshape(b * s, d)
     h = x + (ctx @ p["wo"] + p["bo"]).reshape(b, s, d)
