@@ -1064,7 +1064,7 @@ def supervise(groups, budget):
     crash_counts = {}
     statuses = {}
     attempts = 0
-    stall_s = float(os.environ.get("XSMM_TPU_BENCH_STALL_S", "300"))
+    stall_s = float(os.environ.get("XSMM_TPU_BENCH_STALL_S", "240"))
     while attempts < 6:
         remaining = t_end - _now()
         done = set()
@@ -1083,6 +1083,8 @@ def supervise(groups, budget):
                "--deadline-epoch", str(t_end - 10)]
         if SMOKE:
             cmd.append("--smoke")
+        heartbeat()      # reset: a STALE file from the previous attempt
+        #                  would instantly re-kill every relaunch
         proc = subprocess.Popen(cmd, start_new_session=True)
         rc = None
         while True:

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from libxsmm_tpu.ops.sparse import BsrMatrix
 from libxsmm_tpu.parallel.mesh import make_mesh, shard
@@ -240,3 +241,102 @@ def test_dist_spmm_allgather_k_validated():
     bsr2 = BsrMatrix.from_dense(a2, 4, 4)
     with pytest.raises(ValueError, match="divisible"):
         DistributedBsrSpmm(bsr2, 16, mesh, comm="allgather")
+
+
+# ---------------------------------------------------------------------------
+# ring (sequence-parallel) attention — rubric CP axis (reference absent,
+# SURVEY.md §5.7); parallel/ring_attention.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_single_device(causal):
+    from libxsmm_tpu.ops.attention import _naive
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    from libxsmm_tpu.parallel.ring_attention import make_ring_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(0)
+    bh, s, hd = 2, 1024, 32
+    q = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    kT = jnp.asarray(rng.standard_normal((bh, hd, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    mesh = make_mesh([("sp", 8)])
+    fn, sh = make_ring_attention(mesh, "sp", bh, s, hd, jnp.float32,
+                                 causal=causal)
+    out = fn(jax.device_put(q, sh["q"]), jax.device_put(kT, sh["kT"]),
+             jax.device_put(v, sh["v"]))
+    ref = _naive(q, kT, v, hd ** -0.5, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_backward_ring():
+    """The backward is a SECOND ring pass: per-segment Pallas flash
+    backward fed the global lse/delta, dK/dV accumulators riding the
+    ring home. Grads must match autodiff through the naive composition."""
+    from libxsmm_tpu.ops.attention import _naive
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    from libxsmm_tpu.parallel.ring_attention import make_ring_attention
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(1)
+    bh, s, hd = 2, 512, 32
+    q = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    kT = jnp.asarray(rng.standard_normal((bh, hd, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    mesh = make_mesh([("sp", 4)])
+    fn, sh = make_ring_attention(mesh, "sp", bh, s, hd, jnp.float32,
+                                 causal=True)
+    args = (jax.device_put(q, sh["q"]), jax.device_put(kT, sh["kT"]),
+            jax.device_put(v, sh["v"]))
+
+    def loss(q_, kT_, v_):
+        return jnp.sum(fn(q_, kT_, v_) ** 2)
+
+    def loss_n(q_, kT_, v_):
+        return jnp.sum(_naive(q_, kT_, v_, hd ** -0.5, True) ** 2)
+
+    gr = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, kT, v)
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ring_attention_comm_model():
+    """Analytic comm volume ((P-1) hops x kT+v segment) and the lowered
+    program really carries collective-permutes of exactly the segment
+    payload (the tests/test_parallel ring discipline)."""
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    from libxsmm_tpu.parallel.ring_attention import (
+        lowered_text, make_ring_attention, ring_comm_bytes_per_device)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    bh, s, hd = 2, 1024, 32
+    for nd in (2, 4, 8):
+        assert ring_comm_bytes_per_device(bh, s, hd, nd, jnp.float32) \
+            == (nd - 1) * 2 * bh * (s // nd) * hd * 4
+    mesh = make_mesh([("sp", 8)])
+    txt = lowered_text(mesh, "sp", bh, s, hd, jnp.float32)
+    assert "collective_permute" in txt.replace("-", "_")
+    # the permuted payloads are one kT and one v segment
+    assert f"tensor<{bh}x{hd}x{s // 8}xf32>" in txt
+    assert f"tensor<{bh}x{s // 8}x{hd}xf32>" in txt
+
+
+def test_ring_attention_rejects_indivisible():
+    from libxsmm_tpu.parallel.mesh import make_mesh
+    from libxsmm_tpu.parallel.ring_attention import make_ring_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mesh = make_mesh([("sp", 8)])
+    with pytest.raises(ValueError, match="divide"):
+        make_ring_attention(mesh, "sp", 2, 1001, 32, jnp.float32)
+    with pytest.raises(ValueError, match="envelope"):
+        # 1000/8 = 125 rows per shard: not a lane multiple
+        make_ring_attention(mesh, "sp", 2, 1000, 32, jnp.float32)
