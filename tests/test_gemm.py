@@ -968,3 +968,54 @@ def test_brgemm_ext_packed_deep_pack():
                           d_op=jnp.asarray(bias)))
     want = np.maximum(np.einsum("bmk,bkn->mn", a, b) + bias, 0.0)
     check(want, got, margin=1e-5)
+
+
+def test_brgemm_packed_acc_scratch_matches():
+    """acc_scratch=True (the VERDICT r2/r3 scratch-accumulator schedule)
+    is numerically identical to the default output-block accumulation,
+    across beta and fused-epilogue variants."""
+    import libxsmm_tpu as xt
+    from libxsmm_tpu.descriptor import (BatchReduceConfig, BatchReduceType,
+                                        BinaryPostops, BinaryType,
+                                        GemmFlags, GemmShape, UnaryArgops,
+                                        UnaryType)
+    from libxsmm_tpu.dtypes import Datatype
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    br, m, n, k = 24, 32, 64, 32
+    shape = GemmShape(m, n, k)
+    a = jnp.asarray(rng.standard_normal((br, m, k)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((br, k, n)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    cfg = BatchReduceConfig(BatchReduceType.STRIDE, br)
+    q = xt.brgemm_pack_factor(shape)
+    a_p = xt.pack_batched(a, q)
+    # step_groups=5 forces a RAGGED final step (groups=6) in both variants
+    base = xt.dispatch_brgemm_packed(shape, GemmFlags.BETA_0, cfg,
+                                     step_groups=5)
+    scr = xt.dispatch_brgemm_packed(shape, GemmFlags.BETA_0, cfg,
+                                    step_groups=5, acc_scratch=True)
+    np.testing.assert_allclose(np.asarray(base(a_p, b)),
+                               np.asarray(scr(a_p, b)), rtol=1e-6)
+    ref = np.einsum("bmk,bkn->mn", np.asarray(a, np.float64),
+                    np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(scr(a_p, b)), ref,
+                               rtol=1e-4, atol=1e-4)
+    # fused relu+bias pair
+    fb = xt.dispatch_brgemm_ext_packed(
+        shape, GemmFlags.BETA_0, cfg,
+        argops=UnaryArgops(cp_type=UnaryType.RELU),
+        postops=BinaryPostops(d_type=BinaryType.ADD), step_groups=5)
+    fs = xt.dispatch_brgemm_ext_packed(
+        shape, GemmFlags.BETA_0, cfg,
+        argops=UnaryArgops(cp_type=UnaryType.RELU),
+        postops=BinaryPostops(d_type=BinaryType.ADD), step_groups=5,
+        acc_scratch=True)
+    np.testing.assert_allclose(np.asarray(fb(a_p, b, d_op=bias)),
+                               np.asarray(fs(a_p, b, d_op=bias)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs(a_p, b, d_op=bias)),
+                               np.maximum(ref + np.asarray(bias), 0.0),
+                               rtol=1e-4, atol=1e-4)

