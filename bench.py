@@ -51,6 +51,11 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 PARTS_DIR = os.path.join(ROOT, ".claude", "bench_parts")
+# per-group last-GOOD fragments, surviving across bench invocations: when
+# a backend-outage episode (observed: 6+ min mid-run hangs) robs a run of
+# a group, the merge falls back to the group's last good capture, LABELED
+# stale — one bad window loses freshness, not the round's record
+GOOD_DIR = os.path.join(ROOT, ".claude", "bench_parts_good")
 HEARTBEAT = os.path.join(PARTS_DIR, "_heartbeat")
 CURRENT = os.path.join(PARTS_DIR, "_current")
 _LAST_GOOD_PATH = os.path.join(ROOT, ".claude", "bench_last_good.json")
@@ -273,15 +278,54 @@ def paired_ratio(per_round, num_key, den_key):
     return rs[len(rs) // 2]
 
 
-def _pick_variant(cands, args, chain_idx=0, reps=16, deadline=None):
+_VARIANTS_PATH = os.path.join(PARTS_DIR, "..", "bench_variants.json")
+
+
+def _load_variant(key):
+    """Persisted winning-variant index for `key` (None when absent). The
+    store turns run N+1's variant pick into a single build — the Mosaic
+    draw is frozen in the compile cache anyway, and re-picking costs
+    minutes of cold compiles per group (r4 try-6: smm construction ate
+    285s of its budget)."""
+    try:
+        with open(_VARIANTS_PATH) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _store_variant(key, idx):
+    try:
+        try:
+            with open(_VARIANTS_PATH) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            d = {}
+        d[key] = idx
+        tmp = _VARIANTS_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, _VARIANTS_PATH)
+    except OSError:
+        pass
+
+
+def _pick_variant(cands, args, chain_idx=0, reps=16, deadline=None,
+                  store_key=None):
     """Index + best time of the fastest candidate by INTERLEAVED chained
     timing (Mosaic schedule lottery: the same kernel source draws
     0.58-0.93x of SoL between compiles). Deadline-bounded: candidates not
-    built in time are dropped; if nothing was timed, candidate 0 wins."""
+    built in time are dropped; if nothing was timed, candidate 0 wins.
+    With store_key, a previously persisted winner short-circuits the pick
+    (delete .claude/bench_variants.json to re-tune)."""
     if SMOKE:
         for fn in cands:                 # a broken variant must fail HERE
             fn(*args)
         return 0, 1.0
+    if store_key is not None:
+        idx = _load_variant(store_key)
+        if isinstance(idx, int) and 0 <= idx < len(cands):
+            return idx, float("nan")
     from libxsmm_tpu.utils.timer import bench_chain_interleaved
 
     times = bench_chain_interleaved(
@@ -293,6 +337,8 @@ def _pick_variant(cands, args, chain_idx=0, reps=16, deadline=None):
             best_i, best_t = i, t
     if best_i is None:
         return 0, float("inf")
+    if store_key is not None and sum(t is not None for t in times) >= 2:
+        _store_variant(store_key, best_i)
     return best_i, best_t
 
 
@@ -363,7 +409,8 @@ def make_smm_cases(deadline=None):
                                              GemmFlags.BETA_0,
                                              step_groups=sg)
              for sg in sgs]
-    i, _ = _pick_variant(cands, (a0, b), deadline=deadline)
+    i, _ = _pick_variant(cands, (a0, b), deadline=deadline,
+                         store_key="smm_kern")
     kern = cands[i]
     flops = 2 * B * m * n * k
     bytes_moved = B * (m * k + k * n + m * n) * 4   # packed layout = dense
@@ -387,7 +434,8 @@ def make_smm_cases(deadline=None):
             interpret=device.use_interpret()))
 
     scands = [make(S) for S in sgs]
-    j, _ = _pick_variant(scands, (a0s, bs), deadline=deadline)
+    j, _ = _pick_variant(scands, (a0s, bs), deadline=deadline,
+                         store_key="smm_sol")
     scall = scands[j]
     sol_bytes = B * 3 * m * 32 * 4
     sol = ChainCase(lambda a: scall(a, bs), a0s, deadline=deadline)
@@ -437,7 +485,8 @@ def make_brgemm_cases(ctx):
         cands.append(lambda b_, c_=c_, a_p=a_p: c_(a_p, b_))
         variants.append({"pack_q": q * mult, "step_groups": sg,
                          "mult": mult, "sg": sg, "acc_scratch": scr})
-    wi, _ = _pick_variant(cands, (b0,), deadline=ctx.deadline)
+    wi, _ = _pick_variant(cands, (b0,), deadline=ctx.deadline,
+                          store_key="brgemm_kern")
     kern, win = cands[wi], variants[wi]
     ctx.emit(brgemm_winning_variant={k_: win[k_]
                                      for k_ in ("pack_q", "step_groups",
@@ -606,7 +655,7 @@ def make_bcsc_cases(ctx, density):
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     kerns = {}
-    for s in ("dense", "union", "union2"):
+    for s in ("dense", "union", "union2", "union3"):
         try:
             kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
                                                  SpgemmConfig(1, bk, bn),
@@ -957,6 +1006,17 @@ def runner_main(groups, deadline_epoch):
             if ctx.frag["status"] == "building":
                 ctx.frag["status"] = "ok"
             ctx.flush()
+            if ctx.frag["status"] == "ok" and not SMOKE:
+                try:                     # persist as the group's last-good
+                    os.makedirs(GOOD_DIR, exist_ok=True)
+                    good = dict(ctx.frag)
+                    good["captured_at"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%S")
+                    with open(os.path.join(GOOD_DIR, g + ".json"),
+                              "w") as f:
+                        json.dump(good, f)
+                except OSError:
+                    pass
         except Exception as e:
             ctx.frag["status"] = "error"
             ctx.frag["error"] = f"{type(e).__name__}: {e}"
@@ -1016,18 +1076,37 @@ def _parse_args(argv):
 def _merge_and_print(groups, t_start, attempts, statuses):
     extras = {}
     group_report = {}
+    stale = {}
     for g in groups:
         frag = read_fragment(g)
+        status = (frag or {}).get("status")
+        if status != "ok" and not SMOKE:
+            # fall back to the group's last GOOD capture from an earlier
+            # invocation (labeled stale) — a mid-run backend outage must
+            # not erase the round's measured record
+            try:
+                with open(os.path.join(GOOD_DIR, g + ".json")) as f:
+                    old = json.load(f)
+                if old.get("extras"):
+                    if frag is None or not frag.get("extras"):
+                        frag = old
+                        stale[g] = old.get("captured_at", "?")
+            except (OSError, ValueError):
+                pass
         if frag is None:
             group_report[g] = statuses.get(g, "missing")
             continue
-        group_report[g] = frag.get("status", "unknown")
-        if statuses.get(g) and frag.get("status") not in ("ok",):
+        group_report[g] = (f"stale({stale[g]})" if g in stale
+                           else frag.get("status", "unknown"))
+        if (statuses.get(g) and frag.get("status") not in ("ok",)
+                and g not in stale):
             group_report[g] = statuses[g]
         extras.update(frag.get("extras", {}))
         if frag.get("case_errors"):
             extras.setdefault("case_errors", {}).update(
                 {f"{g}:{k}": v for k, v in frag["case_errors"].items()})
+    if "smm" in stale:
+        extras["headline_stale_from"] = stale["smm"]
     frac = extras.pop("headline_fraction", None)
     value = frac if frac is not None else 0.0
     extras["bench_run"] = {

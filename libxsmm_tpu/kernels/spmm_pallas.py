@@ -257,7 +257,8 @@ def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
 def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                           indptr: np.ndarray, indices: np.ndarray,
                           double_buffer: bool = False,
-                          cluster: bool = True
+                          cluster: bool = True,
+                          assemble_dma: bool = False
                           ) -> Optional[Callable]:
     """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
 
@@ -284,6 +285,16 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     so Mosaic is free to interleave the two engines; the serial variant's
     assemble->dot chain forbids that (r3 estimate: assembly ~ half the step
     at 20% density). Costs 2x scratch VMEM (tm may shrink one notch).
+
+    assemble_dma=True ("union3", implies the double-buffered pipeline):
+    panel assembly runs as EXPLICIT async copies on the DMA engine
+    (pltpu.make_async_copy, one per union slot, per-(buffer, slot) DMA
+    semaphores) instead of VPU ref copies — step g starts group g+1's U
+    copies, dots the current panel on the MXU, and only waits the next
+    buffer's semaphores at step g+1. Assembly bandwidth then comes from
+    the copy engines and overlaps the dot by HARDWARE, not by Mosaic's
+    scheduling discretion (VERDICT r3 #6: the union kernel's measured gap
+    to useful peak is assembly-bound at 20%% density).
     """
     import jax
     from jax.experimental import pallas as pl
@@ -367,6 +378,8 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     # buffers within ~half of VMEM
     budget = device.get_geometry().vmem_bytes // 2
     isz = jnp.dtype(in_dt).itemsize
+    if assemble_dma:
+        double_buffer = True        # the DMA pipeline IS double-buffered
     nbuf = 2 if double_buffer else 1
     tm = m
     while tm > sub and (k + nbuf * U * bk) * tm * isz > budget:
@@ -431,6 +444,55 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
         def _():
             body(s1, s0)
 
+    def kernel_dma(krows_ref, at_ref, rhs_ref, o_ref, s0, s1, sems):
+        """DMA-assembled pipeline: the U per-slot copies for group g+1 run
+        on the copy engines WHILE the MXU dots group g's panel; their
+        semaphores are awaited only when that buffer is consumed. sems is
+        a (2, U) DMA semaphore array, slot [buf][u]."""
+        g = pl.program_id(1)
+
+        def start_copies(buf, bsl, grp):
+            for u in range(U):
+                idx = krows_ref[grp * U + u]
+                pltpu.make_async_copy(
+                    at_ref.at[pl.ds(idx * bk, bk), :],
+                    buf.at[u * bk:(u + 1) * bk, :],
+                    sems.at[bsl, u]).start()
+
+        def wait_copies(buf, bsl, grp):
+            for u in range(U):
+                idx = krows_ref[grp * U + u]
+                pltpu.make_async_copy(
+                    at_ref.at[pl.ds(idx * bk, bk), :],
+                    buf.at[u * bk:(u + 1) * bk, :],
+                    sems.at[bsl, u]).wait()
+
+        @pl.when(g == 0)
+        def _():                     # new m-tile: prologue group 0 into s0
+            start_copies(s0, 0, g)
+
+        even = jax.lax.rem(g, jnp.int32(2)) == 0
+
+        def body(cur, cur_sl, nxt, nxt_sl):
+            @pl.when(g + 1 < nsg)
+            def _():
+                start_copies(nxt, nxt_sl, g + 1)
+            wait_copies(cur, cur_sl, g)
+            dot_group(cur, rhs_ref, o_ref)
+
+        @pl.when(even)
+        def _():
+            body(s0, 0, s1, 1)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            body(s1, 1, s0, 0)
+
+    scratch_shapes = [pltpu.VMEM((U * bk, tm), in_dt)
+                      for _ in range(nbuf)]
+    if assemble_dma:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, U)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_tiles, nsg),
@@ -444,13 +506,13 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                          lambda i, g, krows: (g, i - i, i - i)),
         ],
         out_specs=pl.BlockSpec((tm, 128), lambda i, g, krows: (i, g)),
-        scratch_shapes=[pltpu.VMEM((U * bk, tm), in_dt)
-                        for _ in range(nbuf)],
+        scratch_shapes=scratch_shapes,
     )
 
     osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
-        kernel_db if double_buffer else kernel,
+        kernel_dma if assemble_dma else (
+            kernel_db if double_buffer else kernel),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
         interpret=device.use_interpret(),

@@ -109,8 +109,12 @@ def make_ring_attention(mesh: Mesh, axis: str, bh: int, s: int, hd: int,
 
     def _src(idx, t):
         """After t forward rotations the resident segment originated at
-        device (idx - t) mod ndev."""
-        return jax.lax.rem(idx - t + ndev, ndev)
+        device (idx - t) mod ndev. Typed i32 constants: under a global
+        jax_enable_x64 flip (any F64 dispatch sets it) bare Python ints
+        trace as i64 and lax.rem rejects the mixed dtypes (CLAUDE.md x64
+        hazards)."""
+        return jax.lax.rem(idx - jnp.int32(t) + jnp.int32(ndev),
+                           jnp.int32(ndev))
 
     def _fwd_ring(q, kT, v):
         idx = jax.lax.axis_index(axis)

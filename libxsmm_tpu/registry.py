@@ -141,8 +141,15 @@ class Registry:
                         # refresh recency (dicts are insertion-ordered)
                         self._kernels.pop(descriptor)
                         self._kernels[descriptor] = hit
+                    from .utils.trace import trace_event
+                    trace_event("dispatch_hit", hit.name)
                     return hit
+        import time as _time
+        _t0 = _time.perf_counter()
         kernel = builder(descriptor)
+        from .utils.trace import trace_event
+        trace_event("dispatch_build", getattr(kernel, "name", "?"),
+                    build_ms=round((_time.perf_counter() - _t0) * 1e3, 3))
         with self._lock:
             # lost-race check: first build wins, like the registry's atomic
             # slot publish (src/libxsmm_main.c:2853-2857)

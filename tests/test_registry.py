@@ -105,3 +105,26 @@ def test_registry_lru_eviction():
         assert reg.get_registry_info()["evictions"] == 2
     finally:
         CONFIG.registry_capacity, CONFIG.registry_evict = old_cap, old_evict
+
+
+def test_dispatch_trace(tmp_path, monkeypatch):
+    """XSMM_TPU_TRACE=<file>: dispatch-level call tracing (the reference's
+    libxsmm_trace function-entry analogue, src/libxsmm_trace.c:106-111 —
+    the meaningful call boundary on this stack is the dispatch)."""
+    import importlib
+
+    from libxsmm_tpu.utils import trace as tr
+    import libxsmm_tpu as xt
+    from libxsmm_tpu.descriptor import GemmFlags, GemmShape
+
+    path = tmp_path / "trace.log"
+    monkeypatch.setenv("XSMM_TPU_TRACE", str(path))
+    monkeypatch.setattr(tr, "_TRACE_SINK", None)   # re-resolve the sink
+    shape = GemmShape(19, 17, 13)
+    xt.dispatch_gemm(shape, GemmFlags.BETA_0)      # build
+    xt.dispatch_gemm(shape, GemmFlags.BETA_0)      # hit
+    monkeypatch.setattr(tr, "_TRACE_SINK", None)
+    txt = path.read_text()
+    assert "dispatch_build" in txt and "build_ms=" in txt
+    assert "dispatch_hit" in txt
+    assert "xsmm_trace" in txt

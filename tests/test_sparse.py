@@ -788,3 +788,24 @@ def test_bcsc_blocking_validated_at_create():
                                   column_ptr=np.zeros(5, np.int32),
                                   row_idx=np.zeros(0, np.int32),
                                   strategy="dense")
+
+
+def test_pspgemm_bcsc_union3_dma_matches():
+    """union3 (DMA-assembled double-buffered union pipeline): numerically
+    identical to union/union2 and the oracle."""
+    m, k, n, bk, bn = 128, 256, 256, 32, 32
+    b = _sparse_dense(k, n, 0.25)
+    # block-sparsify
+    keep = RNG.random((k // bk, n // bn)) < 0.3
+    b *= np.kron(keep, np.ones((bk, bn), np.float32))
+    bm = BcscMatrix.from_dense(b, bk=bk, bn=bn)
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    ref = a @ bm.to_dense()
+    outs = {}
+    for s in ("union", "union3"):
+        kern = create_packed_spgemm_bcsc(
+            GemmShape(m, n, k), GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
+            column_ptr=bm.indptr, row_idx=bm.indices, strategy=s)
+        outs[s] = np.asarray(kern(a, bm.data))
+        check(ref, outs[s], margin=1e-4)
+    np.testing.assert_allclose(outs["union"], outs["union3"], rtol=1e-6)
