@@ -50,8 +50,8 @@ The backward is two Pallas kernels (the standard flash split):
     and the saved LSE (the flash recompute trade — the forward never
     stored them).
   * dq: grid (bh, s/bq, s/bk), K streams innermost; accumulates dQ.
-Both replay the dropout mask bit-exactly by reseeding the same per-block
-PRNG stream. delta = rowsum(dout * out) is precomputed by XLA (cheap,
+Both replay the dropout mask bit-exactly from the position hash (any
+tiling). delta = rowsum(dout * out) is precomputed by XLA (cheap,
 HBM-linear).
 
 Index maps derive zeros from the grid index (``i - i``) — a literal 0
@@ -100,21 +100,24 @@ def _bwd_vmem(bq, bk, s, hd, item, has_bias) -> int:
     return operands + panel + scratch + out
 
 
-def _blocks(s: int, hd: int, dtype, has_bias: bool = False):
-    """Largest (bq, bk) whose forward AND backward working sets fit the
-    VMEM budget (advisor r3: the fixed-table bq admitted an f32
-    s=4096, hd=256 corner that oversubscribed VMEM and would fail the
-    deferred Mosaic compile at first call)."""
+def _blocks(s: int, hd: int, dtype, has_bias: bool = False,
+            mode: str = "fwd"):
+    """Largest (bq, bk) whose working set fits the VMEM budget (advisor
+    r3: the fixed-table bq admitted an f32 s=4096, hd=256 corner that
+    oversubscribed VMEM and would fail the deferred Mosaic compile at
+    first call). mode selects the footprint formula — forward and
+    backward pick their blocks INDEPENDENTLY (the position-hash dropout
+    mask depends only on global coordinates, so the tilings need not
+    match)."""
     item = _itemsize(dtype)
+    fit = _bwd_vmem if mode == "bwd" else _fwd_vmem
     for bk in (s, 2048, 1024, 512, 256, 128):
         if bk > s or s % bk:
             continue
         for bq in (512, 256, 128):
             if bq > s or s % bq:
                 continue
-            if (_fwd_vmem(bq, bk, s, hd, item, has_bias) <= _VMEM_BUDGET
-                    and _bwd_vmem(bq, bk, s, hd, item, has_bias)
-                    <= _VMEM_BUDGET):
+            if fit(bq, bk, s, hd, item, has_bias) <= _VMEM_BUDGET:
                 return bq, bk
     return None
 
@@ -127,7 +130,8 @@ def supported(s: int, hd: int, dtype) -> bool:
         return False
     if hd % 8 != 0 or hd > 256:
         return False
-    return _blocks(s, hd, dtype) is not None
+    return (_blocks(s, hd, dtype, mode="fwd") is not None
+            and _blocks(s, hd, dtype, mode="bwd") is not None)
 
 
 def _dropout_threshold(p: float):
@@ -177,7 +181,7 @@ def build_flash_attention(bh: int, s: int, hd: int, dtype,
     has_bias = bias_bh > 0
     # block_override=(bq, bk): tests force the multi-K-block online
     # recurrence on shapes where the formula would pick bk == s
-    bq, bk = block_override or _blocks(s, hd, dtype, has_bias)
+    bq, bk = block_override or _blocks(s, hd, dtype, has_bias, mode="fwd")
     nq, nk = s // bq, s // bk
     sc = float(scale) if scale is not None else float(hd) ** -0.5
     precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
@@ -231,7 +235,7 @@ def build_flash_attention(bh: int, s: int, hd: int, dtype,
             e = jnp.exp(s_blk - m_new)
             l_new = l_prev * alpha + jnp.sum(e, axis=-1, keepdims=True)
             if dropout_p > 0.0:
-                # position-hash mask: the backward recomputes the same
+                # position-hash mask: the backward recomputes identical
                 # bits from (seed, b, global row, global col)
                 bits = _rand_bits(seed_ref[0], b, row, col)
                 e_use = jnp.where(bits >= thr, e * inv_keep, 0.0)
@@ -325,9 +329,9 @@ def build_flash_attention_bwd(bh: int, s: int, hd: int, dtype,
     """Backward kernel factory (dkv + dq Pallas kernels).
 
     Returns fn(seed, q, kT, v, dout, lse, delta[, bias]) ->
-    (dq, dkT, dv[, dbias]). Block geometry MUST match the forward's (the
-    dropout mask replay depends on identical (bq, bk) tiling) — both
-    call _blocks with the same arguments. bias_grad=True additionally
+    (dq, dkT, dv[, dbias]). Block geometry is chosen independently of the
+    forward's (the position-hash dropout mask depends only on GLOBAL
+    coordinates, so replay survives any tiling). bias_grad=True additionally
     emits dbias (only valid for bias_bh == bh: the broadcast (1, s, s)
     case would need a cross-batch reduction the grid order cannot
     express race-free; ops/attention sums it outside for that case or
@@ -341,7 +345,7 @@ def build_flash_attention_bwd(bh: int, s: int, hd: int, dtype,
     has_bias = bias_bh > 0
     if bias_grad and bias_bh != bh:
         raise ValueError("bias_grad requires a per-(batch*head) bias")
-    bq, bk = block_override or _blocks(s, hd, dtype, has_bias)
+    bq, bk = block_override or _blocks(s, hd, dtype, has_bias, mode="bwd")
     nq, nk = s // bq, s // bk
     sc = float(scale) if scale is not None else float(hd) ** -0.5
     precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
