@@ -50,7 +50,12 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-PARTS_DIR = os.path.join(ROOT, ".claude", "bench_parts")
+SMOKE = "--smoke" in sys.argv or os.environ.get("XSMM_TPU_BENCH_SMOKE") == "1"
+# smoke runs get their OWN fragment dir: a smoke invocation concurrent
+# with a real run must never clobber the real run's fragments or leak
+# CPU numbers into its merge (r4: observed exactly that)
+PARTS_DIR = os.path.join(ROOT, ".claude",
+                         "bench_parts_smoke" if SMOKE else "bench_parts")
 # per-group last-GOOD fragments, surviving across bench invocations: when
 # a backend-outage episode (observed: 6+ min mid-run hangs) robs a run of
 # a group, the merge falls back to the group's last good capture, LABELED
@@ -75,7 +80,6 @@ GROUP_ORDER = [
 ]
 GROUP_NAMES = [g for g, _, _ in GROUP_ORDER]
 
-SMOKE = "--smoke" in sys.argv or os.environ.get("XSMM_TPU_BENCH_SMOKE") == "1"
 TARGET_LAUNCH_S = 0.004 if SMOKE else 0.12
 MAX_ROUNDS_DEFAULT = 1 if SMOKE else 12
 
@@ -85,9 +89,14 @@ def _now():
 
 
 def heartbeat():
+    # atomic: the supervisor polls this file every 2s — a truncate-then-
+    # write lets it read an empty file mid-write (observed r4: ValueError
+    # -> hb_age=inf -> instant leash kill + int(inf) overflow)
     try:
-        with open(HEARTBEAT, "w") as f:
+        tmp = HEARTBEAT + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(_now()))
+        os.replace(tmp, HEARTBEAT)
     except OSError:
         pass
 
@@ -338,7 +347,12 @@ def _pick_variant(cands, args, chain_idx=0, reps=16, deadline=None,
     if best_i is None:
         return 0, float("inf")
     if store_key is not None and sum(t is not None for t in times) >= 2:
-        _store_variant(store_key, best_i)
+        # never freeze a winner picked on a CPU-fallback backend: CPU
+        # relative timings do not transfer to the TPU (observed r4:
+        # brgemm_kern chosen by a tunnel-outage run)
+        from libxsmm_tpu.device import on_tpu
+        if on_tpu():
+            _store_variant(store_key, best_i)
     return best_i, best_t
 
 
@@ -565,7 +579,23 @@ def make_flash_cases(deadline=None):
         "fused": ChainCase(lambda q: kern(q, kT, v), q0, deadline=deadline),
         "naive": ChainCase(lambda q: naive(q, kT, v), q0, deadline=deadline),
     }
-    return cases, 4 * bh * s * s * hd
+    flops8k = 0
+    if not SMOKE:
+        # v2's lifted-cap shape (VERDICT r3 #4): s=8192 through the online
+        # recurrence; no naive twin (the (bh, s, s) panels don't fit HBM
+        # sanely) — absolute TF/s only
+        bh8, s8 = 2, 8192
+        q8 = jax.device_put(
+            jnp.asarray(rng.standard_normal((bh8, s8, hd)), jnp.bfloat16))
+        kT8 = jax.device_put(
+            jnp.asarray(rng.standard_normal((bh8, hd, s8)), jnp.bfloat16))
+        v8 = jax.device_put(
+            jnp.asarray(rng.standard_normal((bh8, s8, hd)), jnp.bfloat16))
+        k8 = dispatch_flash_attention(bh8, s8, hd, Datatype.BF16)
+        cases["fused8k"] = ChainCase(lambda q: k8(q, kT8, v8), q8,
+                                     deadline=deadline)
+        flops8k = 4 * bh8 * s8 * s8 * hd
+    return cases, (4 * bh * s * s * hd, flops8k)
 
 
 def make_fsspmdm_cases(ctx):
@@ -853,7 +883,7 @@ def grp_brgemm(ctx):
 
 
 def grp_flash(ctx):
-    cases, flops = make_flash_cases(ctx.deadline)
+    cases, (flops, flops8k) = make_flash_cases(ctx.deadline)
 
     def update(pr):
         ex = {
@@ -864,6 +894,9 @@ def grp_flash(ctx):
         r = paired_ratio(pr, "fused", "naive")
         if r is not None:
             ex["flash_attn_speedup"] = round(r, 3)
+        if "fused8k" in cases and cases["fused8k"].best < float("inf"):
+            ex["flash_attn_s8192_tf_s"] = round(
+                flops8k / cases["fused8k"].best / 1e12, 1)
         ctx.emit(**ex)
 
     ctx.rounds(cases, update, min_rounds=4, max_rounds=10)
@@ -1005,8 +1038,13 @@ def runner_main(groups, deadline_epoch):
             GROUP_FNS[g](ctx)
             if ctx.frag["status"] == "building":
                 ctx.frag["status"] = "ok"
+            # A TPU-tunnel outage silently degrades jax to the CPU backend
+            # in a NON-smoke run (observed r4: CPU numbers overwrote the
+            # round's TPU record) — never persist good captures off-TPU.
+            from libxsmm_tpu.device import on_tpu as _on_tpu
+            ctx.frag["on_tpu"] = _on_tpu()
             ctx.flush()
-            if ctx.frag["status"] == "ok" and not SMOKE:
+            if ctx.frag["status"] == "ok" and not SMOKE and ctx.frag["on_tpu"]:
                 try:                     # persist as the group's last-good
                     os.makedirs(GOOD_DIR, exist_ok=True)
                     good = dict(ctx.frag)
@@ -1077,6 +1115,7 @@ def _merge_and_print(groups, t_start, attempts, statuses):
     extras = {}
     group_report = {}
     stale = {}
+    headline_on_tpu = False      # smm fragment fresh AND captured on TPU
     for g in groups:
         frag = read_fragment(g)
         status = (frag or {}).get("status")
@@ -1101,6 +1140,8 @@ def _merge_and_print(groups, t_start, attempts, statuses):
         if (statuses.get(g) and frag.get("status") not in ("ok",)
                 and g not in stale):
             group_report[g] = statuses[g]
+        if g == "smm" and g not in stale:
+            headline_on_tpu = frag.get("on_tpu") is True
         extras.update(frag.get("extras", {}))
         if frag.get("case_errors"):
             extras.setdefault("case_errors", {}).update(
@@ -1136,7 +1177,11 @@ def _merge_and_print(groups, t_start, attempts, statuses):
                 result["extras"]["last_known_good"] = json.load(f)
         except (OSError, ValueError):
             pass
-    else:
+    elif headline_on_tpu and extras.get("on_tpu") is True:
+        # only a run whose HEADLINE fragment was freshly captured on the
+        # TPU may become the last-known-good record (extras["on_tpu"] is
+        # the probes fragment's flag, which can be stale-TPU while the
+        # headline re-ran on a CPU-fallback respawn)
         try:
             snap = dict(result)
             snap["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
@@ -1173,6 +1218,15 @@ def supervise(groups, budget):
                 done.add(g)
         todo = [g for g in groups
                 if g not in done and crash_counts.get(g, 0) < 2]
+        # coverage-first ordering: probes/dispatch stay first (cheap,
+        # window context), then groups WITHOUT a persisted good capture
+        # (they'd otherwise starve behind the same early groups every
+        # run), then stale-refresh in priority order
+        todo.sort(key=lambda g: (
+            0 if g in ("probes", "dispatch") else
+            (1 if not os.path.exists(os.path.join(GOOD_DIR, g + ".json"))
+             else 2),
+            GROUP_NAMES.index(g)))
         if not todo or remaining < 25:
             break
         attempts += 1
@@ -1191,7 +1245,10 @@ def supervise(groups, budget):
             if rc is not None:
                 break
             now = _now()
-            hb_age = float("inf")
+            # unreadable/missing heartbeat: fall back to age-since-launch
+            # (finite) rather than inf — a racing write or a runner that
+            # died pre-heartbeat must not overflow int() below
+            hb_age = now - t_launch
             try:
                 with open(HEARTBEAT) as f:
                     hb_age = now - float(f.read().strip())
