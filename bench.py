@@ -685,7 +685,7 @@ def make_bcsc_cases(ctx, density):
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     kerns = {}
-    for s in ("dense", "union", "union2", "union3"):
+    for s in ("dense", "union", "union2", "union4"):
         try:
             kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
                                                  SpgemmConfig(1, bk, bn),
@@ -733,21 +733,27 @@ def make_bcsc_cluster_cases(ctx):
     from libxsmm_tpu.kernels.spmm_pallas import build_bcsc_spmm_union
 
     rng = np.random.default_rng(7)
-    m, k, n, bk, bn = ((256, 256, 256, 32, 32) if SMOKE
-                       else (1024, 1024, 1024, 32, 32))
+    # k and the family depth sized so the two-family gain (~22 panels)
+    # clears the geometry-derived clustering gate (v5e bf16-out: 16
+    # panels = osz*peak/hbm k-rows — the r3 shape's 9-panel gain LOST
+    # 0.78x to the restore gather, measured r4); bf16 out halves the
+    # gather bytes and so the gate
+    m, k, n, bk, bn = ((256, 512, 256, 32, 32) if SMOKE
+                       else (1024, 2048, 1024, 32, 32))
     kb, nb = k // bk, n // bn
-    famA, famB = np.arange(0, min(12, kb)), np.arange(
-        min(16, kb - 1), min(28, kb))
+    half = kb // 2
+    famA = np.arange(0, half - 2)
+    famB = np.arange(half, kb - 2)
     cols = []
     for j in range(nb):
         fam = famA if j % 2 == 0 else famB
-        take = min(int(6 + (j % 2)), len(fam))
+        take = min(int(0.64 * len(fam)) + (j % 2), len(fam))
         cols.append(np.sort(rng.choice(fam, take, replace=False)))
     indptr = np.concatenate(
         [[0], np.cumsum([len(c) for c in cols])]).astype(np.int32)
     indices = np.concatenate(cols).astype(np.int32)
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
-                      b_in_type=Datatype.BF16, out_type=Datatype.F32)
+                      b_in_type=Datatype.BF16, out_type=Datatype.BF16)
     cfg = SpgemmConfig(1, bk, bn)
     kerns = {}
     for name, cl in (("clustered", True), ("unclustered", False)):

@@ -204,12 +204,13 @@ def _cluster_union_groups(indptr: np.ndarray, indices: np.ndarray,
 
     Returns the permuted block-column order (len nb), or None when the
     saving does not clear the restore-gather's cost: the output column
-    gather re-reads and re-writes the whole (m, n) result (~2 HBM passes),
-    which at a conservative MXU:HBM ratio is worth on the order of 128
-    saved k-rows of union compute — so the permutation must drop the max
-    union by >= ceil(128/bk) panels (passed as `min_gain`), not merely by
-    one. A 1-panel "improvement" on a near-random pattern would otherwise
-    regress the kernel silently.
+    gather re-reads and re-writes the whole (m, n) result (~2 HBM passes).
+    Break-even (independent of m and n): saved MXU time
+    nsg*ΔU*bk*m*128*2/peak vs gather 2*m*n*osz/hbm with n = nsg*128
+    ⇒ ΔU*bk >= osz*peak/hbm k-rows — ~1000 rows at f32-out on v5e, NOT
+    the ~128 the r3 heuristic assumed (the r4 bench measured the 4-panel
+    gate regressing the structured case 0.78x: 9 saved panels paid a
+    full-output gather). Callers pass that geometry-derived `min_gain`.
     """
     nb = len(indptr) - 1
     if nb % W or len(indices) == 0:
@@ -258,7 +259,8 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                           indptr: np.ndarray, indices: np.ndarray,
                           double_buffer: bool = False,
                           cluster: bool = True,
-                          assemble_dma: bool = False
+                          assemble_dma: bool = False,
+                          fuse_rhs: bool = False
                           ) -> Optional[Callable]:
     """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
 
@@ -295,6 +297,17 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     the copy engines and overlaps the dot by HARDWARE, not by Mosaic's
     scheduling discretion (VERDICT r3 #6: the union kernel's measured gap
     to useful peak is assembly-bound at 20%% density).
+
+    fuse_rhs=True ("union4", implies the double-buffered pipeline): the
+    RHS compaction — a SEPARATE Pallas pass in the other variants, whose
+    (nsg, U*bk, 128) product round-trips HBM (write + read-back) every
+    call — is fused INTO the kernel. The padded value store is tiny
+    (nnz-proportional) and sits VMEM-resident for the whole call; each
+    step assembles the NEXT group's rhs panel into double-buffered
+    scratch right next to the A-panel assembly, so both assemblies
+    overlap the MXU dot and the rhs bytes never touch HBM (r4: the
+    separate-pass design left bcsc20 at 0.111 useful-peak with the rhs
+    round-trip + extra launch on the critical path).
     """
     import jax
     from jax.experimental import pallas as pl
@@ -323,9 +336,18 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
 
     # create-time block-column clustering: regroup columns to minimize the
     # max per-group union (the quantity compute scales with); restore the
-    # caller's column order with one output gather
+    # caller's column order with one output gather. Break-even gain is
+    # osz*peak/hbm saved k-rows (see _cluster_union_groups) — geometry-
+    # derived, NOT a constant: the r3 4-panel gate measured 0.78x on the
+    # structured bench case because the (m, n) restore gather out-costs
+    # hundreds of saved union rows.
+    geo = device.get_geometry()
+    peak = (geo.peak_bf16_tflops if in_dt == jnp.bfloat16
+            else geo.peak_f32_tflops)
+    gain_rows = (jnp.dtype(out_dt).itemsize
+                 * peak * 1e12 / (geo.hbm_gbps * 1e9))
     perm = (_cluster_union_groups(indptr, indices, W,
-                                  min_gain=-(-128 // bk))   # ceil(128/bk)
+                                  min_gain=-(-int(gain_rows) // bk))
             if cluster else None)
     if perm is not None:
         counts = np.diff(indptr)[perm]
@@ -378,11 +400,19 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     # buffers within ~half of VMEM
     budget = device.get_geometry().vmem_bytes // 2
     isz = jnp.dtype(in_dt).itemsize
-    if assemble_dma:
-        double_buffer = True        # the DMA pipeline IS double-buffered
+    if assemble_dma and fuse_rhs:
+        return None                 # one pipeline flavor at a time
+    if assemble_dma or fuse_rhs:
+        double_buffer = True        # both pipelines ARE double-buffered
     nbuf = 2 if double_buffer else 1
+    # fused-rhs residents: the padded value store (lane-padded to 128 in
+    # VMEM tiling) + two rhs panel buffers
+    extra = (((nblocks + 1) * bk * max(bn, 128)
+              + 2 * U * bk * 128) * isz if fuse_rhs else 0)
+    if extra > budget // 2:
+        return None                 # value store too big to sit resident
     tm = m
-    while tm > sub and (k + nbuf * U * bk) * tm * isz > budget:
+    while tm > sub and (k + nbuf * U * bk) * tm * isz + extra > budget:
         tm //= 2
     if m % tm:
         return None
@@ -488,66 +518,138 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
         def _():
             body(s1, 1, s0, 0)
 
+    def kernel_fused(krows_ref, gmap_ref, at_ref, vs_ref, o_ref,
+                     s0, s1, r0, r1):
+        """union4: rhs panels assembled IN-KERNEL from the VMEM-resident
+        padded value store (vs_ref), double-buffered like the A panels —
+        the rhs never round-trips HBM and there is no second pass."""
+        g = pl.program_id(1)
+
+        def fill(dst_a, dst_r, grp):
+            assemble(krows_ref, at_ref, dst_a, grp)
+            for u in range(U):
+                for w in range(W):   # static unroll: U, W create-time
+                    idx = gmap_ref[(grp * U + u) * W + w]
+                    dst_r[u * bk:(u + 1) * bk, w * bn:(w + 1) * bn] = \
+                        vs_ref[pl.ds(idx * bk, bk), :]
+
+        @pl.when(g == 0)
+        def _():                     # new m-tile: prologue group 0
+            fill(s0, r0, g)
+
+        even = jax.lax.rem(g, jnp.int32(2)) == 0
+
+        def body(cur_a, cur_r, nxt_a, nxt_r):
+            @pl.when(g + 1 < nsg)
+            def _():
+                fill(nxt_a, nxt_r, g + 1)
+            o_ref[...] = jax.lax.dot_general(
+                cur_a[...], cur_r[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(o_ref.dtype)
+
+        @pl.when(even)
+        def _():
+            body(s0, r0, s1, r1)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            body(s1, r1, s0, r0)
+
     scratch_shapes = [pltpu.VMEM((U * bk, tm), in_dt)
                       for _ in range(nbuf)]
     if assemble_dma:
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2, U)))
+    if fuse_rhs:
+        scratch_shapes += [pltpu.VMEM((U * bk, 128), in_dt),
+                           pltpu.VMEM((U * bk, 128), in_dt)]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(m_tiles, nsg),
-        in_specs=[
-            # A^T block (k, tm): index varies only with the OUTER grid dim,
-            # so it stays VMEM-resident across all nsg inner steps — one
-            # HBM read of A per m-tile instead of one per block
-            pl.BlockSpec((k, tm), lambda i, g, krows: (i - i, i)),
-            # the group's compacted+densified values
-            pl.BlockSpec((1, U * bk, 128),
-                         lambda i, g, krows: (g, i - i, i - i)),
-        ],
-        out_specs=pl.BlockSpec((tm, 128), lambda i, g, krows: (i, g)),
-        scratch_shapes=scratch_shapes,
-    )
+    if fuse_rhs:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,      # krows + gmap
+            grid=(m_tiles, nsg),
+            in_specs=[
+                # A^T block (k, tm): resident across the inner grid dim
+                pl.BlockSpec((k, tm),
+                             lambda i, g, krows, gmap: (i - i, i)),
+                # the PADDED 2-D value store, resident for the whole call
+                pl.BlockSpec(((nblocks + 1) * bk, bn),
+                             lambda i, g, krows, gmap: (i - i, i - i)),
+            ],
+            out_specs=pl.BlockSpec((tm, 128),
+                                   lambda i, g, krows, gmap: (i, g)),
+            scratch_shapes=scratch_shapes,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_tiles, nsg),
+            in_specs=[
+                # A^T block (k, tm): index varies only with the OUTER grid
+                # dim, so it stays VMEM-resident across all nsg inner steps
+                # — one HBM read of A per m-tile instead of one per block
+                pl.BlockSpec((k, tm), lambda i, g, krows: (i - i, i)),
+                # the group's compacted+densified values
+                pl.BlockSpec((1, U * bk, 128),
+                             lambda i, g, krows: (g, i - i, i - i)),
+            ],
+            out_specs=pl.BlockSpec((tm, 128), lambda i, g, krows: (i, g)),
+            scratch_shapes=scratch_shapes,
+        )
 
     osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
-        kernel_dma if assemble_dma else (
-            kernel_db if double_buffer else kernel),
+        kernel_fused if fuse_rhs else (
+            kernel_dma if assemble_dma else (
+                kernel_db if double_buffer else kernel)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
         interpret=device.use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsg * U * bk * 128 * m,
             bytes_accessed=(m_tiles * k * tm * isz
-                            + nsg * U * bk * 128 * isz + m * n * osz),
+                            + ((nblocks + 1) * bk * bn if fuse_rhs
+                               else nsg * U * bk * 128) * isz
+                            + m * n * osz),
             transcendentals=0),
     )
 
-    # RHS compaction: a one-pass Pallas gather kernel when the value store
-    # fits VMEM (the XLA take + 5-D transpose chain costs ~a matmul's
-    # worth of time per call, r3 probe); XLA fallback otherwise
-    compactor = build_union_compact_rhs(nsg, U, W, bk, bn, nblocks,
-                                        gmap, in_dt)
+    # RHS compaction (non-fused variants only): a one-pass Pallas gather
+    # kernel when the value store fits VMEM (the XLA take + 5-D transpose
+    # chain costs ~a matmul's worth of time per call, r3 probe); XLA
+    # fallback otherwise. union4 assembles the rhs inside the main kernel.
+    compactor = (None if fuse_rhs else
+                 build_union_compact_rhs(nsg, U, W, bk, bn, nblocks,
+                                         gmap, in_dt))
 
     @jax.jit
-    @jax.named_scope(f"xsmm_pallas_bcsc_union{'2' if double_buffer else ''}"
-                     f"_{m}x{n}x{k}_U{U}")
+    @jax.named_scope(
+        f"xsmm_pallas_bcsc_union"
+        f"{'4' if fuse_rhs else ('2' if double_buffer else '')}"
+        f"_{m}x{n}x{k}_U{U}")
     def run(krows_j, gmap_j, colsel_j, a, values):
-        if compactor is not None:
+        at = a.astype(in_dt).T
+        if fuse_rhs:
+            v2d = jnp.concatenate(
+                [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
+                axis=0).reshape((nblocks + 1) * bk, bn)
+            out = call(krows_j, gmap_j, at, v2d)
+        elif compactor is not None:
             v2d = jnp.concatenate(
                 [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
                 axis=0).reshape((nblocks + 1) * bk, bn)
             # thread the threaded gmap_j through (same flattened map) so
             # it stays a runtime arg, not an inlined closure constant
             rhs = compactor(gmap_j, v2d)
+            out = call(krows_j, at, rhs)
         else:
             vpad = jnp.concatenate(
                 [values.astype(in_dt), jnp.zeros((1, bk, bn), in_dt)],
                 axis=0)
             rhs = jnp.take(vpad, gmap_j, axis=0).reshape(nsg, U, W, bk, bn)
             rhs = rhs.transpose(0, 1, 3, 2, 4).reshape(nsg, U * bk, 128)
-        at = a.astype(in_dt).T
-        out = call(krows_j, at, rhs)
+            out = call(krows_j, at, rhs)
         if colsel_j is not None:
             # clustering permuted the lane groups; one column gather
             # restores the caller's order (HBM-cheap vs the saved MXU work)

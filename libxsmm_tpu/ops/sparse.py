@@ -806,8 +806,8 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
     # interleaved candidates survive any time-share window; a sequential
     # per-strategy loop hands the win to whoever drew the good window)
     cands = []
-    for s in ("dense", "union", "union2", "union3", "super", "sparse",
-              "pallas"):
+    for s in ("dense", "union", "union2", "union3", "union4", "super",
+              "sparse", "pallas"):
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=s)
@@ -844,7 +844,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
 
     Lowerings, picked by `strategy` ("auto"|"sparse"|"dense"|"pallas"|
-    "super"|"union"|"union2"|"union3"); "auto" microbenchmarks ALL of them on device at
+    "super"|"union"|"union2"|"union3"|"union4"); "auto" microbenchmarks ALL of them on device at
     create time and keeps the winner (_bcsc_autotune, the fsspmdm
     pattern):
       * sparse: gather A panels per nonzero block -> one batched MXU matmul
@@ -895,12 +895,13 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         if strategy == "super":
             return _build_bcsc_super(shape, flags, config, indptr, indices,
                                      desc, nblocks)
-        if strategy in ("union", "union2", "union3"):
+        if strategy in ("union", "union2", "union3", "union4"):
             from ..kernels import spmm_pallas
             pfn = spmm_pallas.build_bcsc_spmm_union(
                 shape, config, indptr, indices,
                 double_buffer=(strategy == "union2"),
-                assemble_dma=(strategy == "union3"))
+                assemble_dma=(strategy == "union3"),
+                fuse_rhs=(strategy == "union4"))
             if pfn is None:
                 raise ValueError("descriptor unsupported by the k-union "
                                  "BCSC kernel (need bn|128, 128|n, bk|k, "
