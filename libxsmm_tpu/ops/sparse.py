@@ -779,9 +779,10 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
         # the ratio by >10%. Absolute stored times are incomparable across
         # ~100x time-share windows — a 2x absolute gate flaps into a full
         # re-tune on nearly every cached create (r3 review). Rival: "dense"
-        # (always available) for sparse picks; "union" (the flagship sparse
-        # lowering) when the pick IS dense.
-        rival = "dense" if pick != "dense" else "union"
+        # (always available) for sparse picks; "union4" (the flagship
+        # sparse lowering since r4 — fused rhs, best at both bench
+        # densities) when the pick IS dense.
+        rival = "dense" if pick != "dense" else "union4"
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=pick)

@@ -482,11 +482,22 @@ def main():
         # samples/xgemm/gemm_kernel.c:29-37 exit-code contract). bench.py
         # attaches the cached copy to BENCH extras each round.
         import json
+        import subprocess
+        import time
 
         import jax
         tally = {"classes": len(todo), "pass": int(sum(results)),
                  "ref_fallbacks": int(info["fallbacks"]),
-                 "device": jax.devices()[0].platform}
+                 "device": jax.devices()[0].platform,
+                 "ran_at": time.strftime("%Y-%m-%dT%H:%M:%S%z")}
+        try:   # pin the tally to the tree it validated (VERDICT r3 #2)
+            tally["commit"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=pathlib.Path(__file__).resolve().parent.parent,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except Exception:
+            tally["commit"] = None
         print("xgemm_full " + json.dumps(tally))
         out = pathlib.Path(__file__).resolve().parent.parent / \
             "XGEMM_FULL.json"
