@@ -71,6 +71,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64)]
         lib.xsmm_registry_stats.argtypes = [
             ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_uint64)] * 4
+        lib.xsmm_registry_verify.restype = ctypes.c_uint64
+        lib.xsmm_registry_verify.argtypes = [ctypes.c_void_p]
+        lib.xsmm_registry_ncorrupt.restype = ctypes.c_uint64
+        lib.xsmm_registry_ncorrupt.argtypes = [ctypes.c_void_p]
+        lib.xsmm_registry_poison.restype = ctypes.c_int
+        lib.xsmm_registry_poison.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
         lib.xsmm_kv_append.restype = ctypes.c_int
         lib.xsmm_kv_append.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64,
@@ -133,7 +140,22 @@ class NativeRegistry:
         self._lib.xsmm_registry_stats(self._ptr, *[ctypes.byref(v)
                                                    for v in vals])
         return {"nentries": vals[0].value, "nhits": vals[1].value,
-                "ncollisions": vals[2].value, "capacity": vals[3].value}
+                "ncollisions": vals[2].value, "capacity": vals[3].value,
+                "ncorrupt": int(self._lib.xsmm_registry_ncorrupt(self._ptr))}
+
+    def verify(self) -> int:
+        """Full-table canary sweep (SURVEY.md §5.2): every published slot
+        carries crc32c(key || value) written at publish; a torn write or
+        stray-pointer damage shows up here (and as a find() miss) instead
+        of a silently wrong handle. Returns the number of corrupt slots."""
+        return int(self._lib.xsmm_registry_verify(self._ptr))
+
+    def _poison(self, key: bytes) -> bool:
+        """TEST-ONLY: damage key's stored value without refreshing the
+        canary, so tests can prove the detection path works."""
+        buf = ctypes.create_string_buffer(key, len(key))
+        return bool(self._lib.xsmm_registry_poison(
+            self._ptr, ctypes.cast(buf, ctypes.c_void_p), len(key)))
 
 
 class PersistentKv:

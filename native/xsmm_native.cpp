@@ -68,6 +68,7 @@ struct Slot {
   uint8_t keylen{0};
   uint8_t key[kMaxKey];
   uint64_t value{0};
+  uint32_t canary{0};                     // crc32c(key || value) at publish
 };
 
 struct Registry {
@@ -76,10 +77,21 @@ struct Registry {
   std::atomic<uint64_t> nentries{0};
   std::atomic<uint64_t> nhits{0};
   std::atomic<uint64_t> ncollisions{0};
+  std::atomic<uint64_t> ncorrupt{0};
 };
 
 bool key_eq(const Slot& s, const void* key, size_t len) {
   return s.keylen == len && 0 == std::memcmp(s.key, key, len);
+}
+
+// Slot integrity canary: the reference validates its allocator info blocks
+// with checksummed canaries on free (src/libxsmm_malloc.c:710, debug
+// builds); here every published slot carries crc32c(key || value) so torn
+// writes / stray-pointer damage surface as a detected corruption instead
+// of a silently wrong kernel handle (SURVEY.md §5.2).
+uint32_t slot_canary(const Slot& s) {
+  const uint32_t kc = crc32c(s.key, s.keylen, 0x5107u);
+  return crc32c(&s.value, sizeof(s.value), kc);
 }
 
 }  // namespace
@@ -120,6 +132,7 @@ int xsmm_registry_insert(void* rp, const void* key, uint64_t keylen,
     s.keylen = static_cast<uint8_t>(keylen);
     std::memcpy(s.key, key, keylen);
     s.value = value;
+    s.canary = slot_canary(s);
     s.state.store(2, std::memory_order_release);  // atomic publish
     r.nentries.fetch_add(1, std::memory_order_relaxed);
     return 0;
@@ -139,6 +152,12 @@ int xsmm_registry_find(void* rp, const void* key, uint64_t keylen,
     const uint8_t st = s.state.load(std::memory_order_acquire);
     if (st == 0) return 0;  // empty slot terminates the probe chain
     if (st == 2 && key_eq(s, key, keylen)) {
+      if (s.canary != slot_canary(s)) {
+        // detected slot damage: surface as a MISS (caller rebuilds) and
+        // count it — never hand back a possibly-wrong kernel handle
+        r.ncorrupt.fetch_add(1, std::memory_order_relaxed);
+        return 0;
+      }
       *value = s.value;
       r.nhits.fetch_add(1, std::memory_order_relaxed);
       return 1;
@@ -154,6 +173,49 @@ void xsmm_registry_stats(void* rp, uint64_t* nentries, uint64_t* nhits,
   *nhits = r.nhits.load();
   *ncollisions = r.ncollisions.load();
   *capacity = kCapacity;
+}
+
+// Full-table integrity sweep (SURVEY.md §5.2 sanitizer-class check): walk
+// every published slot and validate its canary. Returns the number of
+// corrupt slots found (also added to the ncorrupt counter). Cheap enough
+// to run from the atexit statistics dump.
+uint64_t xsmm_registry_verify(void* rp) {
+  Registry& r = *static_cast<Registry*>(rp);
+  uint64_t bad = 0;
+  for (size_t i = 0; i < kCapacity; ++i) {
+    const Slot& s = r.slots[i];
+    if (s.state.load(std::memory_order_acquire) == 2 &&
+        s.canary != slot_canary(s)) {
+      ++bad;
+    }
+  }
+  if (bad) r.ncorrupt.fetch_add(bad, std::memory_order_relaxed);
+  return bad;
+}
+
+uint64_t xsmm_registry_ncorrupt(void* rp) {
+  return static_cast<Registry*>(rp)->ncorrupt.load();
+}
+
+// TEST-ONLY hook (tests/test_registry.py): flip a bit in the stored value
+// of `key`'s slot WITHOUT refreshing the canary, simulating stray-pointer
+// damage so the detection path itself is testable (the reference tests its
+// checksummed allocator info the same way, tests/malloc.c).
+int xsmm_registry_poison(void* rp, const void* key, uint64_t keylen) {
+  if (keylen == 0 || keylen > kMaxKey) return 0;
+  Registry& r = *static_cast<Registry*>(rp);
+  const uint32_t h = crc32c(key, keylen, 25071975u);
+  for (size_t probe = 0; probe < kCapacity; ++probe) {
+    const size_t i = (h + probe) & (kCapacity - 1);
+    Slot& s = r.slots[i];
+    const uint8_t st = s.state.load(std::memory_order_acquire);
+    if (st == 0) return 0;
+    if (st == 2 && key_eq(s, key, keylen)) {
+      s.value ^= 1ull << 17;
+      return 1;
+    }
+  }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -66,6 +66,24 @@ def test_registry_key_limits():
     assert reg.insert(b"x" * 97, 7) == -1      # over the 96B contract
 
 
+def test_registry_canary_detects_damage():
+    """SURVEY.md §5.2 sanitizer-class check: every published slot carries a
+    crc32c(key || value) canary (the reference's checksummed allocator-info
+    analogue, src/libxsmm_malloc.c:710). A damaged slot must (a) fail the
+    verify() sweep, (b) read back as a MISS — never as a wrong handle —
+    and (c) count in the ncorrupt stat."""
+    reg = native_bridge.NativeRegistry()
+    for i in range(32):
+        assert reg.insert(f"desc-{i}".encode(), 1000 + i) == 0
+    assert reg.verify() == 0
+    assert reg.stats()["ncorrupt"] == 0
+    assert reg._poison(b"desc-7")              # flip a value bit, no canary
+    assert reg.verify() == 1
+    assert reg.find(b"desc-7") is None         # detected -> miss, not 1007^bit
+    assert reg.stats()["ncorrupt"] >= 2        # sweep + the failed find
+    assert reg.find(b"desc-8") == 1008         # neighbors unaffected
+
+
 def test_kv_roundtrip(tmp_path):
     kv = native_bridge.PersistentKv(tmp_path / "cache.xkv")
     assert kv.get(b"k") is None
