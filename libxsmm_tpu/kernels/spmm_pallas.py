@@ -484,10 +484,13 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
         def start_copies(buf, bsl, grp):
             for u in range(U):
                 idx = krows_ref[grp * U + u]
+                # i32 semaphore indices: python-int indices trace as i64
+                # under jax_enable_x64 (flipped globally by any F64
+                # dispatch) and tpu.memref_slice rejects i64 (r4 suite)
                 pltpu.make_async_copy(
                     at_ref.at[pl.ds(idx * bk, bk), :],
                     buf.at[u * bk:(u + 1) * bk, :],
-                    sems.at[bsl, u]).start()
+                    sems.at[jnp.int32(bsl), jnp.int32(u)]).start()
 
         def wait_copies(buf, bsl, grp):
             for u in range(U):
@@ -495,7 +498,7 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                 pltpu.make_async_copy(
                     at_ref.at[pl.ds(idx * bk, bk), :],
                     buf.at[u * bk:(u + 1) * bk, :],
-                    sems.at[bsl, u]).wait()
+                    sems.at[jnp.int32(bsl), jnp.int32(u)]).wait()
 
         @pl.when(g == 0)
         def _():                     # new m-tile: prologue group 0 into s0
