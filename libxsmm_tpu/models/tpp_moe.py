@@ -1,0 +1,203 @@
+"""TPP-MoE: mixture-of-experts FFN — expert parallelism (ep) for the
+library's own specialty, BATCHED SMALL GEMM.
+
+An MoE layer's expert compute is exactly the workload LIBXSMM exists
+for: E independent small GEMMs over (capacity, d) token panels
+(reference analogue: the packed/batched small-GEMM domain,
+/root/reference/samples/magazine/magazine_batch.c and
+src/generator_packed_gemm.c — here expressed as one batched einsum so
+the MXU sees E stacked panels in a single pass). The reference has no
+model layer or distribution runtime (SURVEY.md §2.6); the routing and
+the ep sharding are new-axis work like the BSR ring.
+
+TPU-first design decisions:
+  * STATIC shapes end-to-end (GShard/Switch capacity formulation): top-1
+    routing materializes a (S, E, C) one-hot dispatch tensor; tokens past
+    an expert's capacity are dropped (their combine weight is zero) —
+    no dynamic gather/scatter, no data-dependent shapes under jit.
+  * Dispatch/combine are einsums — they fuse and shard; the argmax is
+    the only non-differentiable piece and gradients flow through the
+    gate VALUES (standard top-1 straight-through-free estimator).
+  * ep sharding: expert weights P('ep', ...) and the dispatched
+    (E, C, d) token panels constrained to P('ep', None, None) — GSPMD
+    derives the token all-to-all from the resharding of the dispatch
+    einsum's output (ICI collective, never materializing a gathered
+    expert weight). dp composes freely on the token axis.
+  * Load-balance auxiliary loss (Switch: E * sum_e f_e * p_e) keeps the
+    router from collapsing; it is part of the train objective.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..descriptor import UnaryFlags, UnaryType
+from ..ops.eltwise import apply_unary_op
+from ..ops.gemm import pass_precision
+
+
+@dataclasses.dataclass(frozen=True)
+class MoeConfig:
+    dim: int = 64
+    hidden: int = 128
+    n_experts: int = 8
+    capacity_factor: float = 1.25   # C = ceil(cf * S / E)
+    aux_loss_weight: float = 1e-2
+    activation: UnaryType = UnaryType.GELU
+    dtype: str = "float32"
+
+
+def capacity(cfg: MoeConfig, n_tokens: int) -> int:
+    return max(1, int(np.ceil(cfg.capacity_factor * n_tokens
+                              / cfg.n_experts)))
+
+
+def init_params(cfg: MoeConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    d, h, e = cfg.dim, cfg.hidden, cfg.n_experts
+
+    def mat(fan_in, *shape):
+        return jnp.asarray(rng.standard_normal(shape) / np.sqrt(fan_in),
+                           cfg.dtype)
+
+    return {
+        "wg": mat(d, d, e),                  # router
+        "w1": mat(d, e, d, h), "b1": jnp.zeros((e, h), cfg.dtype),
+        "w2": mat(h, e, h, d), "b2": jnp.zeros((e, d), cfg.dtype),
+    }
+
+
+def _route(logits, n_experts: int, cap: int):
+    """Top-1 capacity routing: (S, E) logits -> dispatch (S, E, C) one-hot,
+    combine (S, E, C) gate-weighted, aux load-balance loss."""
+    s = logits.shape[0]
+    gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    eidx = jnp.argmax(gates, axis=-1)                      # (S,)
+    onehot = jax.nn.one_hot(eidx, n_experts, dtype=jnp.float32)
+    gate = jnp.sum(gates * onehot, axis=-1)                # (S,)
+    # position of each token within its expert's queue (arrival order)
+    pos = jnp.cumsum(onehot, axis=0) - onehot              # (S, E)
+    pos_tok = jnp.sum(pos * onehot, axis=-1)               # (S,)
+    keep = (pos_tok < cap).astype(jnp.float32)
+    slot = jax.nn.one_hot(pos_tok.astype(jnp.int32), cap,
+                          dtype=jnp.float32)                # (S, C)
+    dispatch = onehot[:, :, None] * slot[:, None, :] * keep[:, None, None]
+    combine = dispatch * gate[:, None, None]
+    # Switch aux loss: E * sum_e (token fraction_e * mean gate prob_e)
+    frac = jnp.mean(onehot, axis=0)
+    prob = jnp.mean(gates, axis=0)
+    aux = n_experts * jnp.sum(frac * prob)
+    return dispatch, combine, aux
+
+
+def forward(params: dict, x, cfg: MoeConfig, mesh: Mesh = None,
+            ep_axis: str = "ep"):
+    """x (S, d) -> (y (S, d), aux_loss). With a mesh, the dispatched
+    panels are sharding-constrained to the ep axis so GSPMD inserts the
+    token all-to-all instead of gathering expert weights."""
+    s, d = x.shape
+    cap = capacity(cfg, s)
+    logits = jnp.dot(x, params["wg"], preferred_element_type=jnp.float32,
+                     precision=pass_precision(x.dtype))
+    dispatch, combine, aux = _route(logits, cfg.n_experts, cap)
+
+    xe = jnp.einsum("sec,sd->ecd", dispatch.astype(x.dtype), x,
+                    preferred_element_type=jnp.float32,
+                    precision=pass_precision(x.dtype)).astype(x.dtype)
+    if mesh is not None:
+        xe = jax.lax.with_sharding_constraint(
+            xe, NamedSharding(mesh, P(ep_axis, None, None)))
+    # expert FFN: E stacked small GEMMs — the library's batched SMM shape
+    h = jnp.einsum("ecd,edh->ech", xe, params["w1"],
+                   preferred_element_type=jnp.float32,
+                   precision=pass_precision(x.dtype))
+    h = h + params["b1"][:, None, :]
+    h = apply_unary_op(cfg.activation, UnaryFlags.NONE, h).astype(x.dtype)
+    ye = jnp.einsum("ech,ehd->ecd", h, params["w2"],
+                    preferred_element_type=jnp.float32,
+                    precision=pass_precision(x.dtype))
+    ye = (ye + params["b2"][:, None, :]).astype(x.dtype)
+    if mesh is not None:
+        ye = jax.lax.with_sharding_constraint(
+            ye, NamedSharding(mesh, P(ep_axis, None, None)))
+    y = jnp.einsum("sec,ecd->sd", combine.astype(jnp.float32),
+                   ye.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype), aux
+
+
+def reference_forward(params: dict, x, cfg: MoeConfig):
+    """Per-token numpy oracle (no capacity drops: capacity_factor must
+    cover the draw — tests size it so) for parity checks."""
+    xf = np.asarray(x, np.float32)
+    wg = np.asarray(params["wg"], np.float32)
+    logits = xf @ wg
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    gates = e / e.sum(-1, keepdims=True)
+    eidx = gates.argmax(-1)
+    out = np.zeros_like(xf)
+    for i in range(xf.shape[0]):
+        k = int(eidx[i])
+        h = xf[i] @ np.asarray(params["w1"][k], np.float32) + np.asarray(
+            params["b1"][k], np.float32)
+        h = np.asarray(apply_unary_op(cfg.activation, UnaryFlags.NONE,
+                                      jnp.asarray(h, jnp.float32)))
+        y = h @ np.asarray(params["w2"][k], np.float32) + np.asarray(
+            params["b2"][k], np.float32)
+        out[i] = gates[i, k] * y
+    return out
+
+
+def loss_fn(params, x, y, cfg: MoeConfig, mesh=None):
+    pred, aux = forward(params, x, cfg, mesh)
+    mse = jnp.mean((pred.astype(jnp.float32) - y.astype(jnp.float32)) ** 2)
+    return mse + cfg.aux_loss_weight * aux
+
+
+def train_step(params, x, y, cfg: MoeConfig, lr: float = 1e-3, mesh=None):
+    loss, grads = jax.value_and_grad(loss_fn)(params, x, y, cfg, mesh)
+    return jax.tree.map(lambda p, g: p - lr * g, params, grads), loss
+
+
+def shard_params(params: dict, mesh: Mesh, ep_axis: str = "ep") -> dict:
+    """Router replicated; every expert tensor sharded over ep on the
+    EXPERT dimension (never gathered — the tokens move, not the weights)."""
+    ep = lambda *spec: NamedSharding(mesh, P(*spec))
+    return {
+        "wg": jax.device_put(params["wg"], ep(None, None)),
+        "w1": jax.device_put(params["w1"], ep(ep_axis, None, None)),
+        "b1": jax.device_put(params["b1"], ep(ep_axis, None)),
+        "w2": jax.device_put(params["w2"], ep(ep_axis, None, None)),
+        "b2": jax.device_put(params["b2"], ep(ep_axis, None)),
+    }
+
+
+def make_sharded_train_step(cfg: MoeConfig, mesh: Mesh, dp_axis: str = "dp",
+                            ep_axis: str = "ep", lr: float = 1e-3):
+    """jit the FULL train step over a (dp, ep) mesh: tokens batch-sharded
+    over dp, experts sharded over ep, the dispatch einsum's resharding IS
+    the all-to-all."""
+    xsharding = NamedSharding(mesh, P(dp_axis, None))
+
+    @jax.jit
+    def step(params, x, y):
+        return train_step(params, x, y, cfg, lr, mesh)
+
+    return step, xsharding
+
+
+def lowered_text(cfg: MoeConfig, mesh: Mesh, n_tokens: int,
+                 dp_axis: str = "dp", ep_axis: str = "ep") -> str:
+    """StableHLO of the sharded step (tests assert the ep sharding
+    annotations survive into the lowered module)."""
+    step, xsh = make_sharded_train_step(cfg, mesh, dp_axis, ep_axis)
+    params = shard_params(init_params(cfg), mesh, ep_axis)
+    x = jax.device_put(jnp.zeros((n_tokens, cfg.dim), cfg.dtype), xsh)
+    y = jax.device_put(jnp.zeros((n_tokens, cfg.dim), cfg.dtype), xsh)
+    return step.lower(params, x, y).as_text()
