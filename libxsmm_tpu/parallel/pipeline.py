@@ -57,12 +57,13 @@ class PipelineConfig:
     dtype: str = "float32"
 
 
-def pipeline_comm_bytes_per_device(cfg: PipelineConfig) -> int:
+def pipeline_comm_bytes_per_device(cfg: PipelineConfig, dp: int = 1) -> int:
     """Analytic per-device comm volume of one forward: one (mb, d)
-    activation rotation per tick, T = M + P - 1 ticks."""
+    activation rotation per tick, T = M + P - 1 ticks; under a pp x dp
+    mesh each device rotates only its mb/dp row slice."""
     isz = jnp.dtype(cfg.dtype).itemsize
     ticks = cfg.n_micro + cfg.n_stages - 1
-    return ticks * cfg.micro_batch * cfg.dim * isz
+    return ticks * (cfg.micro_batch // dp) * cfg.dim * isz
 
 
 def init_params(cfg: PipelineConfig, seed: int = 0) -> dict:
@@ -91,10 +92,14 @@ def reference_forward(params: dict, xs, cfg: PipelineConfig):
     return jax.vmap(one)(xs)
 
 
-def make_pipeline_forward(cfg: PipelineConfig, mesh: Mesh, axis: str = "pp"):
+def make_pipeline_forward(cfg: PipelineConfig, mesh: Mesh, axis: str = "pp",
+                          dp_axis: str = None):
     """Build fn(params, xs) -> ys running the GPipe schedule over
     mesh[axis]; params sharded one stage per device, xs (M, mb, d)
-    replicated in, ys (M, mb, d) replicated out."""
+    in, ys (M, mb, d) out. With dp_axis, the microbatch ROW dimension is
+    additionally dp-sharded (pp x dp composition: each dp slice runs its
+    own pipeline over its rows; stage weights are replicated across dp,
+    so the grad psum over dp is derived by shard_map's transpose)."""
     Pn = mesh.shape[axis]
     if Pn != cfg.n_stages:
         raise ValueError(f"n_stages={cfg.n_stages} must equal the pp mesh "
@@ -103,6 +108,12 @@ def make_pipeline_forward(cfg: PipelineConfig, mesh: Mesh, axis: str = "pp"):
     if M < Pn:
         raise ValueError(f"n_micro={M} < n_stages={Pn}: the pipeline would "
                          f"be all bubble")
+    if dp_axis is not None:
+        dpn = mesh.shape[dp_axis]
+        if mb % dpn:
+            raise ValueError(f"micro_batch={mb} must divide over "
+                             f"dp={dpn}")
+        mb = mb // dpn
     T = M + Pn - 1
     perm = [(i, (i + 1) % Pn) for i in range(Pn)]
 
@@ -142,10 +153,11 @@ def make_pipeline_forward(cfg: PipelineConfig, mesh: Mesh, axis: str = "pp"):
         return jax.lax.psum(
             jnp.where(is_last, outs, jnp.zeros_like(outs)), axis)
 
+    xspec = P(None, dp_axis, None) if dp_axis is not None else P()
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None), P()),
-        out_specs=P(),
+        in_specs=(P(axis, None, None), P(axis, None), xspec),
+        out_specs=xspec,
         check_vma=False)
 
     def fn(params, xs):
@@ -163,10 +175,12 @@ def shard_params(params: dict, mesh: Mesh, axis: str = "pp") -> dict:
 
 
 def make_pipeline_train_step(cfg: PipelineConfig, mesh: Mesh,
-                             axis: str = "pp", lr: float = 1e-3):
+                             axis: str = "pp", dp_axis: str = None,
+                             lr: float = 1e-3):
     """jit the FULL train step (fwd pipeline + backprop through the
-    schedule + SGD) over mesh[axis]. Returns (step, x_sharding)."""
-    fwd = make_pipeline_forward(cfg, mesh, axis)
+    schedule + SGD) over mesh[axis] (optionally x dp_axis).
+    Returns (step, x_sharding)."""
+    fwd = make_pipeline_forward(cfg, mesh, axis, dp_axis)
 
     def loss_fn(params, xs, ys):
         pred = fwd(params, xs)
@@ -179,7 +193,8 @@ def make_pipeline_train_step(cfg: PipelineConfig, mesh: Mesh,
         new = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new, loss
 
-    return step, NamedSharding(mesh, P())
+    xspec = P(None, dp_axis, None) if dp_axis is not None else P()
+    return step, NamedSharding(mesh, xspec)
 
 
 def lowered_text(cfg: PipelineConfig, mesh: Mesh, axis: str = "pp") -> str:

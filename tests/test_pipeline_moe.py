@@ -95,6 +95,30 @@ def test_pipeline_comm_evidence():
         ticks * cfg.micro_batch * cfg.dim * 4
 
 
+def test_pipeline_dp_composition_matches_sequential():
+    """pp x dp 2-axis mesh: microbatch rows dp-sharded, stages on the
+    pp ring; forward AND grads match the sequential oracle."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg, params, xs = _pp_setup(4, n_micro=6, mb=4)
+    ys = jnp.asarray(RNG.standard_normal(xs.shape), jnp.float32)
+    mesh = make_mesh([("pp", 4), ("dp", 2)])
+    step, xsh = pp.make_pipeline_train_step(cfg, mesh, dp_axis="dp",
+                                            lr=0.0)  # lr=0: inspect loss
+    sharded = pp.shard_params(params, mesh)
+    xd = jax.device_put(xs, xsh)
+    yd = jax.device_put(ys, xsh)
+    _, loss = step(sharded, xd, yd)
+    want = float(jnp.mean(
+        (pp.reference_forward(params, xs, cfg) - ys) ** 2))
+    assert abs(float(loss) - want) < 1e-6
+
+    fwd = jax.jit(pp.make_pipeline_forward(cfg, mesh, dp_axis="dp"))
+    got = fwd(sharded, xd)
+    ref = pp.reference_forward(params, xs, cfg)
+    assert float(jnp.abs(got - ref).max()) < 1e-5
+
+
 def test_pipeline_validates_geometry():
     ndev = 2
     if len(jax.devices()) < ndev:
