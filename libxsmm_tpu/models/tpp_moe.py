@@ -47,14 +47,15 @@ class MoeConfig:
     dim: int = 64
     hidden: int = 128
     n_experts: int = 8
-    capacity_factor: float = 1.25   # C = ceil(cf * S / E)
+    top_k: int = 1                  # 1 = Switch routing, 2 = GShard
+    capacity_factor: float = 1.25   # C = ceil(cf * k * S / E)
     aux_loss_weight: float = 1e-2
     activation: UnaryType = UnaryType.GELU
     dtype: str = "float32"
 
 
 def capacity(cfg: MoeConfig, n_tokens: int) -> int:
-    return max(1, int(np.ceil(cfg.capacity_factor * n_tokens
+    return max(1, int(np.ceil(cfg.capacity_factor * cfg.top_k * n_tokens
                               / cfg.n_experts)))
 
 
@@ -73,24 +74,31 @@ def init_params(cfg: MoeConfig, seed: int = 0) -> dict:
     }
 
 
-def _route(logits, n_experts: int, cap: int):
-    """Top-1 capacity routing: (S, E) logits -> dispatch (S, E, C) one-hot,
-    combine (S, E, C) gate-weighted, aux load-balance loss."""
-    s = logits.shape[0]
+def _route(logits, n_experts: int, cap: int, top_k: int = 1):
+    """Top-k capacity routing: (S, E) logits -> dispatch (S, E, C) one-hot,
+    combine (S, E, C) gate-weighted, aux load-balance loss. top_k=1 is
+    Switch (raw gate weight); top_k=2 is GShard (the k gate values are
+    renormalized, and capacity slots queue RANK-MAJOR: every token's
+    first choice is seated before any second choice — the GShard policy)."""
+    s, e = logits.shape
     gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    eidx = jnp.argmax(gates, axis=-1)                      # (S,)
-    onehot = jax.nn.one_hot(eidx, n_experts, dtype=jnp.float32)
-    gate = jnp.sum(gates * onehot, axis=-1)                # (S,)
-    # position of each token within its expert's queue (arrival order)
-    pos = jnp.cumsum(onehot, axis=0) - onehot              # (S, E)
-    pos_tok = jnp.sum(pos * onehot, axis=-1)               # (S,)
+    vals, idx = jax.lax.top_k(gates, top_k)                # (S, k)
+    if top_k > 1:
+        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(idx, n_experts, dtype=jnp.float32)  # (S, k, E)
+    # rank-major arrival order: flatten to (k*S, E) with rank outermost
+    oh_flat = onehot.transpose(1, 0, 2).reshape(top_k * s, e)
+    pos_flat = jnp.cumsum(oh_flat, axis=0) - oh_flat
+    pos = pos_flat.reshape(top_k, s, e).transpose(1, 0, 2)  # (S, k, E)
+    pos_tok = jnp.sum(pos * onehot, axis=-1)                # (S, k)
     keep = (pos_tok < cap).astype(jnp.float32)
     slot = jax.nn.one_hot(pos_tok.astype(jnp.int32), cap,
-                          dtype=jnp.float32)                # (S, C)
-    dispatch = onehot[:, :, None] * slot[:, None, :] * keep[:, None, None]
-    combine = dispatch * gate[:, None, None]
-    # Switch aux loss: E * sum_e (token fraction_e * mean gate prob_e)
-    frac = jnp.mean(onehot, axis=0)
+                          dtype=jnp.float32)                # (S, k, C)
+    per_rank = onehot[..., None] * slot[:, :, None, :]      # (S, k, E, C)
+    dispatch = jnp.sum(per_rank * keep[..., None, None], axis=1)
+    combine = jnp.sum(per_rank * (vals * keep)[..., None, None], axis=1)
+    # Switch aux loss over FIRST choices: E * sum_e (fraction_e * prob_e)
+    frac = jnp.mean(onehot[:, 0], axis=0)
     prob = jnp.mean(gates, axis=0)
     aux = n_experts * jnp.sum(frac * prob)
     return dispatch, combine, aux
@@ -105,7 +113,7 @@ def forward(params: dict, x, cfg: MoeConfig, mesh: Mesh = None,
     cap = capacity(cfg, s)
     logits = jnp.dot(x, params["wg"], preferred_element_type=jnp.float32,
                      precision=pass_precision(x.dtype))
-    dispatch, combine, aux = _route(logits, cfg.n_experts, cap)
+    dispatch, combine, aux = _route(logits, cfg.n_experts, cap, cfg.top_k)
 
     xe = jnp.einsum("sec,sd->ecd", dispatch.astype(x.dtype), x,
                     preferred_element_type=jnp.float32,
@@ -140,17 +148,21 @@ def reference_forward(params: dict, x, cfg: MoeConfig):
     logits = xf @ wg
     e = np.exp(logits - logits.max(-1, keepdims=True))
     gates = e / e.sum(-1, keepdims=True)
-    eidx = gates.argmax(-1)
+    order = np.argsort(-gates, axis=-1)[:, :cfg.top_k]
     out = np.zeros_like(xf)
     for i in range(xf.shape[0]):
-        k = int(eidx[i])
-        h = xf[i] @ np.asarray(params["w1"][k], np.float32) + np.asarray(
-            params["b1"][k], np.float32)
-        h = np.asarray(apply_unary_op(cfg.activation, UnaryFlags.NONE,
-                                      jnp.asarray(h, jnp.float32)))
-        y = h @ np.asarray(params["w2"][k], np.float32) + np.asarray(
-            params["b2"][k], np.float32)
-        out[i] = gates[i, k] * y
+        picks = order[i]
+        g = gates[i, picks]
+        if cfg.top_k > 1:
+            g = g / g.sum()
+        for k, gk in zip(picks, g):
+            h = xf[i] @ np.asarray(params["w1"][k], np.float32) \
+                + np.asarray(params["b1"][k], np.float32)
+            h = np.asarray(apply_unary_op(cfg.activation, UnaryFlags.NONE,
+                                          jnp.asarray(h, jnp.float32)))
+            y = h @ np.asarray(params["w2"][k], np.float32) + np.asarray(
+                params["b2"][k], np.float32)
+            out[i] += gk * y
     return out
 
 

@@ -146,6 +146,41 @@ def test_moe_matches_per_token_oracle():
     assert float(aux) > 0.0
 
 
+def test_moe_top2_matches_per_token_oracle():
+    cfg = moe.MoeConfig(dim=16, hidden=32, n_experts=4, top_k=2,
+                        capacity_factor=2.0)  # C = S: no drops possible
+    params = moe.init_params(cfg, seed=6)
+    x = jnp.asarray(RNG.standard_normal((24, cfg.dim)), jnp.float32)
+    y, aux = jax.jit(lambda p, x: moe.forward(p, x, cfg))(params, x)
+    want = moe.reference_forward(params, x, cfg)
+    assert float(jnp.abs(y - np.asarray(want)).max()) < 1e-4
+    assert float(aux) > 0.0
+
+
+def test_moe_top2_rank_major_capacity():
+    """GShard seating policy: when capacity is scarce, FIRST choices win
+    slots over any second choice — identical tokens all routing (e1, e2)
+    must fill e1's queue with rank-0 picks before e2 seats rank-1 picks."""
+    cfg = moe.MoeConfig(dim=8, hidden=16, n_experts=4, top_k=2,
+                        capacity_factor=0.25)
+    s = 16
+    cap = moe.capacity(cfg, s)           # 2 slots per expert
+    params = moe.init_params(cfg, seed=7)
+    x = jnp.broadcast_to(
+        jnp.asarray(RNG.standard_normal((1, cfg.dim)), jnp.float32),
+        (s, cfg.dim))
+    logits = jnp.dot(x, params["wg"])
+    dispatch, _, _ = moe._route(logits, cfg.n_experts, cap, top_k=2)
+    per_expert = np.asarray(jnp.sum(dispatch, axis=(0, 2)))
+    # both the rank-0 and the rank-1 expert seat exactly `cap` tokens,
+    # and the seated rank-0 tokens are the FIRST cap arrivals
+    assert sorted(per_expert, reverse=True)[:2] == [cap, cap]
+    gates = jax.nn.softmax(logits, axis=-1)
+    e0 = int(jnp.argmax(gates[0]))
+    seated = np.asarray(jnp.sum(dispatch[:, e0, :], axis=-1))
+    assert seated[:cap].sum() == cap and seated[cap:].sum() == 0
+
+
 def test_moe_capacity_drops_zero_overflow_tokens():
     cfg = moe.MoeConfig(dim=8, hidden=16, n_experts=4, capacity_factor=0.5)
     params = moe.init_params(cfg, seed=3)
