@@ -24,6 +24,31 @@ from typing import Optional, Tuple
 from .dtypes import Datatype
 
 
+def _hashcache(cls):
+    """Cache each instance's structural hash after the first computation.
+
+    Descriptors are the dispatch-cache key: every cache-hit dispatch hashes
+    the descriptor, and the dataclass-generated __hash__ recursively re-hashes
+    nested shapes/configs and enum members on every call (~6 µs of the 12.7 µs
+    r4 cache-hit dispatch cost). Shape/config objects are long-lived and
+    reused across dispatches, so memoizing the hash per instance recovers the
+    reference's cheap hot path (crc32 once + memcmp,
+    /root/reference/src/libxsmm_main.c:2750-2762). Safe because instances are
+    frozen: fields can never change after construction.
+    """
+    base_hash = cls.__hash__
+
+    def __hash__(self):
+        h = self.__dict__.get("_xhash")
+        if h is None:
+            h = base_hash(self)
+            object.__setattr__(self, "_xhash", h)
+        return h
+
+    cls.__hash__ = __hash__
+    return cls
+
+
 # ---------------------------------------------------------------------------
 # GEMM
 # ---------------------------------------------------------------------------
@@ -64,6 +89,7 @@ class BatchReduceType(enum.Enum):
     STRIDE = 4    # dense leading batch dimension
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class GemmShape:
     """libxsmm_gemm_shape analogue (include/libxsmm_typedefs.h:747-758).
@@ -89,6 +115,7 @@ class GemmShape:
         return 2 * self.m * self.n * self.k * max(1, br_count)
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class BatchReduceConfig:
     """libxsmm_gemm_batch_reduce_config analogue."""
@@ -306,6 +333,7 @@ class TernaryType(enum.Enum):
 # Descriptors (== cache keys)
 # ---------------------------------------------------------------------------
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class GemmDescriptor:
     shape: GemmShape
@@ -340,6 +368,7 @@ class GemmDescriptor:
                 f"_beta{self.beta}{br}")
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class UnaryArgops:
     """libxsmm_gemm_ext_unary_argops analogue (typedefs.h:771-783).
@@ -360,6 +389,7 @@ class UnaryArgops:
     store_cp: bool = False
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class BinaryPostops:
     """libxsmm_gemm_ext_binary_postops analogue (typedefs.h:785-789).
@@ -373,6 +403,7 @@ class BinaryPostops:
     d_in_type: Datatype = Datatype.F32
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class GemmExtDescriptor:
     base: GemmDescriptor
@@ -383,6 +414,7 @@ class GemmExtDescriptor:
         return self.base.name() + "_ext"
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class MeltwDescriptor:
     """libxsmm_meltw_descriptor analogue (src/libxsmm_main.h:292-302)."""
@@ -406,6 +438,7 @@ class MeltwDescriptor:
                 f"_{self.m}x{self.n}_f{int(self.flags)}")
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class SpgemmConfig:
     """libxsmm_spgemm_config analogue (include/libxsmm_typedefs.h:740-744)."""
@@ -415,6 +448,7 @@ class SpgemmConfig:
     bn: int = 1
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class SparsePattern:
     """Trace-time fingerprint of a sparsity pattern.
@@ -538,6 +572,7 @@ def create_gemm_ext_binary_postops(ldd=None,
                          d_in_type=Datatype(d_in_type))
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class MeltwUnaryShape:
     """libxsmm_meltw_unary_shape (include/libxsmm_typedefs.h:593-601)."""
@@ -550,6 +585,7 @@ class MeltwUnaryShape:
     comp_type: Datatype = Datatype.F32
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class MeltwBinaryShape:
     """libxsmm_meltw_binary_shape (include/libxsmm_typedefs.h:603-613)."""
@@ -564,6 +600,7 @@ class MeltwBinaryShape:
     comp_type: Datatype = Datatype.F32
 
 
+@_hashcache
 @dataclasses.dataclass(frozen=True)
 class MeltwTernaryShape:
     """libxsmm_meltw_ternary_shape (include/libxsmm_typedefs.h:615-627)."""

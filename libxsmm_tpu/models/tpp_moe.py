@@ -30,7 +30,6 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -45,7 +45,7 @@ from ..descriptor import (BatchReduceConfig, BatchReduceType, BinaryPostops,
                           BinaryType, GemmDescriptor, GemmExtDescriptor,
                           GemmFlags, GemmShape, UnaryArgops, UnaryType)
 from ..dtypes import Datatype, to_jnp
-from ..registry import Kernel, KernelInfo, get_registry
+from ..registry import Kernel, KernelInfo, get_registry, memo_dispatch
 from .eltwise import apply_binary_op, apply_unary_op
 
 
@@ -345,9 +345,14 @@ def _build_gemm(desc: GemmDescriptor) -> Kernel:
 
 def dispatch_gemm(shape: GemmShape,
                   flags: GemmFlags = GemmFlags.NONE) -> Kernel:
-    """libxsmm_dispatch_gemm analogue (src/libxsmm_main.c:3390)."""
-    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags))
-    return get_registry().dispatch(desc, _build_gemm)
+    """libxsmm_dispatch_gemm analogue (src/libxsmm_main.c:3390).
+
+    Repeat dispatches ride the per-thread memo (registry.memo_dispatch, the
+    reference's thread-local cache analogue, src/libxsmm_main.c:292-302)."""
+    return memo_dispatch(
+        get_registry(), ("gemm", shape, flags),
+        lambda: GemmDescriptor(shape=shape, flags=GemmFlags(flags)),
+        _build_gemm)
 
 
 def dispatch_brgemm(shape: GemmShape,
@@ -356,8 +361,11 @@ def dispatch_brgemm(shape: GemmShape,
     """libxsmm_dispatch_brgemm analogue (src/libxsmm_main.c:3409)."""
     if br_config is None:
         br_config = BatchReduceConfig(br_type=BatchReduceType.STRIDE)
-    desc = GemmDescriptor(shape=shape, flags=GemmFlags(flags), br=br_config)
-    return get_registry().dispatch(desc, _build_gemm)
+    return memo_dispatch(
+        get_registry(), ("brgemm", shape, flags, br_config),
+        lambda: GemmDescriptor(shape=shape, flags=GemmFlags(flags),
+                               br=br_config),
+        _build_gemm)
 
 
 # ---------------------------------------------------------------------------

@@ -27,14 +27,18 @@ The train step therefore backpropagates THROUGH the pipeline schedule —
 the backward program is the mirrored drain/fill ladder XLA derives.
 
 Comm model (per device, per call): T activation rotations of one
-(mb, d) microbatch plus the final result broadcast; asserted against
-the lowered HLO in tests/test_pipeline_moe.py.
+(mb, d) microbatch — ring rotations ONLY. Results are NOT broadcast:
+the stage-local outputs are returned stacked over the pp axis and the
+last stage's block is sliced outside the shard_map, so finished
+microbatches stay resident on the last stage and downstream consumers
+(a loss, a host fetch) pull only what they need — GSPMD inserts the
+minimal reshard at the use site instead of an eager full-tensor psum.
+Asserted against the lowered HLO in tests/test_pipeline_moe.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +64,12 @@ class PipelineConfig:
 def pipeline_comm_bytes_per_device(cfg: PipelineConfig, dp: int = 1) -> int:
     """Analytic per-device comm volume of one forward: one (mb, d)
     activation rotation per tick, T = M + P - 1 ticks; under a pp x dp
-    mesh each device rotates only its mb/dp row slice."""
+    mesh each device rotates only its mb/dp row slice. This is the FULL
+    collective payload of the forward — outputs are not broadcast (they
+    stay resident on the last stage; see module docstring)."""
+    if cfg.micro_batch % dp:
+        raise ValueError(f"micro_batch={cfg.micro_batch} must divide over "
+                         f"dp={dp}")
     isz = jnp.dtype(cfg.dtype).itemsize
     ticks = cfg.n_micro + cfg.n_stages - 1
     return ticks * (cfg.micro_batch // dp) * cfg.dim * isz
@@ -149,19 +158,25 @@ def make_pipeline_forward(cfg: PipelineConfig, mesh: Mesh, axis: str = "pp",
         # static Python-int bounds: reverse-mode AD through fori_loop
         # requires a static trip count (it lowers to scan)
         _, outs = jax.lax.fori_loop(0, T, tick, (carry0, outs0))
-        # only the last stage holds real outputs; replicate via psum
-        return jax.lax.psum(
-            jnp.where(is_last, outs, jnp.zeros_like(outs)), axis)
+        # only the last stage holds real outputs (other stages' blocks are
+        # the zeros they were initialised with); return them stacked over
+        # the pp axis instead of psum-replicating the full tensor — the
+        # caller slices the last block, and any cross-device movement is
+        # deferred to the actual consumer (r4 advisor: the eager psum
+        # moved P x the minimal volume)
+        return outs
 
     xspec = P(None, dp_axis, None) if dp_axis is not None else P()
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None), xspec),
-        out_specs=xspec,
+        out_specs=P(axis, dp_axis, None) if dp_axis is not None
+        else P(axis, None, None),
         check_vma=False)
 
     def fn(params, xs):
-        return shmapped(params["w"], params["b"], xs)
+        stacked = shmapped(params["w"], params["b"], xs)   # (P*M, mb, d)
+        return stacked[(Pn - 1) * M:]
 
     return fn
 

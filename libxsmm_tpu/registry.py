@@ -27,6 +27,7 @@ from collections import defaultdict
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 from .config import CONFIG
+from .utils.trace import trace_event
 
 
 @dataclasses.dataclass
@@ -141,13 +142,11 @@ class Registry:
                         # refresh recency (dicts are insertion-ordered)
                         self._kernels.pop(descriptor)
                         self._kernels[descriptor] = hit
-                    from .utils.trace import trace_event
                     trace_event("dispatch_hit", hit.name)
                     return hit
         import time as _time
         _t0 = _time.perf_counter()
         kernel = builder(descriptor)
-        from .utils.trace import trace_event
         trace_event("dispatch_build", getattr(kernel, "name", "?"),
                     build_ms=round((_time.perf_counter() - _t0) * 1e3, 3))
         with self._lock:
@@ -186,6 +185,7 @@ class Registry:
         """libxsmm_release_kernel analogue; evicts the cache entry."""
         with self._lock:
             self._kernels.pop(descriptor, None)
+        _bump_memo_generation()
 
     # -- user key-value registry ------------------------------------------
 
@@ -243,11 +243,55 @@ class Registry:
             self._kernels.clear()
             self._user.clear()
             self._stats = _Stats()
+        _bump_memo_generation()
 
 
 _REGISTRY: Optional[Registry] = None
 _INIT_LOCK = threading.Lock()
 _ATEXIT_REGISTERED = False
+
+# ---------------------------------------------------------------------------
+# Per-thread recent-dispatch cache — the reference's thread-local descriptor
+# cache (src/libxsmm_main.c:292-302, LIBXSMM_CACHE_MAXSIZE): repeat
+# dispatches from the same thread skip descriptor construction, the registry
+# lock, and the full structural hash. Keys are the dispatch entry-point's
+# raw argument tuple; invalidation is a global generation counter bumped by
+# release()/clear()/finalize().
+# ---------------------------------------------------------------------------
+
+_TLS = threading.local()
+_MEMO_GEN = [0]          # mutable cell shared by all threads
+_MEMO_MAX = 512          # bound per thread (reference uses 4; dict is cheap)
+
+
+def _bump_memo_generation() -> None:
+    _MEMO_GEN[0] += 1
+
+
+def memo_dispatch(registry: "Registry", key: Tuple,
+                  make_descriptor: Callable[[], Any],
+                  builder: Callable[[Any], Kernel]) -> Kernel:
+    """Thread-cached dispatch: `key` is the entry-point argument tuple
+    (hash-cheap — descriptor shapes memoize their hash); on miss the real
+    descriptor is constructed and dispatched through `registry`."""
+    if not CONFIG.cache_enabled:
+        return registry.dispatch(make_descriptor(), builder)
+    memo = getattr(_TLS, "memo", None)
+    if memo is None or _TLS.gen != _MEMO_GEN[0]:
+        memo = {}
+        _TLS.memo, _TLS.gen = memo, _MEMO_GEN[0]
+    hit = memo.get(key)
+    if hit is not None:
+        # relaxed counter, like the reference's statistics (no lock on the
+        # thread-cache fast path)
+        registry._stats.hits += 1
+        trace_event("dispatch_hit", hit.name)
+        return hit
+    kernel = registry.dispatch(make_descriptor(), builder)
+    if len(memo) >= _MEMO_MAX:
+        memo.clear()
+    memo[key] = kernel
+    return kernel
 
 
 def init() -> Registry:
@@ -292,6 +336,7 @@ def finalize() -> None:
         if CONFIG.verbose:
             _REGISTRY.print_statistic()
         _REGISTRY = None
+        _bump_memo_generation()
 
 
 def _atexit_dump() -> None:

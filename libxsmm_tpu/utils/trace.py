@@ -90,6 +90,9 @@ def trace_event(event: str, name: str, **fields) -> None:
     user code may add its own events. Failures never propagate — tracing
     must not alter program behavior (the reference's tracer is similarly
     best-effort, src/libxsmm_trace.c)."""
+    sink = _TRACE_SINK
+    if sink is False:        # resolved-disabled: the dispatch hot path
+        return
     sink = _trace_sink()
     if not sink:
         return

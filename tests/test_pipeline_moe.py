@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from libxsmm_tpu.models import tpp_moe as moe
 from libxsmm_tpu.parallel import pipeline as pp
@@ -117,6 +118,34 @@ def test_pipeline_dp_composition_matches_sequential():
     got = fwd(sharded, xd)
     ref = pp.reference_forward(params, xs, cfg)
     assert float(jnp.abs(got - ref).max()) < 1e-5
+
+
+def test_pipeline_dp_composition_gradients():
+    """pp x dp mesh: GRADS through the dp-composed pipeline (shard_map
+    transpose psum over dp) match the sequential oracle (r4 advisor: the
+    dp gradient path was untested)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg, params, xs = _pp_setup(4, n_micro=6, mb=4)
+    ys = jnp.asarray(RNG.standard_normal(xs.shape), jnp.float32)
+    mesh = make_mesh([("pp", 4), ("dp", 2)])
+    fwd = pp.make_pipeline_forward(cfg, mesh, dp_axis="dp")
+    xsh = NamedSharding(mesh, P(None, "dp", None))
+    xd, yd = jax.device_put(xs, xsh), jax.device_put(ys, xsh)
+
+    def loss_pp(p):
+        pred = fwd(p, xd)
+        return jnp.mean((pred - yd) ** 2)
+
+    def loss_seq(p):
+        pred = pp.reference_forward(p, xs, cfg)
+        return jnp.mean((pred - ys) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(pp.shard_params(params, mesh))
+    g_seq = jax.grad(loss_seq)(params)
+    for key in ("w", "b"):
+        err = float(jnp.abs(g_pp[key] - g_seq[key]).max())
+        assert err < 1e-5, f"grad {key} mismatch {err}"
 
 
 def test_pipeline_validates_geometry():
