@@ -392,3 +392,106 @@ def test_dist_spmm_two_level_ring2_default():
     assert r1.overlap_report(x)["prefetch_issue_order"] is False
     with pytest.raises(ValueError, match="comm"):
         DistributedBsrSpmm2Level(bsr, 16, mesh, comm="nope")
+
+
+# ---------------------------------------------------------------------------
+# Ulysses (all-to-all head-parallel) sequence parallelism — the second CP
+# flavor (VERDICT r4 #5; reference absent, SURVEY.md §5.7);
+# parallel/ulysses.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention_matches_single_device(causal):
+    from libxsmm_tpu.ops.attention import _naive
+    from libxsmm_tpu.parallel.ulysses import make_ulysses_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(2)
+    bh, s, hd = 8, 1024, 32
+    q = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    kT = jnp.asarray(rng.standard_normal((bh, hd, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    mesh = make_mesh([("sp", 8)])
+    fn, sh = make_ulysses_attention(mesh, "sp", bh, s, hd, jnp.float32,
+                                    causal=causal)
+    out = fn(jax.device_put(q, sh["q"]), jax.device_put(kT, sh["kT"]),
+             jax.device_put(v, sh["v"]))
+    ref = _naive(q, kT, v, hd ** -0.5, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_attention_gradients():
+    """Grads derive by autodiff: two all-to-alls transpose around the
+    custom-VJP flash backward; must match the naive composition."""
+    from libxsmm_tpu.ops.attention import _naive
+    from libxsmm_tpu.parallel.ulysses import make_ulysses_attention
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    bh, s, hd = 4, 512, 32
+    q = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    kT = jnp.asarray(rng.standard_normal((bh, hd, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, hd)), jnp.float32)
+    mesh = make_mesh([("sp", 4)])
+    fn, sh = make_ulysses_attention(mesh, "sp", bh, s, hd, jnp.float32,
+                                    causal=True)
+    args = (jax.device_put(q, sh["q"]), jax.device_put(kT, sh["kT"]),
+            jax.device_put(v, sh["v"]))
+
+    def loss(q_, kT_, v_):
+        return jnp.sum(fn(q_, kT_, v_) ** 2)
+
+    def loss_n(q_, kT_, v_):
+        return jnp.sum(_naive(q_, kT_, v_, hd ** -0.5, True) ** 2)
+
+    gr = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, kT, v)
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ulysses_comm_model_and_crossover():
+    """Analytic comm volume (4 all-to-alls x (P-1)/P of one local shard),
+    the lowered program carrying real all-to-alls, and the ring/Ulysses
+    crossover: Ulysses moves 2/P of the ring's bytes when applicable."""
+    from libxsmm_tpu.parallel.ring_attention import (
+        ring_comm_bytes_per_device)
+    from libxsmm_tpu.parallel.ulysses import (
+        lowered_text, recommend_cp_flavor, ulysses_comm_bytes_per_device)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    bh, s, hd = 8, 1024, 32
+    for nd in (2, 4, 8):
+        got = ulysses_comm_bytes_per_device(bh, s, hd, nd, jnp.float32)
+        assert got == 4 * bh * (s // nd) * hd * 4 * (nd - 1) // nd
+        ring = ring_comm_bytes_per_device(bh, s, hd, nd, jnp.float32)
+        # the crossover: ulysses/ring = 2/P exactly
+        assert got * nd == ring * 2
+        rec = recommend_cp_flavor(bh, s, hd, nd, jnp.float32)
+        assert rec["pick"] == ("ring" if nd == 2 else "ulysses")
+        assert rec["ulysses_applicable"] is True
+    # heads not divisible by the axis: the ring is the only flavor
+    rec = recommend_cp_flavor(2, s, hd, 8, jnp.float32)
+    assert rec["pick"] == "ring" and rec["ulysses_applicable"] is False
+    mesh = make_mesh([("sp", 8)])
+    txt = lowered_text(mesh, "sp", bh, s, hd, jnp.float32)
+    assert "all_to_all" in txt.replace("-", "_")
+    assert "collective_permute" not in txt.replace("-", "_")
+
+
+def test_ulysses_rejects_bad_geometry():
+    from libxsmm_tpu.parallel.ulysses import make_ulysses_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mesh = make_mesh([("sp", 8)])
+    with pytest.raises(ValueError, match="divide"):
+        make_ulysses_attention(mesh, "sp", 8, 1001, 32, jnp.float32)
+    with pytest.raises(ValueError, match="heads divisible"):
+        make_ulysses_attention(mesh, "sp", 2, 1024, 32, jnp.float32)
