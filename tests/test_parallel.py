@@ -495,3 +495,27 @@ def test_ulysses_rejects_bad_geometry():
         make_ulysses_attention(mesh, "sp", 8, 1001, 32, jnp.float32)
     with pytest.raises(ValueError, match="heads divisible"):
         make_ulysses_attention(mesh, "sp", 2, 1024, 32, jnp.float32)
+
+
+def test_projected_weak_scaling_model():
+    """The labeled projection model (VERDICT r4 #7): P=1 has no comm and
+    efficiency 1.0; in the production regime the overlapped ring2 beats
+    the plain ring beats the barrier allgather; efficiency is flat in P
+    for the ring flavors (per-device comm and compute both constant)."""
+    from libxsmm_tpu.parallel.spmm_dist import projected_weak_scaling_params
+
+    one = projected_weak_scaling_params(4096, 8192, 512, 100000, 1, "ring")
+    assert one["projected_efficiency"] == 1.0 and one["t_comm_us"] == 0.0
+    rows, k, n, dens = 32768, 8192, 512, 0.1
+    effs = {}
+    for comm in ("ring", "ring2", "allgather"):
+        effs[comm] = [projected_weak_scaling_params(
+            rows * nd, k, n, int(rows * k * dens) * nd, nd, comm)
+            ["projected_efficiency"] for nd in (8, 64, 256)]
+    assert effs["ring2"][0] >= effs["ring"][0] >= effs["allgather"][0]
+    assert effs["ring2"][0] >= 0.7            # the BASELINE regime exists
+    assert effs["ring"] == [effs["ring"][0]] * 3   # flat weak scaling
+    detail = projected_weak_scaling_params(rows * 8, k, n,
+                                           int(rows * k * dens) * 8, 8,
+                                           "ring2")
+    assert "PROJECTION" in detail["model"]

@@ -256,6 +256,100 @@ def test_moe_ep_sharding_in_lowered_module():
     assert "sdy.sharding" in txt or "mhlo.sharding" in txt
 
 
+def test_moe_a2a_matches_per_token_oracle():
+    """Explicit all-to-all dispatch (VERDICT r4 #9): with capacity
+    covering the draw, the shard_map a2a forward equals the per-token
+    oracle — token movement is collective plumbing, not semantics."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg = moe.MoeConfig(dim=16, hidden=32, n_experts=4,
+                        capacity_factor=8.0, top_k=2)
+    params = moe.init_params(cfg, seed=8)
+    mesh = make_mesh([("ep", 4)])
+    x = RNG.standard_normal((32, cfg.dim)).astype(np.float32)
+    sp = moe.shard_params(params, mesh)
+    xd = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P("ep", None)))
+    y, aux = jax.jit(lambda p, xx: moe.forward_a2a(p, xx, cfg, mesh,
+                                                   None, "ep"))(sp, xd)
+    want = moe.reference_forward(params, x, cfg)
+    assert float(jnp.abs(y - np.asarray(want)).max()) < 1e-4
+    assert float(aux) > 0.0
+
+
+def test_moe_a2a_dp_composition_and_grads():
+    """a2a over a (dp=2, ep=4) mesh: forward equals the oracle and the
+    train step's grads match a single-device emulation of the SAME
+    per-shard routing (aux_loss_weight=0 isolates the data path; the
+    per-shard aux estimator is pinned separately below)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg = moe.MoeConfig(dim=16, hidden=32, n_experts=4,
+                        capacity_factor=8.0, aux_loss_weight=0.0)
+    params = moe.init_params(cfg, seed=9)
+    mesh = make_mesh([("dp", 2), ("ep", 4)])
+    x = RNG.standard_normal((32, cfg.dim)).astype(np.float32)
+    y = RNG.standard_normal((32, cfg.dim)).astype(np.float32)
+    sp = moe.shard_params(params, mesh)
+    step, xsh = moe.make_sharded_train_step(cfg, mesh, variant="a2a",
+                                            lr=1e-2)
+    new_s, loss_s = step(sp, jax.device_put(jnp.asarray(x), xsh),
+                         jax.device_put(jnp.asarray(y), xsh))
+    # single-device oracle: same loss = mse(forward, y); no drops means
+    # forward == reference routing == the einsum variant's forward
+    def ref_loss(p):
+        pred, _ = moe.forward(p, jnp.asarray(x), cfg)
+        return jnp.mean((pred - jnp.asarray(y)) ** 2)
+    loss_u, grads_u = jax.value_and_grad(ref_loss)(params)
+    assert abs(float(loss_s) - float(loss_u)) < 1e-5
+    for k in params:
+        want = params[k] - 1e-2 * grads_u[k]
+        err = float(jnp.abs(jnp.asarray(new_s[k]) - want).max())
+        assert err < 1e-5, f"param {k} diverged {err}"
+
+
+def test_moe_a2a_aux_is_per_shard_mean():
+    """The a2a aux loss is the pmean of per-shard Switch losses — pin it
+    against a numpy emulation over the same token partition."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg = moe.MoeConfig(dim=8, hidden=16, n_experts=4, capacity_factor=8.0)
+    params = moe.init_params(cfg, seed=10)
+    mesh = make_mesh([("ep", 4)])
+    x = RNG.standard_normal((16, cfg.dim)).astype(np.float32)
+    xd = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P("ep", None)))
+    _, aux = jax.jit(lambda p, xx: moe.forward_a2a(p, xx, cfg, mesh,
+                                                   None, "ep"))(
+        moe.shard_params(params, mesh), xd)
+    parts = []
+    for sh in np.split(x, 4):
+        logits = jnp.dot(jnp.asarray(sh), params["wg"])
+        _, _, a = moe._route(logits, cfg.n_experts,
+                             moe.capacity(cfg, sh.shape[0]), cfg.top_k)
+        parts.append(float(a))
+    assert abs(float(aux) - np.mean(parts)) < 1e-5
+
+
+def test_moe_a2a_comm_evidence_and_autotune():
+    """Comm evidence: the a2a lowering carries real stablehlo.all_to_all
+    ops; the comm report compares both variants' collective counts; the
+    create-time autotuner returns a measured pick (BCSC discipline)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg = moe.MoeConfig(dim=16, hidden=32, n_experts=4)
+    mesh = make_mesh([("dp", 2), ("ep", 4)])
+    rep = moe.moe_comm_report(cfg, mesh, n_tokens=32)
+    assert rep["a2a"]["all_to_all"] >= 2, rep
+    assert rep["a2a_bytes_per_device"] > 0
+    pick = moe.pick_moe_variant(cfg, mesh, n_tokens=32)
+    assert pick["pick"] in ("einsum", "a2a")
+    assert pick["einsum_s"] or pick["a2a_s"]
+    step, xsh = moe.make_sharded_train_step(cfg, mesh, variant="auto",
+                                            n_tokens=32)
+    assert step is not None
+
+
 def test_moe_train_step_learns():
     cfg = moe.MoeConfig(dim=8, hidden=16, n_experts=2,
                         capacity_factor=2.0)
