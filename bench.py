@@ -698,7 +698,7 @@ def make_bcsc_cases(ctx, density):
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     kerns = {}
-    for s in ("dense", "union", "union2", "union4"):
+    for s in ("dense", "union", "union2", "union4", "union4a", "union4d"):
         try:
             kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
                                                  SpgemmConfig(1, bk, bn),
@@ -891,8 +891,14 @@ def grp_brgemm(ctx):
         }
         r = paired_ratio(pr, "brg", "peak")
         if r is not None:
-            ex["brgemm_peak_fraction"] = round(
-                min(meta["flops"] / meta["peak_flops"] * r, 1.0), 3)
+            frac = meta["flops"] / meta["peak_flops"] * r
+            ex["brgemm_peak_fraction"] = round(min(frac, 1.0), 3)
+            # an HBM-bound kernel outrunning the peak probe means the
+            # MXU was throttled in this window — surface the condition
+            # instead of presenting the capped 1.0 as the target metric
+            # (VERDICT r4 #3)
+            if frac > 1.0:
+                ex["brgemm_peak_probe_throttled"] = True
         r = paired_ratio(pr, "brg", "sol")
         ex["brgemm_stream_sol_frac"] = (round(min(r, 1.0), 3)
                                         if (r is not None
@@ -902,6 +908,12 @@ def grp_brgemm(ctx):
         if r is not None:
             ex["brgemm_vs_copy_bw"] = round(
                 meta["bytes"] / meta["copy_bytes"] * r, 3)
+        # window condition gate: absolute numbers from a drought window
+        # (copy probe far below the ~700 GB/s healthy floor) are labeled
+        cpbw = meta["copy_bytes"] / cases["copy"].best / 1e9
+        ex["brgemm_window_copy_gbps"] = round(cpbw, 1)
+        if cpbw < 400.0:
+            ex["brgemm_window_drought"] = True
         r = paired_ratio(pr, "fused", "brg")
         if r is not None:
             ex["brgemm_fused_frac"] = round(r, 3)

@@ -260,7 +260,8 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                           double_buffer: bool = False,
                           cluster: bool = True,
                           assemble_dma: bool = False,
-                          fuse_rhs: bool = False
+                          fuse_rhs: bool = False,
+                          u_align: int = 1
                           ) -> Optional[Callable]:
     """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
 
@@ -376,6 +377,14 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                         indices[int(indptr[j]):int(indptr[j + 1])])
         unions.append(sorted(rows))
     U = max(1, max(len(u) for u in unions))
+    if u_align > 1:
+        # pad the union depth so the contraction U*bk is MXU-aligned
+        # (u_align = 128//bk -> %128 contraction): the pad slots point at
+        # block-row 0 of A times the appended ZERO value block, so they
+        # contribute nothing — trade ~u_align/2 extra bk-rows of dot for
+        # an aligned contraction ("union4a"; r5 lab: the 672-row dot ran
+        # 0.62-0.73 of peak and misalignment was a suspect)
+        U = -(-U // u_align) * u_align
     if U * bk > k:
         U = k // bk                 # fully dense union: still correct
     krows = np.zeros((nsg, U), np.int32)

@@ -807,8 +807,8 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
     # interleaved candidates survive any time-share window; a sequential
     # per-strategy loop hands the win to whoever drew the good window)
     cands = []
-    for s in ("dense", "union", "union2", "union3", "union4", "super",
-              "sparse", "pallas"):
+    for s in ("dense", "union", "union2", "union3", "union4", "union4a",
+              "union4d", "super", "sparse", "pallas"):
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=s)
@@ -845,7 +845,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
 
     Lowerings, picked by `strategy` ("auto"|"sparse"|"dense"|"pallas"|
-    "super"|"union"|"union2"|"union3"|"union4"); "auto" microbenchmarks ALL of them on device at
+    "super"|"union"|"union2"|"union3"|"union4"|"union4a"|"union4d"); "auto" microbenchmarks ALL of them on device at
     create time and keeps the winner (_bcsc_autotune, the fsspmdm
     pattern):
       * sparse: gather A panels per nonzero block -> one batched MXU matmul
@@ -896,13 +896,24 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
         if strategy == "super":
             return _build_bcsc_super(shape, flags, config, indptr, indices,
                                      desc, nblocks)
-        if strategy in ("union", "union2", "union3", "union4"):
+        if strategy in ("union", "union2", "union3", "union4", "union4a",
+                        "union4d"):
             from ..kernels import spmm_pallas
+            # union4a: pad the union depth so the contraction U*bk is a
+            # multiple of 128 (MXU-aligned; pad slots are zero-block
+            # no-ops); union4d: force the FULLY-DENSE union (U = k/bk) —
+            # the fused-densify formulation whose dot is one regular
+            # full-k contraction per lane group (trades union-density
+            # flops for the MXU's regular-shape rate). Both are
+            # compile-lottery siblings the autotuner races.
+            ua = {"union4a": max(1, 128 // config.bk),
+                  "union4d": max(1, shape.k // config.bk)}.get(strategy, 1)
             pfn = spmm_pallas.build_bcsc_spmm_union(
                 shape, config, indptr, indices,
                 double_buffer=(strategy == "union2"),
                 assemble_dma=(strategy == "union3"),
-                fuse_rhs=(strategy == "union4"))
+                fuse_rhs=strategy.startswith("union4"),
+                u_align=ua)
             if pfn is None:
                 raise ValueError("descriptor unsupported by the k-union "
                                  "BCSC kernel (need bn|128, 128|n, bk|k, "

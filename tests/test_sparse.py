@@ -195,8 +195,8 @@ def test_pspgemm_bcsc_bf16_out_all_strategies():
     ref = (np.asarray(ab.astype(jnp.float32)) @
            BcscMatrix((k, n), bk, bn, bm.indptr, bm.indices,
                       np.asarray(vb.astype(jnp.float32))).to_dense())
-    for strat in ("dense", "union", "union2", "union4", "pallas", "super",
-                  "sparse"):
+    for strat in ("dense", "union", "union2", "union4", "union4a",
+                  "pallas", "super", "sparse"):
         kern = create_packed_spgemm_bcsc(
             shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
             column_ptr=bm.indptr, row_idx=bm.indices, strategy=strat)
@@ -214,7 +214,7 @@ def test_pspgemm_bcsc_union2_multi_group():
     a = RNG.standard_normal((m, k)).astype(np.float32)
     shape = GemmShape(m, n, k)
     want = a @ bm.to_dense()
-    for strat in ("union", "union2", "union4"):
+    for strat in ("union", "union2", "union4", "union4a"):
         kern = create_packed_spgemm_bcsc(
             shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
             column_ptr=bm.indptr, row_idx=bm.indices, strategy=strat)
