@@ -1010,6 +1010,17 @@ def _grp_bcsc(ctx, density, prefix):
                               / meta["peak_flops"] * r, 4)
         ex[prefix + "useful_peak_by_strategy"] = by
         ex[prefix + "useful_peak_fraction"] = by.get(winner)
+        # label MXU-throttled windows: the fraction's denominator is the
+        # SAME-WINDOW peak probe, so a throttled probe (<50% of the spec
+        # peak) inflates every fraction — r5 observed 0.72 @20% in a
+        # 25 ms-launch drought whose probe read 36.9 TF/s vs ~190 healthy
+        # (the mirror image of r4's deflated capture)
+        pk_gflops = meta["peak_flops"] / cases["peak"].best / 1e9
+        ex[prefix + "peak_probe_gflops"] = round(pk_gflops, 1)
+        from libxsmm_tpu import device as _dev
+        spec = _dev.get_geometry().peak_bf16_tflops * 1e3
+        if pk_gflops < 0.5 * spec:
+            ex[prefix + "peak_probe_throttled"] = True
         ctx.emit(**ex)
 
     ctx.rounds(cases, update, min_rounds=4, max_rounds=10)
