@@ -135,7 +135,8 @@ def forward(params: dict, x, cfg: MoeConfig, mesh: Mesh = None,
             ye, NamedSharding(mesh, P(ep_axis, None, None)))
     y = jnp.einsum("sec,ecd->sd", combine.astype(jnp.float32),
                    ye.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=pass_precision(jnp.float32))
     return y.astype(x.dtype), aux
 
 
@@ -261,7 +262,8 @@ def forward_a2a(params: dict, x, cfg: MoeConfig, mesh: Mesh,
         yr = yr.reshape(cfg.n_experts, cap, d)
         y = jnp.einsum("sec,ecd->sd", combine.astype(jnp.float32),
                        yr.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=pass_precision(jnp.float32))
         return y.astype(x.dtype), jax.lax.pmean(aux, axes)
 
     pspecs = {
