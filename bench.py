@@ -698,7 +698,7 @@ def make_bcsc_cases(ctx, density):
     shape = GemmShape(m, n, k, a_in_type=Datatype.BF16,
                       b_in_type=Datatype.BF16, out_type=Datatype.F32)
     kerns = {}
-    for s in ("dense", "union", "union2", "union4", "union4a", "union4d"):
+    for s in ("dense", "union", "union2", "union4", "union4a", "union5"):
         try:
             kerns[s] = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
                                                  SpgemmConfig(1, bk, bn),

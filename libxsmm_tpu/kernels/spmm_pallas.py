@@ -261,7 +261,8 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
                           cluster: bool = True,
                           assemble_dma: bool = False,
                           fuse_rhs: bool = False,
-                          u_align: int = 1
+                          u_align: int = 1,
+                          hbm_a: bool = False
                           ) -> Optional[Callable]:
     """K-union-compacted BCSC SpMM: fn(a, values) -> C(m, n), beta=0.
 
@@ -411,6 +412,15 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     isz = jnp.dtype(in_dt).itemsize
     if assemble_dma and fuse_rhs:
         return None                 # one pipeline flavor at a time
+    if hbm_a:
+        # union5 = union4's fused rhs + the A-prologue overlap: A^T is an
+        # ANY-space operand, its bulk HBM->VMEM copy is issued by the
+        # kernel itself and lands WHILE groups 0/1 run off per-slot
+        # direct-HBM panel DMAs (VERDICT r4 #2(c): the serial resident-
+        # block prologue costs ~2.7 us of a ~23 us call)
+        if assemble_dma:
+            return None
+        fuse_rhs = True
     if assemble_dma or fuse_rhs:
         double_buffer = True        # both pipelines ARE double-buffered
     nbuf = 2 if double_buffer else 1
@@ -569,6 +579,87 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
         def _():
             body(s1, r1, s0, r0)
 
+    def kernel_hbm(krows_ref, gmap_ref, at_hbm, vs_ref, o_ref,
+                   a_vm, s0, s1, r0, r1, sems, bulk_sem):
+        """union5: union4's fused-rhs pipeline with the A-prologue
+        OVERLAPPED — A^T stays in HBM (ANY space); at each m-tile's first
+        step the kernel launches the bulk (k, tm) copy into a_vm and
+        feeds groups 0/1 from per-slot direct-HBM panel DMAs while it
+        lands; groups >=2 assemble from the VMEM copy exactly like
+        union4. Every DMA is awaited exactly once (Mosaic contract):
+        panel sems (2, U) at g==0/g==1, the bulk at g==1."""
+        i = pl.program_id(0)
+        g = pl.program_id(1)
+        coff = i * tm                    # this m-tile's column offset
+
+        def hbm_panel_copy(buf, bsl, grp):
+            for u in range(U):
+                idx = krows_ref[grp * U + u]
+                yield pltpu.make_async_copy(
+                    at_hbm.at[pl.ds(idx * bk, bk), pl.ds(coff, tm)],
+                    buf.at[u * bk:(u + 1) * bk, :],
+                    sems.at[jnp.int32(bsl), jnp.int32(u)])
+
+        def fill_rhs(dst_r, grp):
+            for u in range(U):
+                for w in range(W):       # static unroll
+                    idx = gmap_ref[(grp * U + u) * W + w]
+                    dst_r[u * bk:(u + 1) * bk, w * bn:(w + 1) * bn] = \
+                        vs_ref[pl.ds(idx * bk, bk), :]
+
+        def fill_a(dst_a, grp):          # from the landed VMEM copy
+            for u in range(U):
+                idx = krows_ref[grp * U + u]
+                dst_a[u * bk:(u + 1) * bk, :] = \
+                    a_vm[pl.ds(idx * bk, bk), :]
+
+        bulk = pltpu.make_async_copy(
+            at_hbm.at[:, pl.ds(coff, tm)], a_vm, bulk_sem)
+
+        @pl.when(g == 0)
+        def _():                         # new m-tile prologue
+            if nsg > 1:
+                bulk.start()
+            for cp in hbm_panel_copy(s0, 0, 0):
+                cp.start()
+            fill_rhs(r0, 0)
+            if nsg > 1:
+                for cp in hbm_panel_copy(s1, 1, 1):
+                    cp.start()
+                fill_rhs(r1, 1)
+
+        @pl.when(g == 0)
+        def _():
+            for cp in hbm_panel_copy(s0, 0, 0):
+                cp.wait()
+
+        @pl.when(g == 1)
+        def _():
+            bulk.wait()
+            for cp in hbm_panel_copy(s1, 1, 1):
+                cp.wait()
+
+        even = jax.lax.rem(g, jnp.int32(2)) == 0
+
+        def body(cur_a, cur_r, nxt_a, nxt_r):
+            @pl.when(jnp.logical_and(g >= 1, g + 1 < nsg))
+            def _():                     # groups 0/1 were DMA-prefilled
+                fill_a(nxt_a, g + 1)
+                fill_rhs(nxt_r, g + 1)
+            o_ref[...] = jax.lax.dot_general(
+                cur_a[...], cur_r[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(o_ref.dtype)
+
+        @pl.when(even)
+        def _():
+            body(s0, r0, s1, r1)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            body(s1, r1, s0, r0)
+
     scratch_shapes = [pltpu.VMEM((U * bk, tm), in_dt)
                       for _ in range(nbuf)]
     if assemble_dma:
@@ -576,8 +667,29 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     if fuse_rhs:
         scratch_shapes += [pltpu.VMEM((U * bk, 128), in_dt),
                            pltpu.VMEM((U * bk, 128), in_dt)]
+    if hbm_a:
+        # a_vm leads the scratch list (ref order: a_vm, s0, s1, r0, r1,
+        # panel sems, bulk sem)
+        scratch_shapes = ([pltpu.VMEM((k, tm), in_dt)] + scratch_shapes
+                          + [pltpu.SemaphoreType.DMA((2, U)),
+                             pltpu.SemaphoreType.DMA])
 
-    if fuse_rhs:
+    if hbm_a:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,      # krows + gmap
+            grid=(m_tiles, nsg),
+            in_specs=[
+                # A^T stays in HBM; the kernel schedules its own copies
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                # the PADDED 2-D value store, resident for the whole call
+                pl.BlockSpec(((nblocks + 1) * bk, bn),
+                             lambda i, g, krows, gmap: (i - i, i - i)),
+            ],
+            out_specs=pl.BlockSpec((tm, 128),
+                                   lambda i, g, krows, gmap: (i, g)),
+            scratch_shapes=scratch_shapes,
+        )
+    elif fuse_rhs:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,      # krows + gmap
             grid=(m_tiles, nsg),
@@ -612,9 +724,10 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
 
     osz = jnp.dtype(out_dt).itemsize
     call = pl.pallas_call(
-        kernel_fused if fuse_rhs else (
-            kernel_dma if assemble_dma else (
-                kernel_db if double_buffer else kernel)),
+        kernel_hbm if hbm_a else (
+            kernel_fused if fuse_rhs else (
+                kernel_dma if assemble_dma else (
+                    kernel_db if double_buffer else kernel))),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dt),
         interpret=device.use_interpret(),
@@ -638,7 +751,7 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     @jax.jit
     @jax.named_scope(
         f"xsmm_pallas_bcsc_union"
-        f"{'4' if fuse_rhs else ('2' if double_buffer else '')}"
+        f"{'5' if hbm_a else ('4' if fuse_rhs else ('2' if double_buffer else ''))}"
         f"_{m}x{n}x{k}_U{U}")
     def run(krows_j, gmap_j, colsel_j, a, values):
         at = a.astype(in_dt).T

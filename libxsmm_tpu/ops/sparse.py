@@ -808,7 +808,7 @@ def _bcsc_autotune(shape: GemmShape, flags: GemmFlags, config: SpgemmConfig,
     # per-strategy loop hands the win to whoever drew the good window)
     cands = []
     for s in ("dense", "union", "union2", "union3", "union4", "union4a",
-              "union4d", "super", "sparse", "pallas"):
+              "union4d", "union5", "super", "sparse", "pallas"):
         try:
             kern = create_packed_spgemm_bcsc(shape, flags, config,
                                              indptr, indices, strategy=s)
@@ -845,7 +845,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
     kernel(a, values[, c]): a (m,k), values (nblocks, bk, bn).
 
     Lowerings, picked by `strategy` ("auto"|"sparse"|"dense"|"pallas"|
-    "super"|"union"|"union2"|"union3"|"union4"|"union4a"|"union4d"); "auto" microbenchmarks ALL of them on device at
+    "super"|"union"|"union2"|"union3"|"union4"|"union4a"|"union4d"|"union5"); "auto" microbenchmarks ALL of them on device at
     create time and keeps the winner (_bcsc_autotune, the fsspmdm
     pattern):
       * sparse: gather A panels per nonzero block -> one batched MXU matmul
@@ -897,7 +897,7 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
             return _build_bcsc_super(shape, flags, config, indptr, indices,
                                      desc, nblocks)
         if strategy in ("union", "union2", "union3", "union4", "union4a",
-                        "union4d"):
+                        "union4d", "union5"):
             from ..kernels import spmm_pallas
             # union4a: pad the union depth so the contraction U*bk is a
             # multiple of 128 (MXU-aligned; pad slots are zero-block
@@ -913,7 +913,10 @@ def create_packed_spgemm_bcsc(shape: GemmShape,
                 double_buffer=(strategy == "union2"),
                 assemble_dma=(strategy == "union3"),
                 fuse_rhs=strategy.startswith("union4"),
-                u_align=ua)
+                u_align=ua,
+                # union5: fused rhs + the A-prologue overlap (A^T in HBM,
+                # bulk copy landing under groups 0/1's direct-HBM panels)
+                hbm_a=(strategy == "union5"))
             if pfn is None:
                 raise ValueError("descriptor unsupported by the k-union "
                                  "BCSC kernel (need bn|128, 128|n, bk|k, "

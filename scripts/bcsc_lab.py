@@ -277,7 +277,7 @@ def main():
 
     # library strategies
     fns = {}
-    for s in ("dense", "union", "union4", "union4a", "union4d"):
+    for s in ("dense", "union", "union4", "union4a", "union4d", "union5"):
         kern = create_packed_spgemm_bcsc(shape, GemmFlags.BETA_0,
                                          SpgemmConfig(1, bk, bn),
                                          column_ptr=bcsc.indptr,

@@ -214,7 +214,7 @@ def test_pspgemm_bcsc_union2_multi_group():
     a = RNG.standard_normal((m, k)).astype(np.float32)
     shape = GemmShape(m, n, k)
     want = a @ bm.to_dense()
-    for strat in ("union", "union2", "union4", "union4a"):
+    for strat in ("union", "union2", "union4", "union4a", "union5"):
         kern = create_packed_spgemm_bcsc(
             shape, GemmFlags.BETA_0, SpgemmConfig(1, bk, bn),
             column_ptr=bm.indptr, row_idx=bm.indices, strategy=strat)
