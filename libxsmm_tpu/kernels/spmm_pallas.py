@@ -443,6 +443,12 @@ def build_bcsc_spmm_union(shape: GemmShape, config: SpgemmConfig,
     # TPU (interpret-mode CI hides it).
     if (tm != m and tm % 128) or tm % sub:
         return None
+    if hbm_a and tm % 128:
+        # the manual HBM panel DMAs need a 128-lane-aligned column slice;
+        # tm=32-class geometries crash the Mosaic compile (r5, measured on
+        # hardware — interpret mode hides it), so the builder refuses and
+        # the autotuner drops the candidate
+        return None
     m_tiles = m // tm
 
     def assemble(krows_ref, at_ref, dst, grp):
