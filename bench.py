@@ -960,7 +960,14 @@ def grp_flash(ctx):
             ex["flash_attn_s8192_tf_s"] = round(flops8k / t / 1e12, 1)
             if peak_bf16 > 0 and copy_bw > 0:
                 t_roof = max(flops8k / peak_bf16, bytes8k / copy_bw)
-                ex["flash_s8192_roofline_frac"] = round(t_roof / t, 4)
+                frac = t_roof / t
+                # analytic denominator from in-window probes: a kernel
+                # "beating" its roofline means the probes were throttled
+                # harder than the kernel (r5 observed 3.32 in a 33 TF/s
+                # probe window) — cap and flag, as everywhere else
+                ex["flash_s8192_roofline_frac"] = round(min(frac, 1.0), 4)
+                if frac > 1.0:
+                    ex["flash_s8192_roofline_throttled"] = True
         ctx.emit(**ex)
 
     ctx.rounds(cases, update, min_rounds=4, max_rounds=10)
