@@ -1221,6 +1221,15 @@ _COMPACT_KEYS = (
     ("bcsc05", "bcsc_d05_useful_peak_fraction"),
     ("fsspmdm", "fsspmdm_gnnz_per_s"),
     ("bcsc_cluster", "bcsc_clustered_speedup"),
+    # window-condition labels ride the compact line so a throttled or
+    # drought capture is self-describing without opening the full record
+    # (absent when the condition did not hold — they are emitted
+    # conditionally)
+    ("brgemm", "brgemm_peak_probe_throttled"),
+    ("brgemm", "brgemm_window_drought"),
+    ("flash", "flash_s8192_roofline_throttled"),
+    ("bcsc20", "bcsc_peak_probe_throttled"),
+    ("bcsc05", "bcsc_d05_peak_probe_throttled"),
 )
 
 # smoke (CPU) runs get their own full-record path: a smoke invocation must
