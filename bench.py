@@ -866,12 +866,19 @@ def grp_smm(ctx):
         # best-window fraction, capped at 1.0 (the kernel cannot beat true
         # DMA speed of light with the same block specs; >1 = denominator
         # undersampled)
-        frac = min(sol.best / smm.best, 1.0)
-        ctx.emit(
+        raw = sol.best / smm.best
+        frac = min(raw, 1.0)
+        ex = dict(
             headline_fraction=round(frac, 4),
             smm32_f32_gflops=round(flops / smm.best / 1e9, 1),
             smm32_stream_gbps=round(bytes_moved / smm.best / 1e9, 1),
             smm32_sol_bw_gbps=round(sol_bytes / sol.best / 1e9, 1))
+        if raw > 1.0:
+            # surface the cap (brgemm-flag discipline, VERDICT r4 #3): the
+            # passthrough twin drew worse windows than the kernel
+            ex["headline_capped"] = True
+            ex["headline_raw_fraction"] = round(raw, 4)
+        ctx.emit(**ex)
 
     # the headline numerator gets extra draws: MXU time-share hits the
     # compute-bearing kernel in some windows but never the DMA passthrough
@@ -1211,6 +1218,7 @@ _COMPACT_KEYS = (
     ("probes", "peak_bf16_gflops"),
     ("dispatch", "dispatch_us"),
     ("smm", "smm32_f32_gflops"),
+    ("smm", "headline_capped"),
     ("brgemm", "brgemm_bf16_gflops"),
     ("brgemm", "brgemm_stream_sol_frac"),
     ("flash", "flash_attn_speedup"),
